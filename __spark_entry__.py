@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
+implemented operator (SURVEY.md §2 + extensions) to a (spark, sf_dir) ->
+DataFrame callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL the
+driver hash-compares against at sf0.01.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
+from flink_stream_processing_refarch_spark.plans import taxi  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Q1 (pickup counts per geohash6 per 10-min window) at sf0.001."""
+    return taxi.q1_pickup_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pickup_count": taxi.q1_pickup_count,
+        "q2_trip_duration": taxi.q2_trip_duration,
+        "trips_clean": taxi.q_trips_clean,
+        "airport_trips": taxi.q_airport_trips,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pickup_count": sqlgen.q1_sql(),
+        "q2_trip_duration": sqlgen.q2_sql(),
+        "trips_clean": sqlgen.trips_clean_sql(),
+        "airport_trips": sqlgen.airport_trips_oracle_sql(),
+    }

@@ -1,0 +1,68 @@
+"""Schemas for the reference's wire and output models (SURVEY.md §1).
+
+The reference deserializes JSON with Gson using snake_case naming and a
+type-discriminated union on the ``type`` field
+(flink-taxi-stream-processor/.../events/kinesis/Event.java:31-54). Spark
+needs no POJO codegen — one wide StructType covers both event types
+(``trip`` and ``watermark``); ``from_json`` binds snake_case directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Union of TripEvent (events/kinesis/TripEvent.java:22-28, producer-side
+# trip_id at kinesis-taxi-stream-producer/.../events/TripEvent.java:30) and
+# WatermarkEvent (events/kinesis/WatermarkEvent.java:21-31).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("trip_id", T.LongType()),
+        T.StructField("pickup_datetime", T.TimestampType()),
+        T.StructField("dropoff_datetime", T.TimestampType()),
+        T.StructField("pickup_lat", T.DoubleType()),
+        T.StructField("pickup_lon", T.DoubleType()),
+        T.StructField("dropoff_lat", T.DoubleType()),
+        T.StructField("dropoff_lon", T.DoubleType()),
+        T.StructField("total_amount", T.DoubleType()),
+        T.StructField("watermark", T.TimestampType()),
+    ]
+)
+
+# Q1 output document (events/es/PickupCount.java:19-29, es-index.json:3-11).
+PICKUP_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("location", T.StringType()),
+        T.StructField("pickup_count", T.LongType()),
+        T.StructField("timestamp", T.LongType()),  # window end - 1 ms
+    ]
+)
+
+# Q2 output document (events/es/TripDuration.java:19-33, es-index.json:13-30).
+TRIP_DURATION_SCHEMA = T.StructType(
+    [
+        T.StructField("location", T.StringType()),
+        T.StructField("airport_code", T.StringType()),
+        T.StructField("sum_trip_duration", T.LongType()),
+        T.StructField("avg_trip_duration", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one testdata parquet table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
