@@ -1,0 +1,61 @@
+"""Benchmark harness (driver contract).
+
+Runs every query in ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+``value`` is the summed wall time of the headline reference queries
+(q1 + q2), the number BASELINE.md's derived events/s target applies to;
+per-query times for the whole surface are in ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from flink_stream_processing_refarch_spark.session import get_spark
+
+HEADLINE = ("q1_pickup_count", "q2_trip_duration")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footer caches with a trivial job
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materializes the full plan; results are aggregates
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    headline = sum(timings.get(q, 0.0) for q in HEADLINE)
+    total = sum(timings.values())
+    out = {
+        "metric": "taxi q1+q2 wall time (headline); all queries in 'queries'",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "total_sec": round(total, 3),
+        "events_rows": n_events,
+        "events_per_sec_headline": round(2 * n_events / headline) if headline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
