@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
-from flink_stream_processing_refarch_spark.plans import taxi  # noqa: E402
+from flink_stream_processing_refarch_spark.plans import relational, taxi  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,18 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
         "q1_pickup_count": taxi.q1_pickup_count,
         "q2_trip_duration": taxi.q2_trip_duration,
         "trips_clean": taxi.q_trips_clean,
         "airport_trips": taxi.q_airport_trips,
     }
+    out.update(relational.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_pickup_count": sqlgen.q1_sql(),
         "q2_trip_duration": sqlgen.q2_sql(),
         "trips_clean": sqlgen.trips_clean_sql(),
         "airport_trips": sqlgen.airport_trips_oracle_sql(),
     }
+    out.update(relational.ORACLES)
+    return out

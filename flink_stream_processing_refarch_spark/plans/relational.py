@@ -1,0 +1,572 @@
+"""Generic relational operator suite (SURVEY.md §2.7).
+
+The reference implements no relational operators beyond its two windowed
+aggregations — Spark provides these natively and the engine exposes them as
+first-class, oracle-checked queries over the TPC-H-ish testdata tables:
+joins (broadcast/shuffle, semi/anti, as-of), sorts/limits/top-k, set ops,
+rollup/cube, analytic window functions, distinct aggregation, sliding and
+session event-time windows, and JSON scalar extraction.
+
+Determinism discipline for oracle parity
+----------------------------------------
+Floating-point SUM/AVG is order-dependent (double addition is not
+associative), and Spark's partial-aggregate ordering differs from DuckDB's.
+Any aggregated money value therefore goes through **row-level cents
+conversion** (``floor(x*100 + 0.5)`` as BIGINT — identical per-row in both
+engines) and is summed exactly as integers. This is also the right design
+at 100 TB: integer aggregation is cheaper and exact. ``l_quantity`` is
+integral (verified) so its double sum is exact too.
+
+Scale notes per operator are in each docstring; the common rules:
+dimension tables (region/nation/customer at these ratios) are broadcast;
+top-k per group is window + filter (one shuffle, no global sort); global
+top-N is ``orderBy().limit(n)`` (Spark's TakeOrdered — no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from ..sources.trips import load_events
+
+CENTS = "CAST(floor({x} * 100.0 + 0.5) AS BIGINT)"
+
+
+def _cents(x: str) -> F.Column:
+    return F.expr(CENTS.format(x=x))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. One shuffle (groupBy on two low-
+    cardinality keys); all arithmetic row-level then exact integer sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.col("sum_qty").cast("double") / F.col("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum({CENTS.format(x='l_extendedprice')}) AS sum_base_price_cents,
+       sum({CENTS.format(x='l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS sum_disc_price_cents,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup.
+
+    Join strategy for scale: nation (25 rows) and customer (1.5 % of
+    lineitem) broadcast; the lineitem⋈orders join is the only shuffle pair
+    and AQE handles skew. Broadcasts asserted in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = li.withColumn(
+        "rev_cents", _cents("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT n_name,
+       sum({CENTS.format(x='l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority) with portable grouping id
+    (GROUPING(a)*2 + GROUPING(b) — same formula both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("total_cents", _cents("o_totalprice"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("total_cents").alias("sum_total_cents"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).alias("gid"),
+        )
+    )
+
+
+ROLLUP_ORDERS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum({CENTS.format(x='o_totalprice')}) AS sum_total_cents,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).alias("gid"),
+        )
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the approx variant is a separate,
+    rows-only query — approx_count_distinct has no cross-engine oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — scale path for distinct counting.
+    No oracle (sketch estimates are engine-specific); rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one finished order — LEFT SEMI (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent orders — LEFT ANTI (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join + aggregate: every customer with order count/max (0/null
+    for customers without orders). Pattern: aggregate the fact table FIRST,
+    then join — shrinks the shuffle from |orders| to |customers|."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.withColumn("total_cents", _cents("o_totalprice"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("total_cents").alias("max_total_cents"),
+        )
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "max_total_cents",
+        )
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = f"""
+SELECT c_custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       max_total_cents
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         max({CENTS.format(x='o_totalprice')}) AS max_total_cents
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event paired with the customer's latest order at
+    event time (composition: range join + per-event top-1 window, since
+    Spark has no native as-of).
+
+    Scale path: both sides hash-partition on the key, the window sorts
+    within (event) groups only. For very large fact sides, bucket both
+    tables on the key so the exchange disappears.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts DIV 1000000").alias("ts_ms")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # parquet ms timestamps read as TIMESTAMP_NTZ; cast (session tz is
+        # UTC) so unix_millis applies — matches DuckDB's naive epoch_ms
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_ms"),
+        "o_totalprice",
+    )
+    j = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_ms <= F.col("ts_ms")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_ms"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "event_id", "user_id", "ts_ms", "o_orderkey", "o_ms",
+            _cents("o_totalprice").alias("order_total_cents"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = f"""
+SELECT event_id, user_id, ts_ms, o_orderkey, o_ms,
+       {CENTS.format(x='o_totalprice')} AS order_total_cents
+FROM (
+  SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+         o.o_orderkey, epoch_ms(o.o_orderdate) AS o_ms, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY epoch_ms(o.o_orderdate) DESC,
+                                     o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o
+    ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / analytic windows
+# ---------------------------------------------------------------------------
+
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by aggregated quantity. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM lineitem GROUP BY l_partkey
+ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation — window row_number
+    (the distributed top-k-per-group idiom: one hash exchange, in-partition
+    sort, no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "acctbal_cents", _cents("c_acctbal")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("acctbal_cents"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("c_nationkey", "rk", "c_custkey", "acctbal_cents")
+    )
+
+
+TOP_CUSTOMERS_PER_NATION_SQL = f"""
+SELECT c_nationkey, rk, c_custkey, acctbal_cents FROM (
+  SELECT c_nationkey, c_custkey,
+         {CENTS.format(x='c_acctbal')} AS acctbal_cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY {CENTS.format(x='c_acctbal')} DESC,
+                                     c_custkey ASC) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame functions: running count + lag per user over events."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000000").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        (F.col("ts_ms") - F.lag("ts_ms", 1).over(w)).alias("ms_since_prev"),
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER w AS seq,
+       lag(event_type, 1) OVER w AS prev_type,
+       epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS ms_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over nation keys of customers vs suppliers,
+    tagged and unioned into one result."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("tag", F.lit("customer_only"))
+    supp_only = supp_n.exceptAll(cust_n).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+SET_OPS_SQL = """
+SELECT nationkey, 'both' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+  EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (sliding / session) + JSON scalar surface
+# ---------------------------------------------------------------------------
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — Spark's window() (each event in
+    2 windows); oracle replicates the epoch-aligned assignment
+    arithmetically."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return (
+        ev.groupBy(
+            F.window("ts_t", "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_millis("win.start").alias("ws_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# Every event lies in exactly two 10-min/5-min-slide windows: the one
+# starting at its 5-min bucket and the one 5 min earlier.
+SLIDING_WINDOW_COUNTS_SQL = """
+SELECT ws_ms, event_type, count(*) AS n FROM (
+  SELECT (epoch_ms(ts) - (epoch_ms(ts) % 300000)) - k * 300000 AS ws_ms,
+         event_type
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+)
+GROUP BY ws_ms, event_type
+"""
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute gap (session_window in
+    batch mode; oracle = gaps-and-islands with lag + cumulative sum)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts_t", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOWS_SQL = """
+SELECT user_id,
+       min(ts_us) // 1000 AS session_start_ms,
+       (max(ts_us) + 1800000000) // 1000 AS session_end_ms,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     >= 1800000000 OR lag(epoch_us(ts), 1)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY user_id, sess_id
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (S2/F5 surface:
+    dynamic JSON field access with null-on-malformed semantics)."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "event_type",
+    ).filter(F.col("k").isNotNull())
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "rollup_orders": q_rollup_orders,
+    "cube_orders": q_cube_orders,
+    "distinct_counts": q_distinct_counts,
+    "approx_distinct": q_approx_distinct,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "customer_order_stats": q_customer_order_stats,
+    "asof_join": q_asof_join,
+    "top_parts": q_top_parts,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "running_totals": q_running_totals,
+    "set_ops": q_set_ops,
+    "sliding_window_counts": q_sliding_window_counts,
+    "session_windows": q_session_windows,
+    "json_extract": q_json_extract,
+}
+
+ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "rollup_orders": ROLLUP_ORDERS_SQL,
+    "cube_orders": CUBE_ORDERS_SQL,
+    "distinct_counts": DISTINCT_COUNTS_SQL,
+    # approx_distinct: sketch estimate — rows-only check, no oracle
+    "semi_join": SEMI_JOIN_SQL,
+    "anti_join": ANTI_JOIN_SQL,
+    "customer_order_stats": CUSTOMER_ORDER_STATS_SQL,
+    "asof_join": ASOF_JOIN_SQL,
+    "top_parts": TOP_PARTS_SQL,
+    "top_customers_per_nation": TOP_CUSTOMERS_PER_NATION_SQL,
+    "running_totals": RUNNING_TOTALS_SQL,
+    "set_ops": SET_OPS_SQL,
+    "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
+    "session_windows": SESSION_WINDOWS_SQL,
+    "json_extract": JSON_EXTRACT_SQL,
+}

@@ -64,5 +64,11 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark, sf_dir: str, name: str):
-    """Read one testdata parquet table (TESTDATA.md)."""
+    """Read one testdata parquet table (TESTDATA.md).
+
+    Pins the session timezone to UTC first: NTZ->TZ casts and epoch
+    extraction must agree with DuckDB's naive-UTC reading even when the
+    caller (e.g. the external driver) built the session without it.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

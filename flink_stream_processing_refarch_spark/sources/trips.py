@@ -45,6 +45,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the driver supplies its own SparkSession.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 # 2024-01-01T00:00:00Z — testdata events start here; anchor for compression.
