@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
 from flink_stream_processing_refarch_spark.plans import relational, taxi  # noqa: E402
 
@@ -32,6 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "airport_trips": taxi.q_airport_trips,
     }
     out.update(relational.QUERIES)
+    out.update(text_ops.QUERIES)
+    out.update(dedup_ops.QUERIES)
+    out.update(sim_ops.QUERIES)
+    out.update(mm_ops.QUERIES)
     return out
 
 
@@ -43,4 +51,8 @@ def oracle_sql() -> dict[str, str]:
         "airport_trips": sqlgen.airport_trips_oracle_sql(),
     }
     out.update(relational.ORACLES)
+    out.update(text_ops.ORACLES)
+    out.update(dedup_ops.ORACLES)
+    out.update(sim_ops.ORACLES)
+    out.update(mm_ops.ORACLES)
     return out

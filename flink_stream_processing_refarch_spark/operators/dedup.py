@@ -1,0 +1,471 @@
+"""Deduplication operators for training-data pipelines:
+exact (hash-groupBy), MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Corpus under test: the ``documents`` table plus deterministically injected
+duplicates (every 10th doc re-appears under doc_id+1000000, every 20th
+re-appears with its first word dropped under doc_id+2000000) — the same
+derivation in Spark and the DuckDB oracle, so the dedup queries have real
+duplicates to find and exact expected outputs.
+
+Scale design:
+  - Exact dedup: groupBy(md5(text)) keeping min(doc_id) — one shuffle on
+    the 128-bit content hash; at 100 TB this is the canonical map-side
+    combinable pattern (hash once at scan, aggregate bigint/bytes only).
+  - MinHash+LSH: per-doc signature (k=8 portable hashes over word
+    3-shingles) computed in pure array expressions (no explode of the
+    shingle set through a shuffle!); docs are then exploded only into
+     4 (band, band-hash) rows each, and candidate pairs come from a
+    self-join on the band hash — the standard LSH bucket join whose
+    shuffle volume is O(docs x bands), independent of document length.
+  - SimHash: 32-bit signature via per-word hashes folded with bit-count
+    array arithmetic; near-dups = pairs whose signatures agree on a 16-bit
+    half (pigeonhole prefilter) and have Hamming distance <= 3.
+  - n-gram Jaccard verify: exact word-set Jaccard computed only for
+    candidate pairs (explode distinct words, count intersections) — the
+    expensive exact check runs on the LSH-candidate set, not all pairs.
+
+The portable hash is md5 (both engines agree bit-for-bit); a production
+deployment would swap xxhash64 for md5 — same plan shape, ~5x cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import TOKENS, arr_len, arr_min, arr_transform, words_expr
+from ..schemas import load_table
+
+N_HASHES = 8          # minhash signature length
+N_BANDS = 4           # LSH bands (2 rows per band)
+SIMHASH_BITS = 32
+SIM_HAMMING_MAX = 3
+
+
+# ---------------------------------------------------------------------------
+# Corpus with injected duplicates (shared Spark/DuckDB derivation)
+# ---------------------------------------------------------------------------
+
+def corpus_sql(dialect: str) -> str:
+    """documents + exact dups (every 10th) + near dups (every 20th, first
+    word dropped)."""
+    w = words_expr("text", dialect)
+    if dialect == "spark":
+        tail = f"concat_ws(' ', slice({w}, 2, size({w}) - 1))"
+    else:
+        tail = f"array_to_string(list_slice({w}, 2, len({w})), ' ')"
+    return (
+        "SELECT doc_id, text, source FROM documents"
+        " UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text, source FROM documents"
+        " WHERE doc_id % 10 = 0"
+        " UNION ALL "
+        f"SELECT doc_id + 2000000 AS doc_id, {tail} AS text, source"
+        " FROM documents WHERE doc_id % 20 = 0"
+    )
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(corpus_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: one surviving doc_id per distinct text +
+    duplicate count. Shuffles only (hash, doc_id) — never the text."""
+    c = corpus_df(spark, sf_dir)
+    return (
+        c.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_SQL_T = """
+WITH corpus AS ({corpus})
+SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (count + min id per hash, all rows)."""
+    c = corpus_df(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+DEDUP_SURVIVORS_SQL_T = """
+WITH corpus AS ({corpus})
+SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingles(dialect: str) -> str:
+    """Word 3-gram shingles of ``text`` (docs shorter than 3 words fall
+    back to the whole text as one shingle)."""
+    w = words_expr("text", dialect)
+    if dialect == "spark":
+        grams = (
+            f"transform(sequence(0, size({w}) - 3), i -> "
+            f"concat_ws(' ', slice({w}, i + 1, 3)))"
+        )
+        return f"CASE WHEN size({w}) >= 3 THEN {grams} ELSE array(text) END"
+    grams = (
+        f"list_transform(range(1, len({w}) - 1), i -> "
+        f"array_to_string(list_slice({w}, i, i + 2), ' '))"
+    )
+    return f"CASE WHEN len({w}) >= 3 THEN {grams} ELSE [text] END"
+
+
+def _minhash_cols(dialect: str) -> list[str]:
+    """k minhash values: min over shingles of md5(seed || shingle)."""
+    sh = "__shingles"
+    return [
+        arr_min(arr_transform(sh, f"s -> md5(concat('{j}|', s))", dialect), dialect)
+        for j in range(N_HASHES)
+    ]
+
+
+def _band_expr(dialect: str, b: int) -> str:
+    """Band hash = md5 of the 2 minhashes in band b (already computed as
+    columns mh0..mh7)."""
+    return f"md5(concat(mh{2 * b}, mh{2 * b + 1}))"
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    c = c.withColumn("__shingles", F.expr(_shingles("spark")))
+    for j, e in enumerate(_minhash_cols("spark")):
+        c = c.withColumn(f"mh{j}", F.expr(e))
+    return c.drop("__shingles", "text")
+
+
+def _signatures_sql(dialect: str) -> str:
+    mh = ", ".join(f"{e} AS mh{j}" for j, e in enumerate(_minhash_cols(dialect)))
+    return (
+        f"SELECT doc_id, source, {mh} FROM ("
+        f"SELECT doc_id, source, {_shingles(dialect)} AS __shingles"
+        f" FROM corpus)"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir).select(
+        "doc_id", *[f"mh{j}" for j in range(N_HASHES)]
+    )
+
+
+MINHASH_SIGNATURES_SQL_T = """
+WITH corpus AS ({corpus})
+SELECT doc_id, {mh_cols} FROM ({sigs})
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + minhash-estimated Jaccard.
+
+    Explodes each doc into N_BANDS (band, hash) rows, self-joins on the
+    band hash, dedups pairs, then scores agreement across the k minhashes.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(_band_expr("spark", b)).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({agree} AS DOUBLE) / {N_HASHES}").alias("est_jaccard"),
+        )
+    )
+
+
+def _lsh_pairs_sql(dialect: str = "duckdb") -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_expr(dialect, b)} AS bh FROM sigs"
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_HASHES)
+    )
+    return f"""
+WITH corpus AS ({{corpus}}),
+sigs AS ({_signatures_sql(dialect)}),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({agree} AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_expr(dialect: str) -> str:
+    """32-bit simhash over per-word 60-bit hashes.
+
+    bit_k(sig) = 1 iff more words have bit k set than unset. Computed with
+    array arithmetic over a materialized word-hash array (md5 evaluated
+    once per word, not once per bit).
+    """
+    hs = "__whashes"
+    terms = []
+    for k in range(SIMHASH_BITS):
+        ones = arr_transform(hs, f"h -> (h >> {k}) & 1", dialect)
+        if dialect == "spark":
+            cnt = f"aggregate({ones}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            n = f"size({hs})"
+        else:
+            cnt = f"CAST(list_sum({ones}) AS BIGINT)"
+            n = f"len({hs})"
+        terms.append(f"(CASE WHEN 2 * {cnt} > {n} THEN CAST(1 AS BIGINT) << {k} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _word_hashes(dialect: str) -> str:
+    from ..functions.portable import md5_int60
+
+    w = words_expr("text", dialect)
+    # per-word 60-bit hash; distinct words so repeated words don't dominate
+    dd = TOKENS[dialect]["adistinct"]
+    return arr_transform(f"{dd}({w})", f"x -> {md5_int60('x', dialect)}", dialect)
+
+
+def simhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    c = c.withColumn("__whashes", F.expr(_word_hashes("spark")))
+    return c.select(
+        "doc_id", F.expr(_simhash_expr("spark")).alias("simhash")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures_df(spark, sf_dir)
+
+
+SIMHASH_SQL_T = """
+WITH corpus AS ({corpus})
+SELECT doc_id, {sim} AS simhash
+FROM (SELECT doc_id, {whashes} AS __whashes FROM corpus)
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by simhash: block on 16-bit halves (pigeonhole: any
+    pair within Hamming distance 3 of 32 bits agrees exactly on at least
+    one half), then exact Hamming check <= 3."""
+    sigs = simhash_signatures_df(spark, sf_dir)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half"),
+                    F.expr("simhash & 65535").alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("half"),
+                    F.expr("simhash >> 16").alias("key"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.half", "e.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIM_HAMMING_MAX)
+    )
+
+
+DEDUP_SIMHASH_SQL_T = """
+WITH corpus AS ({corpus}),
+sigs AS (
+  SELECT doc_id, {sim} AS simhash
+  FROM (SELECT doc_id, {whashes} AS __whashes FROM corpus)
+),
+blocks AS (
+  SELECT doc_id, simhash, 0 AS half, simhash & 65535 AS key FROM sigs
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS half, simhash >> 16 AS key FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.half = b.half AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {hmax}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (word-set) Jaccard verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard for every LSH candidate pair (the
+    verify-the-candidates stage of the near-dup pipeline); emits pairs
+    with jaccard >= 0.5."""
+    c = corpus_df(spark, sf_dir).select(
+        "doc_id", F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws")
+    )
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    wa = c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(wa, wb)) AS DOUBLE)"
+                " / size(array_union(wa, wb))"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+NGRAM_JACCARD_SQL_T = """
+WITH corpus AS ({corpus}),
+sigs AS ({sigs}),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+wsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+  FROM pairs p
+  JOIN wsets a ON a.doc_id = p.doc_a
+  JOIN wsets b ON b.doc_id = p.doc_b
+)
+WHERE jaccard >= 0.5
+"""
+
+
+def _fill(template: str, **extra: str) -> str:
+    return template.format(corpus=corpus_sql("duckdb"), **extra)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_survivors": q_dedup_survivors,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+}
+
+
+def _oracles() -> dict[str, str]:
+    d = "duckdb"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_expr(d, b)} AS bh FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return {
+        "dedup_exact": _fill(DEDUP_EXACT_SQL_T),
+        "dedup_survivors": _fill(DEDUP_SURVIVORS_SQL_T),
+        "minhash_signatures": _fill(
+            MINHASH_SIGNATURES_SQL_T,
+            mh_cols=", ".join(f"mh{j}" for j in range(N_HASHES)),
+            sigs=_signatures_sql(d),
+        ),
+        "dedup_minhash_lsh": _lsh_pairs_sql(d).format(corpus=corpus_sql(d)),
+        "simhash": _fill(
+            SIMHASH_SQL_T, sim=_simhash_expr(d), whashes=_word_hashes(d)
+        ),
+        "dedup_simhash": _fill(
+            DEDUP_SIMHASH_SQL_T,
+            sim=_simhash_expr(d),
+            whashes=_word_hashes(d),
+            hmax=str(SIM_HAMMING_MAX),
+        ),
+        "ngram_jaccard": _fill(
+            NGRAM_JACCARD_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows
+        ),
+    }
+
+
+ORACLES = _oracles()

@@ -1,0 +1,195 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the *decode* steps are
+deterministic fakes (clearly marked; ``decode_real`` raises
+NotImplementedError behind an import-try) — but the Spark-side plumbing is
+real and oracle-checked: binary payload derivation, typed metadata,
+``mapInPandas`` batch iteration, per-item fan-out (frame sampling = a
+UDTF-style 1->N expansion), and Arrow round-tripping of binary + array
+columns.
+
+Media table derivation (shared with the DuckDB oracle): payload =
+utf-8 bytes of ``documents.text``; kind cycles image/audio/video on
+doc_id % 3; width/height/duration are arithmetic in doc_id. Every value a
+pandas UDF emits is reproducible as SQL arithmetic over the same bytes,
+which is what makes the UDF path hash-checkable.
+
+Scale notes: mapInPandas streams Arrow batches — payload bytes never
+materialize on the driver; the frame fan-out multiplies rows inside the
+executor before any shuffle. Real decode would sit in the same UDF
+signature (bytes in, features out) with identical partitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+try:  # pragma: no cover - the real codecs are absent in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_CODECS = True
+except ImportError:
+    HAVE_CODECS = False
+
+
+KINDS = ("image", "audio", "video")
+
+
+def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table: (doc_id, kind, payload binary, width, height,
+    n_frames)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("element_at(array('image','audio','video'),"
+               " CAST(doc_id % 3 + 1 AS INT))").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.expr("32 + doc_id % 8 * 16").alias("width"),
+        F.expr("32 + doc_id % 5 * 16").alias("height"),
+        F.expr("1 + doc_id % 4").alias("n_frames"),
+    )
+
+
+MEDIA_CTE = """
+SELECT doc_id,
+       list_extract(['image', 'audio', 'video'], doc_id % 3 + 1) AS kind,
+       encode(text) AS payload,
+       32 + doc_id % 8 * 16 AS width,
+       32 + doc_id % 5 * 16 AS height,
+       1 + doc_id % 4 AS n_frames,
+       text
+FROM documents
+"""
+
+
+def decode_real(payload: bytes, kind: str):  # pragma: no cover
+    """Real media decode — requires codec libraries not present here."""
+    if not HAVE_CODECS:
+        raise NotImplementedError(
+            "media decode requires image/audio codec libraries; "
+            "this container ships none (stubbed per build contract)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (mapInPandas — bytes in, scalar features out)
+# ---------------------------------------------------------------------------
+
+def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE decode: features derived from raw bytes only
+    (size, first/last byte, md5 prefix). A real decoder plugs in here with
+    the same batch shape."""
+    for pdf in it:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(lambda b: b[0]).astype("int64"),
+                "last_byte": payloads.map(lambda b: b[-1]).astype("int64"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+        )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_df(spark, sf_dir).mapInPandas(
+        _extract_features,
+        schema=(
+            "doc_id long, kind string, n_bytes long, first_byte long,"
+            " last_byte long, content_md5 string"
+        ),
+    )
+
+
+MEDIA_FEATURES_SQL = f"""
+WITH media AS ({MEDIA_CTE})
+SELECT doc_id, kind,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+       md5(text) AS content_md5
+FROM media
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (UDTF-style 1 -> N fan-out inside the executor)
+# ---------------------------------------------------------------------------
+
+def _sample_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE frame decode: one row per sampled frame with a
+    content-addressed frame hash (md5 of payload + frame index)."""
+    for pdf in it:
+        rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+        for doc_id, payload, n_frames in zip(
+            pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+        ):
+            for k in range(int(n_frames)):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(k)
+                rows["frame_hash"].append(
+                    hashlib.md5(payload + b"|" + str(k).encode()).hexdigest()
+                )
+        yield pd.DataFrame(rows)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    video = media_df(spark, sf_dir).filter(F.col("kind") == "video")
+    return video.mapInPandas(
+        _sample_frames, schema="doc_id long, frame_idx long, frame_hash string"
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH media AS ({MEDIA_CTE})
+SELECT doc_id, k AS frame_idx,
+       md5(text || '|' || CAST(k AS VARCHAR)) AS frame_hash
+FROM media CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+WHERE kind = 'video' AND k < n_frames
+"""
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection (no UDF): proves the binary column plumbs
+    through scans/projections untouched."""
+    return media_df(spark, sf_dir).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.expr("CAST(octet_length(payload) AS BIGINT)").alias("n_bytes"),
+    )
+
+
+MEDIA_METADATA_SQL = f"""
+WITH media AS ({MEDIA_CTE})
+SELECT doc_id, kind, width, height, n_frames,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes
+FROM media
+"""
+
+
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "media_metadata": MEDIA_METADATA_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
+    "frame_sample": FRAME_SAMPLE_SQL,
+}

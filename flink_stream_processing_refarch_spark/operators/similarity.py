@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a narrow map over every vector plus a
+TakeOrdered; no shuffle of the vectors themselves. Scale path: LSH with
+random-hyperplane signatures — vectors are bucketed by sign pattern and
+only the query's bucket is scanned exactly (at 100 TB the bucket column is
+a partition/cluster key, so the scan prunes to ~1/2^bits of the data).
+
+Determinism: all dot products accumulate left-to-right over the array in
+both engines; results round cosines to 6 decimals before ranking (double
+accumulation differences live at ~1e-15, far below the rounding grain).
+Hyperplanes are seeded pseudo-random literals shared by the Spark plan and
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = random.Random(1234)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(DIM)]
+        for _ in range(N_PLANES)
+    ]
+
+
+HYPERPLANES = _hyperplanes()
+
+
+# --- shared expression builders -------------------------------------------
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), i ->"
+        f" CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) AS DOUBLE)"
+    )
+
+
+def _plane_literal(plane: list[float], dialect: str) -> str:
+    vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane)
+    return f"array({vals})" if dialect == "spark" else f"[{vals}]"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbours of vec 0 by cosine (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    dot = _dot_spark("embedding", "qe")
+    na = _dot_spark("embedding", "embedding")
+    nq = _dot_spark("qe", "qe")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(f"round({dot} / (sqrt({na}) * sqrt({nq})), 6)").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _cosine_topk_sql() -> str:
+    dot = _dot_duck("e.embedding", "q.qe")
+    na = _dot_duck("e.embedding", "e.embedding")
+    nq = _dot_duck("q.qe", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({dot} / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbour
+# ---------------------------------------------------------------------------
+
+def _bucket_expr(vec: str, dialect: str) -> str:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0."""
+    dot = _dot_spark if dialect == "spark" else _dot_duck
+    terms = [
+        f"(CASE WHEN {dot(vec, _plane_literal(HYPERPLANES[p], dialect))}"
+        f" >= CAST(0.0 AS DOUBLE) THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: exact cosine top-k *within the query's LSH bucket*.
+
+    The bucket assignment is a narrow projection; at scale the table is
+    written clustered by ``bucket`` so the candidate scan is partition-
+    pruned. (Recall is tunable via N_PLANES / multi-probe; this is the
+    single-probe variant.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr("embedding", "spark"))
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    dot = _dot_spark("embedding", "qe")
+    na = _dot_spark("embedding", "embedding")
+    nq = _dot_spark("qe", "qe")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr(f"round({dot} / (sqrt({na}) * sqrt({nq})), 6)").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ann_lsh_sql() -> str:
+    bucket = _bucket_expr("embedding", "duckdb")
+    qbucket = _bucket_expr("qe", "duckdb")
+    dot = _dot_duck("e.embedding", "q.qe")
+    na = _dot_duck("e.embedding", "e.embedding")
+    nq = _dot_duck("q.qe", "q.qe")
+    return f"""
+WITH q AS (SELECT qe, {qbucket} AS qbucket
+           FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}))
+SELECT vec_id, bucket, cos_sim FROM (
+  SELECT e.vec_id, {bucket} AS bucket,
+         round({dot} / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim,
+         q.qbucket
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+WHERE bucket = qbucket
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-op smoke surface: L2 norm + dimension per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    na = _dot_spark("embedding", "embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr("size(embedding)").alias("dim"),
+        F.expr(f"round(sqrt({na}), 6)").alias("l2_norm"),
+    )
+
+
+def _embedding_norms_sql() -> str:
+    na = _dot_duck("embedding", "embedding")
+    return f"""
+SELECT vec_id, label, len(embedding) AS dim, round(sqrt({na}), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLES = {
+    "cosine_topk": _cosine_topk_sql(),
+    "ann_lsh": _ann_lsh_sql(),
+    "embedding_norms": _embedding_norms_sql(),
+}

@@ -1,0 +1,206 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting.
+
+All four are pure column expressions over the ``documents`` table — no
+UDFs, fully inside whole-stage codegen, trivially parallel at 100 TB
+(narrow transformations, zero shuffles). Doubles emitted to results are
+ratios of exact integers computed identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import (
+    arr_filter,
+    arr_len,
+    arr_min,
+    arr_sum_bigint,
+    arr_transform,
+    words_expr,
+)
+from ..schemas import load_table
+
+# Tiny in-query stopword lists (heuristic language ID). Real pipelines load
+# these from a broadcast dimension table; inline literals keep the plan
+# self-contained and the oracle portable.
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in EN_STOP)
+
+
+def _exprs(dialect: str) -> dict[str, str]:
+    w = words_expr("text", dialect)
+    n_words = f"CAST({arr_len(w, dialect)} AS BIGINT)"
+    word_lens = arr_transform(w, "x -> CAST(length(x) AS BIGINT)", dialect)
+    n_word_chars = arr_sum_bigint(word_lens, dialect)
+    n_stop = (
+        f"CAST({arr_len(arr_filter(w, f'x -> x IN ({_stop_list_sql()})', dialect), dialect)}"
+        " AS BIGINT)"
+    )
+    n_distinct = f"CAST({arr_len(f'{_lst(dialect)}({w})', dialect)} AS BIGINT)"
+    return {
+        "n_words": n_words,
+        "n_word_chars": n_word_chars,
+        "n_stop": n_stop,
+        "n_distinct": n_distinct,
+    }
+
+
+def _lst(dialect: str) -> str:
+    return "array_distinct" if dialect == "spark" else "list_distinct"
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(e["n_words"]).alias("n_tokens"),
+        F.expr(e["n_distinct"]).alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(
+            f"CAST({e['n_distinct']} AS DOUBLE) / {e['n_words']}"
+        ).alias("ttr"),  # type-token ratio
+    )
+
+
+def _token_stats_sql() -> str:
+    e = _exprs("duckdb")
+    return f"""
+SELECT doc_id,
+       {e['n_words']} AS n_tokens,
+       {e['n_distinct']} AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({e['n_distinct']} AS DOUBLE) / {e['n_words']} AS ttr
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / mean-word-length quality features and a
+    composite keep/drop flag (the usual pre-training corpus filter)."""
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(e["n_words"]).alias("n_words"),
+        F.expr(
+            f"CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
+        ).alias("stop_ratio"),
+        F.expr(
+            f"CAST({e['n_word_chars']} AS DOUBLE) / {e['n_words']}"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
+            f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']} >= CAST(0.01 AS DOUBLE)"
+            f" THEN true ELSE false END"
+        ).alias("keep"),
+    )
+
+
+def _quality_score_sql() -> str:
+    e = _exprs("duckdb")
+    return f"""
+SELECT doc_id,
+       {e['n_words']} AS n_words,
+       CAST({e['n_stop']} AS DOUBLE) / {e['n_words']} AS stop_ratio,
+       CAST({e['n_word_chars']} AS DOUBLE) / {e['n_words']} AS mean_word_len,
+       CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000
+            AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']} >= CAST(0.01 AS DOUBLE)
+            THEN true ELSE false END AS keep
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic. (The testdata ``lang`` column
+    is a synthetic label over a shared vocabulary, so the heuristic is its
+    own spec — the oracle runs the identical classifier.)"""
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = f"CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(ratio).alias("en_stop_ratio"),
+        F.expr(
+            f"CASE WHEN {ratio} >= CAST(0.04 AS DOUBLE) THEN 'en'"
+            f" ELSE 'other' END"
+        ).alias("lang_pred"),
+    )
+
+
+def _lang_id_sql() -> str:
+    e = _exprs("duckdb")
+    ratio = f"CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
+    return f"""
+SELECT doc_id, lang,
+       {ratio} AS en_stop_ratio,
+       CASE WHEN {ratio} >= CAST(0.04 AS DOUBLE) THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (min-hash of word 5-grams — winnowing-lite)
+# ---------------------------------------------------------------------------
+
+def _fingerprint_expr(dialect: str) -> str:
+    w = words_expr("text", dialect)
+    if dialect == "spark":
+        grams = (
+            f"transform(sequence(0, size({w}) - 5), i -> "
+            f"concat_ws(' ', slice({w}, i + 1, 5)))"
+        )
+        guard = f"size({w}) >= 5"
+    else:
+        grams = (
+            f"list_transform(range(1, len({w}) - 3), i -> "
+            f"array_to_string(list_slice({w}, i, i + 4), ' '))"
+        )
+        guard = f"len({w}) >= 5"
+    hashed = arr_transform(grams, "g -> md5(g)", dialect)
+    return f"CASE WHEN {guard} THEN {arr_min(hashed, dialect)} ELSE md5(text) END"
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(_fingerprint_expr("spark")).alias("fingerprint")
+    )
+
+
+def _doc_fingerprint_sql() -> str:
+    return f"SELECT doc_id, {_fingerprint_expr('duckdb')} AS fingerprint FROM documents"
+
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "token_stats": _token_stats_sql(),
+    "quality_score": _quality_score_sql(),
+    "lang_id": _lang_id_sql(),
+    "doc_fingerprint": _doc_fingerprint_sql(),
+}

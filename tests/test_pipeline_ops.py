@@ -1,0 +1,83 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal — oracle parity + semantic spot checks."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR, assert_matches_oracle
+
+from flink_stream_processing_refarch_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+ALL = [
+    ("text", name) for name in sorted(text.ORACLES)
+] + [
+    ("dedup", name) for name in sorted(dedup.ORACLES)
+] + [
+    ("similarity", name) for name in sorted(similarity.ORACLES)
+] + [
+    ("multimodal", name) for name in sorted(multimodal.ORACLES)
+]
+MODS = {
+    "text": text,
+    "dedup": dedup,
+    "similarity": similarity,
+    "multimodal": multimodal,
+}
+
+
+@pytest.mark.parametrize("mod,name", ALL, ids=[f"{m}:{n}" for m, n in ALL])
+def test_matches_oracle(spark, duck, mod, name):
+    m = MODS[mod]
+    assert_matches_oracle(spark, duck, m.QUERIES[name], m.ORACLES[name])
+
+
+def test_exact_dedup_finds_injected_dups(spark):
+    """Every 10th doc is injected as an exact copy — all must be found,
+    and the survivor is always the original (min doc_id)."""
+    rows = dedup.q_dedup_exact(spark, SF_DIR).collect()
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keep_doc_id < 1000000 for r in rows)
+
+
+def test_lsh_catches_exact_dups(spark):
+    """Exact duplicates have identical minhash signatures — LSH candidate
+    pairs must include every injected (doc, doc+1000000) pair."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q_dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    originals = [
+        r.doc_id
+        for r in dedup.corpus_df(spark, SF_DIR).collect()
+        if r.doc_id < 1000000 and r.doc_id % 10 == 0
+    ]
+    for d in originals:
+        assert (d, d + 1000000) in pairs
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.q_dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    for d in originals:
+        assert est[(d, d + 1000000)] == 1.0
+
+
+def test_ann_cosines_are_valid(spark):
+    for r in similarity.q_ann_lsh(spark, SF_DIR).collect():
+        assert -1.000001 <= r.cos_sim <= 1.000001
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"bytes", "image")
+
+
+def test_media_features_via_arrow_batches(spark):
+    df = multimodal.q_media_features(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # mapInPandas must run as an Arrow-batched python exec, not row UDF
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
