@@ -21,6 +21,7 @@ from flink_stream_processing_refarch_spark.operators import similarity as sim_op
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
 from flink_stream_processing_refarch_spark.plans import relational, taxi  # noqa: E402
+from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_trip_duration": taxi.q2_trip_duration,
         "trips_clean": taxi.q_trips_clean,
         "airport_trips": taxi.q_airport_trips,
+        "q1_streaming": streaming_jobs.q1_streaming,
+        "q2_streaming": streaming_jobs.q2_streaming,
     }
     out.update(relational.QUERIES)
     out.update(text_ops.QUERIES)
@@ -49,6 +52,8 @@ def oracle_sql() -> dict[str, str]:
         "q2_trip_duration": sqlgen.q2_sql(),
         "trips_clean": sqlgen.trips_clean_sql(),
         "airport_trips": sqlgen.airport_trips_oracle_sql(),
+        "q1_streaming": sqlgen.q1_streaming_sql(),
+        "q2_streaming": sqlgen.q2_streaming_sql(),
     }
     out.update(relational.ORACLES)
     out.update(text_ops.ORACLES)

@@ -91,6 +91,27 @@ def trips_clean_sql() -> str:
     )
 
 
+def _max_clean_dropoff_sql() -> str:
+    return f"SELECT max(dropoff_ms) FROM ({_clean_trips_sql()})"
+
+
+def q1_streaming_sql() -> str:
+    """Streaming (availableNow, watermark delay 0) emission rule: a window
+    emits iff final watermark >= window end, i.e. window_end <= max event
+    time — the batch answer minus the trailing unflushed window."""
+    return (
+        f'SELECT * FROM ({q1_sql()}) WHERE "timestamp" <'
+        f" ({_max_clean_dropoff_sql()})"
+    )
+
+
+def q2_streaming_sql() -> str:
+    return (
+        f'SELECT * FROM ({q2_sql()}) WHERE "timestamp" <'
+        f" ({_max_clean_dropoff_sql()})"
+    )
+
+
 def airport_trips_oracle_sql() -> str:
     return (
         "SELECT trip_id, location, airport_code, duration_min FROM ("

@@ -1,0 +1,152 @@
+"""Replay tool — the producer side of the reference
+(kinesis-taxi-stream-producer/.../StreamPopulator.java).
+
+Reads a bounded trip dataset, optionally seeks past old events, shifts
+event time (the three adaptTime modes), serializes to the reference's
+snake_case JSON wire format, and emits paced micro-files that the file
+streaming source consumes — the local stand-in for the KPL/Kinesis path
+(swap a Kinesis producer in ``emit`` for prod).
+
+Operator parity:
+  - seek(timestamp)            StreamPopulator.java:113-115,
+                               TaxiEventReader.java:52-70 -> a pushdown
+                               filter on dropoff time (no line-jumping
+                               needed; the scan prunes)
+  - adaptTime ORIGINAL/INVOCATION/INGESTION
+                               producer TripEvent.java:45-82,
+                               AdaptTimeOption.java:18-22 -> column
+                               arithmetic on both datetimes
+  - JSON rewrite               producer TripEvent.java:58-82 -> to_json
+                               after column edits (no string surgery)
+  - newline framing            producer Event.java:28-35 -> text sink
+                               appends newlines natively
+  - speedup pacing             StreamPopulator.java:145-160 -> wall-clock
+                               sleep between emitted chunks
+  - watermark events           WatermarkTracker.java -> obsolete under
+                               Spark watermarking (SURVEY.md §4.3); the
+                               in-band rows are filtered by P1 if present
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.trips import derive_trips
+
+# producer TripEvent.java:34 — the dataset's epoch for INVOCATION shift
+REFERENCE_START_MS = 1704067200000
+
+ADAPT_MODES = ("ORIGINAL", "INVOCATION", "INGESTION")
+
+
+def seek(trips: DataFrame, min_dropoff_ms: int) -> DataFrame:
+    """Skip events before the target time (TaxiEventReader.seek). The
+    reference jumps 10k lines at a time; a Spark filter on the scan column
+    prunes row groups instead."""
+    return trips.filter(F.col("dropoff_ms") >= F.lit(min_dropoff_ms))
+
+
+def adapt_time(
+    trips: DataFrame, mode: str, now_ms: int | None = None
+) -> DataFrame:
+    """The three time-adaptation modes (producer TripEvent.java:45-82).
+
+    ORIGINAL: pass through. INVOCATION: shift both datetimes by
+    (now - dataset_start), fixed at call time. INGESTION: shift each event
+    so its dropoff equals 'now' (per-event delta, preserves duration).
+    """
+    if mode not in ADAPT_MODES:
+        raise ValueError(f"unknown adaptTime mode: {mode}")
+    if mode == "ORIGINAL":
+        return trips
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    if mode == "INVOCATION":
+        delta = F.lit(now_ms - REFERENCE_START_MS)
+        return trips.withColumn(
+            "pickup_ms", F.col("pickup_ms") + delta
+        ).withColumn("dropoff_ms", F.col("dropoff_ms") + delta)
+    # INGESTION: dropoff := now, pickup shifted by the same per-event delta
+    delta = F.lit(now_ms) - F.col("dropoff_ms")
+    return trips.withColumn("pickup_ms", F.col("pickup_ms") + delta).withColumn(
+        "dropoff_ms", F.col("dropoff_ms") + delta
+    )
+
+
+def to_wire_json(trips: DataFrame) -> DataFrame:
+    """Serialize to the reference's JSON wire format (snake_case keys,
+    ISO-8601 datetimes, a ``type`` discriminator — Event.java:30-33)."""
+    iso = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    return trips.select(
+        F.to_json(
+            F.struct(
+                F.col("type"),
+                F.col("trip_id"),
+                F.date_format(F.timestamp_millis("pickup_ms"), iso).alias(
+                    "pickup_datetime"
+                ),
+                F.date_format(F.timestamp_millis("dropoff_ms"), iso).alias(
+                    "dropoff_datetime"
+                ),
+                F.col("pickup_lat"),
+                F.col("pickup_lon"),
+                F.col("dropoff_lat"),
+                F.col("dropoff_lon"),
+                F.col("total_amount"),
+            )
+        ).alias("value")
+    )
+
+
+def replay(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    speedup: float = 6480.0,  # StreamPopulator.java:107 default
+    adapt: str = "ORIGINAL",
+    seek_ms: int | None = None,
+    chunk_seconds: int = 600,
+    max_chunks: int | None = None,
+    pace: bool = False,
+) -> int:
+    """Replay the derived trip stream into ``out_dir`` as newline JSON
+    chunk files ordered by dropoff time, one chunk per ``chunk_seconds``
+    of event time; sleeps event_time/speedup between chunks when ``pace``.
+
+    Returns the number of events written. The file-streaming source picks
+    the chunks up in order, reproducing the Kinesis replay topology.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    trips = derive_trips(spark, sf_dir)
+    if seek_ms is not None:
+        trips = seek(trips, seek_ms)
+    trips = adapt_time(trips, adapt)
+    bounds = trips.agg(
+        F.min("dropoff_ms").alias("lo"), F.max("dropoff_ms").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return 0
+    chunk_ms = chunk_seconds * 1000
+    n_total = 0
+    chunk_idx = 0
+    lo = bounds["lo"] - bounds["lo"] % chunk_ms
+    while lo <= bounds["hi"]:
+        if max_chunks is not None and chunk_idx >= max_chunks:
+            break
+        chunk = trips.filter(
+            (F.col("dropoff_ms") >= lo) & (F.col("dropoff_ms") < lo + chunk_ms)
+        )
+        rows = to_wire_json(chunk).collect()
+        if rows:
+            path = os.path.join(out_dir, f"chunk-{chunk_idx:06d}.json")
+            with open(path, "w") as f:
+                f.write("\n".join(r["value"] for r in rows) + "\n")
+            n_total += len(rows)
+        if pace and speedup > 0:
+            time.sleep(chunk_ms / 1000.0 / speedup)
+        lo += chunk_ms
+        chunk_idx += 1
+    return n_total

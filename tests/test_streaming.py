@@ -1,0 +1,166 @@
+"""Streaming surface tests: batch/stream parity, the foreachBatch
+pipeline + ES-style sink, the wire-format round trip, watermark
+late-row dropping, and the replay tool (SURVEY.md §2.1, §2.5, §4.3)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from conftest import SF_DIR, assert_matches_oracle
+
+from flink_stream_processing_refarch_spark.oracle import sqlgen
+from flink_stream_processing_refarch_spark.plans import taxi
+from flink_stream_processing_refarch_spark.sources import trips as trips_mod
+from flink_stream_processing_refarch_spark.streaming import jobs, replay
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_q1_streaming_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark, duck, jobs.q1_streaming, sqlgen.q1_streaming_sql()
+    )
+
+
+def test_q2_streaming_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark, duck, jobs.q2_streaming, sqlgen.q2_streaming_sql()
+    )
+
+
+def test_stream_equals_batch_up_to_watermark(spark):
+    """Bounded streaming append-mode output == batch result restricted to
+    windows closed by the final watermark (SURVEY.md §4.3 discipline)."""
+    batch = taxi.q1_pickup_count(spark, SF_DIR)
+    stream = jobs.q1_streaming(spark, SF_DIR)
+    max_ms = (
+        trips_mod.clean_trips(spark, SF_DIR)
+        .agg({"dropoff_ms": "max"})
+        .collect()[0][0]
+    )
+    expected = batch.filter(batch["timestamp"] < max_ms)
+    assert _rows(stream) == _rows(expected)
+    # and the only difference from full batch is trailing unclosed windows
+    assert len(_rows(batch)) >= len(_rows(stream))
+
+
+def test_pipeline_foreachbatch_shared_subplan(spark, tmp_path):
+    """The single-query fan-out (one cached micro-batch -> both aggregates,
+    SURVEY.md §4.1) reproduces the batch answers exactly on bounded input,
+    and the ES-style sink receives well-formed bulk payloads."""
+    res = jobs.run_taxi_pipeline(spark, SF_DIR, out_dir=str(tmp_path))
+    assert _rows(res["pickup_count"]) == _rows(taxi.q1_pickup_count(spark, SF_DIR))
+    assert _rows(res["trip_duration"]) == _rows(taxi.q2_trip_duration(spark, SF_DIR))
+
+    bulk_files = sorted(glob.glob(str(tmp_path) + "/pickup_count/*.ndjson"))
+    assert bulk_files
+    lines = open(bulk_files[0]).read().splitlines()
+    assert len(lines) % 2 == 0  # action/doc pairs
+    action = json.loads(lines[0])
+    assert action["index"]["_index"] == "taxi-dashboard"
+    assert action["index"]["_type"] == "pickup_count"
+    doc = json.loads(lines[1])
+    assert set(doc) == {"location", "pickup_count", "timestamp"}
+    n_docs = sum(
+        len(open(f).read().splitlines()) // 2
+        for f in bulk_files
+    )
+    assert n_docs == res["pickup_count"].count()
+
+
+def test_replay_wire_roundtrip(spark, tmp_path):
+    """replay -> JSON wire chunks -> from_json ingestion reproduces the
+    derived trips (S2 deserialization == M4 serialization inverse)."""
+    out = str(tmp_path / "wire")
+    n = replay.replay(spark, SF_DIR, out, adapt="ORIGINAL")
+    derived = trips_mod.derive_trips(spark, SF_DIR)
+    assert n == derived.count()
+
+    stream = jobs.q1_from_wire(spark, out)
+    batch = taxi.q1_pickup_count(spark, SF_DIR)
+    max_ms = (
+        trips_mod.clean_trips(spark, SF_DIR)
+        .agg({"dropoff_ms": "max"})
+        .collect()[0][0]
+    )
+    assert _rows(stream) == _rows(batch.filter(batch["timestamp"] < max_ms))
+
+
+def test_malformed_wire_rows_skipped(spark, tmp_path):
+    """S5: unparseable lines are skipped, unknown types ignored (P1)."""
+    out = str(tmp_path / "wire2")
+    os.makedirs(out)
+    good = {
+        "type": "trip", "trip_id": 1,
+        "pickup_datetime": "2024-01-01T00:00:00.000Z",
+        "dropoff_datetime": "2024-01-01T00:05:00.000Z",
+        "pickup_lat": 40.7566, "pickup_lon": -73.9863,
+        "dropoff_lat": 40.7566, "dropoff_lon": -73.9863,
+        "total_amount": 10.0,
+    }
+    good2 = dict(good, trip_id=2)
+    wm = {"type": "watermark", "watermark": "2024-01-01T00:10:00.000Z"}
+    later = dict(good, trip_id=3,
+                 dropoff_datetime="2024-01-01T00:25:00.000Z")
+    with open(out + "/chunk-0.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write(json.dumps(good2) + "\n")
+        f.write("this is not json{{{\n")
+        f.write(json.dumps(wm) + "\n")
+        f.write(json.dumps(later) + "\n")
+    res = jobs.q1_from_wire(spark, out)
+    rows = _rows(res)
+    # the two good trips form one window group of 2 (>= threshold), closed
+    # by the later trip advancing the watermark; malformed + watermark rows
+    # contribute nothing
+    assert rows == [("dr5ru7", 2, 1704067799999)]
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """A4 semantics: with per-file micro-batches, a row older than the
+    watermark is dropped; the same data in one batch keeps it."""
+    out = str(tmp_path / "wire3")
+    os.makedirs(out)
+    t = {
+        "type": "trip",
+        "pickup_lat": 40.7566, "pickup_lon": -73.9863,
+        "dropoff_lat": 40.7566, "dropoff_lon": -73.9863,
+        "total_amount": 1.0,
+    }
+
+    def trip(i, drop):
+        return json.dumps(dict(
+            t, trip_id=i,
+            pickup_datetime="2024-01-01T00:00:00.000Z",
+            dropoff_datetime=drop,
+        ))
+
+    import time as _t
+    with open(out + "/a-chunk-0.json", "w") as f:
+        # two trips in window [01:00, 01:10) + one at 01:10:05 that pushes
+        # the watermark past the window end
+        f.write(trip(1, "2024-01-01T01:00:01.000Z") + "\n")
+        f.write(trip(2, "2024-01-01T01:00:02.000Z") + "\n")
+        f.write(trip(3, "2024-01-01T01:10:05.000Z") + "\n")
+    _t.sleep(1.1)  # file source orders batches by modification time
+    with open(out + "/b-chunk-1.json", "w") as f:
+        # Spark's late-event watermark lags the eviction watermark by one
+        # micro-batch; this batch lets it catch up (and evicts the closed
+        # [01:00, 01:10) window, emitting count 2)
+        f.write(trip(5, "2024-01-01T01:20:00.000Z") + "\n")
+    _t.sleep(1.1)
+    with open(out + "/c-chunk-2.json", "w") as f:
+        # trip 4 targets the CLOSED [01:00, 01:10) window -> dropped
+        f.write(trip(4, "2024-01-01T01:00:06.000Z") + "\n")
+        f.write(trip(6, "2024-01-01T01:30:00.000Z") + "\n")
+
+    res = _rows(jobs.q1_from_wire(spark, out, maxFilesPerTrigger="1"))
+    # streaming: window [01:00, 01:10) emits count 2 (late trip 4 dropped);
+    # a batch run over the same rows would count 3. All other windows hold
+    # single trips and are suppressed by the HAVING threshold.
+    win_end = 1704067200000 + 70 * 60 * 1000  # 01:10:00Z
+    assert res == [("dr5ru7", 2, win_end - 1)]
