@@ -31,8 +31,18 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footer caches with a trivial job
+    # Warm the JVM (codegen/JIT), python workers, and parquet footer caches
+    # with tiny sf0.001 runs — the timed numbers then measure steady-state
+    # throughput, not one-time compilation.
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        qs = entry.queries()
+        for wq in ("q1_pickup_count", "q2_trip_duration", "media_features"):
+            try:
+                qs[wq](spark, warm_dir).count()
+            except Exception as e:  # noqa: BLE001
+                print(f"# warmup {wq} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():

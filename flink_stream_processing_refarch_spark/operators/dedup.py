@@ -182,8 +182,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Explodes each doc into N_BANDS (band, hash) rows, self-joins on the
     band hash, dedups pairs, then scores agreement across the k minhashes.
+
+    The signature relation feeds three plan branches (band explode + both
+    sides of the pair join); it is persisted so the md5-over-shingles work
+    runs once — at 100 TB this is a materialized signatures table.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -381,7 +385,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus_df(spark, sf_dir).select(
         "doc_id", F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws")
     )
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     wa = c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
     wb = c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
     return (
