@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_streaming": streaming_jobs.q1_streaming,
         "q2_streaming": streaming_jobs.q2_streaming,
     }
+    out.update(streaming_jobs.QUERIES)
     out.update(relational.QUERIES)
     out.update(text_ops.QUERIES)
     out.update(dedup_ops.QUERIES)
@@ -55,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_streaming": sqlgen.q1_streaming_sql(),
         "q2_streaming": sqlgen.q2_streaming_sql(),
     }
+    out.update(streaming_jobs.ORACLES)
     out.update(relational.ORACLES)
     out.update(text_ops.ORACLES)
     out.update(dedup_ops.ORACLES)

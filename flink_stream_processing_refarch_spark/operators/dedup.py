@@ -431,6 +431,128 @@ def _fill(template: str, **extra: str) -> str:
     return template.format(corpus=corpus_sql("duckdb"), **extra)
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (banded sign-LSH candidates + exact cosine)
+# ---------------------------------------------------------------------------
+
+COS_NEAR_DUP = 0.42  # cosine threshold (on the 6-decimal-rounded value)
+EMB_BANDS = 4        # 4 bands x 2 hyperplane sign bits each
+
+
+def _emb_band_code(vec: str, band: int, dialect: str) -> str:
+    """2-bit sign code for one band: bits = sign(dot(vec, plane)) for the
+    band's two hyperplanes (reuses the ANN hyperplane family)."""
+    from .similarity import HYPERPLANES, _dot_duck, _dot_spark, _plane_literal
+
+    dot = _dot_spark if dialect == "spark" else _dot_duck
+    bits = []
+    for j in (2 * band, 2 * band + 1):
+        d = dot(vec, _plane_literal(HYPERPLANES[j], dialect))
+        bits.append(f"(CASE WHEN {d} >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)")
+    return f"({bits[0]} * 2 + {bits[1]})"
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded random-hyperplane LSH
+    generates candidates, exact (rounded) cosine >= threshold confirms.
+
+    Shuffle shape mirrors MinHash LSH: each vector becomes EMB_BANDS
+    (band, code) rows — shuffle volume O(vectors x bands), never all
+    pairs; the exact 64-dim cosine runs only on bucket-colliding pairs.
+    At 100 TB the band/code columns are computed at ingest and the
+    self-join is bucketed on (band, code). Candidate recall is tunable
+    via bands x bits; the oracle mirrors the same candidate rule, so
+    results are deterministic, not best-effort.
+    """
+    from .similarity import _dot_spark
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id",
+        *[
+            F.expr(_emb_band_code("embedding", b, "spark")).alias(f"c{b}")
+            for b in range(EMB_BANDS)
+        ],
+    )
+    bands = coded.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"c{b}").alias("code")
+                    )
+                    for b in range(EMB_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    # Norms are computed once per VECTOR (n x 64-fold), not once per
+    # candidate pair (|pairs| is ~quadratic in bucket size): only the
+    # cross dot product runs per pair. Same doubles, 3x less work.
+    self_norm = F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emba"),
+        self_norm.alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("embb"),
+        self_norm.alias("norm_b"),
+    )
+    dot = _dot_spark("emba", "embb")
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(f"round({dot} / (norm_a * norm_b), 6)").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COS_NEAR_DUP)
+    )
+
+
+def _dedup_embedding_sql() -> str:
+    from .similarity import _dot_duck
+
+    codes = ", ".join(
+        f"{_emb_band_code('embedding', b, 'duckdb')} AS c{b}"
+        for b in range(EMB_BANDS)
+    )
+    collide = " OR ".join(f"a.c{b} = b.c{b}" for b in range(EMB_BANDS))
+    dot = _dot_duck("ea.embedding", "eb.embedding")
+    na = _dot_duck("ea.embedding", "ea.embedding")
+    nb = _dot_duck("eb.embedding", "eb.embedding")
+    return f"""
+WITH coded AS (SELECT vec_id, {codes} FROM embeddings),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM coded a JOIN coded b ON a.vec_id < b.vec_id AND ({collide}))
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT vec_a, vec_b,
+         round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+  FROM pairs
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b)
+WHERE cos_sim >= {COS_NEAR_DUP}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
@@ -439,6 +561,7 @@ QUERIES = {
     "simhash": q_simhash,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 
@@ -469,6 +592,7 @@ def _oracles() -> dict[str, str]:
         "ngram_jaccard": _fill(
             NGRAM_JACCARD_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows
         ),
+        "dedup_embedding": _dedup_embedding_sql(),
     }
 
 

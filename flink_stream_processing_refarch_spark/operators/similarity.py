@@ -170,6 +170,102 @@ LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed approximate nearest neighbour
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+
+
+def _centroids() -> list[list[float]]:
+    """Deterministic stand-in for k-means-trained coarse centroids: at
+    scale these come from a training pass over a sample; here they are
+    seeded literals shared verbatim with the DuckDB oracle."""
+    rng = random.Random(4321)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(DIM)]
+        for _ in range(N_CENTROIDS)
+    ]
+
+
+CENTROIDS = _centroids()
+# argmin ||v - c||^2 == argmax (v·c − ||c||²/2); the ||c||²/2 terms are
+# Python-computed constants folded into the score literals.
+_HALF_NORMS = [round(sum(x * x for x in c) / 2.0, 6) for c in CENTROIDS]
+
+
+def _ivf_scores_expr(vec: str, dialect: str) -> str:
+    dot = _dot_spark if dialect == "spark" else _dot_duck
+    terms = [
+        f"({dot(vec, _plane_literal(CENTROIDS[k], dialect))}"
+        f" - CAST({_HALF_NORMS[k]!r} AS DOUBLE))"
+        for k in range(N_CENTROIDS)
+    ]
+    body = ", ".join(terms)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, IVF variant: assign every vector to its nearest coarse
+    centroid (the inverted-file cell), then run exact cosine top-k only
+    inside the query vector's cell.
+
+    Scale path: the cell id is a cheap narrow projection computed at
+    ingest and used as the table's partition/cluster key, so a query
+    scans ~1/K of the data (multi-probe = scan the P best cells). The
+    scores array is materialized once per row in its own projection so
+    the 8×64-term fold isn't duplicated by argmax — keeps whole-stage
+    codegen under the 64 KB method limit.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("scores", F.expr(_ivf_scores_expr("embedding", "spark")))
+        .withColumn(
+            "cell", F.expr("CAST(array_position(scores, array_max(scores)) AS INT)")
+        )
+        .drop("scores")
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+    )
+    dot = _dot_spark("embedding", "qe")
+    na = _dot_spark("embedding", "embedding")
+    nq = _dot_spark("qe", "qe")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(f"round({dot} / (sqrt({na}) * sqrt({nq})), 6)").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ann_ivf_sql() -> str:
+    scores = _ivf_scores_expr("embedding", "duckdb")
+    dot = _dot_duck("e.embedding", "q.qe")
+    na = _dot_duck("e.embedding", "e.embedding")
+    nq = _dot_duck("q.qe", "q.qe")
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         CAST(list_indexof(scores, list_aggregate(scores, 'max')) AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {scores} AS scores FROM embeddings)
+),
+q AS (SELECT embedding AS qe, cell AS qcell FROM cells WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.cell,
+       round({dot} / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim
+FROM cells e CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID} AND e.cell = q.qcell
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-op smoke surface: L2 norm + dimension per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -193,11 +289,13 @@ FROM embeddings
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_norms": q_embedding_norms,
 }
 
 ORACLES = {
     "cosine_topk": _cosine_topk_sql(),
     "ann_lsh": _ann_lsh_sql(),
+    "ann_ivf": _ann_ivf_sql(),
     "embedding_norms": _embedding_norms_sql(),
 }

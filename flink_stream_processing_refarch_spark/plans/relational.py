@@ -513,6 +513,95 @@ GROUP BY user_id, sess_id
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: an explicit lattice of (flag,
+    status), (flag), (status), () with grouping() indicator columns.
+
+    Scale: one pass — Spark expands the sets via a single Expand node
+    feeding one hash aggregate, so the cost is ~|sets| × scan, with
+    map-side partial aggregation before the one shuffle.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+"""
+
+
+# Overlapping price bands (p_retailprice spans [900, 1000) in the testdata):
+# a part in an overlap region matches MORE than one band — a true interval
+# join, not a disguised CASE bucketing.
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("economy", 900.0, 940.0),
+    ("standard", 930.0, 970.0),
+    ("premium", 960.0, 1000.0),
+]
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: parts against overlapping price bands.
+
+    The band side is a tiny literal dimension, so the right physical plan
+    is a **broadcast nested-loop join** — O(n·|bands|) with no shuffle of
+    the fact side, which is exactly what Catalyst picks once the dim is
+    broadcast. At 100 TB with a LARGE interval dimension the strategy
+    flips to bucketization: overlay a grid of width `min_band_width`,
+    explode each band into covered grid cells, equi-join on the cell key,
+    then re-check the exact range — that variant is O(n) shuffled on the
+    grid key. The small-dim broadcast form is canonical here.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE"
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(_cents("p_retailprice")).alias("sum_price_cents"),
+        )
+    )
+
+
+RANGE_JOIN_BANDS_SQL = f"""
+SELECT band, count(*) AS n_parts,
+       sum({CENTS.format(x='p_retailprice')}) AS sum_price_cents
+FROM part
+JOIN (VALUES ('economy', CAST(900.0 AS DOUBLE), CAST(940.0 AS DOUBLE)),
+             ('standard', CAST(930.0 AS DOUBLE), CAST(970.0 AS DOUBLE)),
+             ('premium', CAST(960.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)))
+     AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column (S2/F5 surface:
     dynamic JSON field access with null-on-malformed semantics)."""
@@ -548,6 +637,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "sliding_window_counts": q_sliding_window_counts,
     "session_windows": q_session_windows,
+    "grouping_sets": q_grouping_sets,
+    "range_join_bands": q_range_join_bands,
     "json_extract": q_json_extract,
 }
 
@@ -568,5 +659,7 @@ ORACLES = {
     "set_ops": SET_OPS_SQL,
     "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
     "session_windows": SESSION_WINDOWS_SQL,
+    "grouping_sets": GROUPING_SETS_SQL,
+    "range_join_bands": RANGE_JOIN_BANDS_SQL,
     "json_extract": JSON_EXTRACT_SQL,
 }

@@ -222,6 +222,271 @@ def q2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(q2_stream_df(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Extended streaming surface: stream-static join, stream-stream interval
+# join, and a custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def _stream_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream with a proper event-time column (ts is nanos-as-long
+    under the parquet read flag; truncate to micros like the batch path)."""
+    return stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def stream_static_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joined to the
+    static customer->nation dimensions, then a 1-hour tumbling window
+    aggregate per nation.
+
+    Scale: the static side is broadcast (no state, no shuffle of the
+    stream for the join — the only Exchange is the window groupBy); at
+    100 TB the dimension refresh is a periodic re-broadcast, which
+    Structured Streaming re-resolves per micro-batch.
+    """
+    from ..schemas import load_table
+
+    ev = _stream_events_ts(spark, sf_dir).withWatermark("ts_t", "0 seconds")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"]
+    ).join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        enriched.groupBy(F.window("ts_t", "1 hour"), "n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            "n_name",
+            F.unix_millis("window.start").alias("ws_ms"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(stream_static_join_df(spark, sf_dir))
+
+
+# Append-mode emission rule (same as q1/q2 streaming): a window emits iff
+# window_end <= final watermark = max event time (ms-truncated).
+STREAM_STATIC_JOIN_SQL = """
+SELECT n_name, ws_ms, count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM (
+  SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS ws_ms, value, c_nationkey
+  FROM events JOIN customer ON user_id = c_custkey
+) e
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, ws_ms
+HAVING ws_ms + 3600000 <= (SELECT max(epoch_ms(ts)) FROM events)
+"""
+
+VIEW_PURCHASE_HOURS = 6
+
+
+def stream_stream_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each 'view' event joined to the same
+    user's 'purchase' events within the next 6 hours (attribution join).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can size and evict the join state: view-side
+    state is kept 6 h past the watermark, purchase-side 0 h — this is
+    the canonical bounded-state stream-stream join. Inner-join results
+    emit eagerly (no watermark wait), so on a bounded replay the output
+    equals the batch interval join exactly.
+    """
+    views = (
+        _stream_events_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts_t").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "0 seconds")
+    )
+    purchases = (
+        _stream_events_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_t").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {VIEW_PURCHASE_HOURS} HOURS")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
+    )
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(stream_stream_join_df(spark, sf_dir))
+
+
+STREAM_STREAM_JOIN_SQL = f"""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {VIEW_PURCHASE_HOURS} HOUR
+"""
+
+
+SESSION_GAP_MIN = 30
+_SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [T.StructField("ts_list", T.ArrayType(T.LongType()))]
+)
+
+
+def _sessionize_fn(key, pdfs, state):  # noqa: ANN001 - pandas-UDF contract
+    """Per-user gap sessionizer (GroupState). Data batches buffer event
+    timestamps; the event-time timeout fires once the watermark has
+    advanced, and emits every session whose close (last event + gap) is
+    at or before the watermark — the same closure rule the built-in
+    session_window applies, restated for a custom operator."""
+    import pandas as pd  # local import: runs on python workers
+
+    if state.hasTimedOut:
+        (ts_list,) = state.get
+        wm = state.getCurrentWatermarkMs()
+        ts = sorted(ts_list)
+        sessions = []
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev >= _SESSION_GAP_US:
+                sessions.append((start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        sessions.append((start, prev, n))
+        rows = [
+            (key[0], s // 1000, (e + _SESSION_GAP_US) // 1000, n)
+            for s, e, n in sessions
+            if (e + _SESSION_GAP_US) // 1000 <= wm
+        ]
+        state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+            )
+    else:
+        ts = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["ts_us"])
+        state.update((ts,))
+        # Fire on the first watermark advance; by then the bounded input
+        # is fully buffered and closed sessions can be emitted.
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+
+def stateful_sessionize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §2.7 'arbitrary stateful ops'):
+    per-user 30-minute-gap sessionization via applyInPandasWithState with
+    an event-time timeout — the Spark-idiomatic replacement for a Flink
+    KeyedProcessFunction with timers.
+
+    Scale: state is partitioned by user_id across the state store (RocksDB
+    provider); each group holds only its own event times, and timeouts
+    evict state as the watermark advances, so state size tracks the live
+    session population, not history.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        _stream_events_ts(spark, sf_dir)
+        .withWatermark("ts_t", "0 seconds")
+        .select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "ts_t")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def q_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(stateful_sessionize_df(spark, sf_dir))
+
+
+# Oracle: gaps-and-islands sessions restricted to those closed by the
+# final watermark (= max event time, ms): session_end_ms <= max ts.
+STATEFUL_SESSIONIZE_SQL = """
+SELECT user_id, session_start_ms, session_end_ms, n_events FROM (
+  SELECT user_id,
+         min(ts_us) // 1000 AS session_start_ms,
+         (max(ts_us) + 1800000000) // 1000 AS session_end_ms,
+         count(*) AS n_events
+  FROM (
+    SELECT user_id, ts_us,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       >= 1800000000 OR lag(epoch_us(ts), 1)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+  )
+  GROUP BY user_id, sess_id
+)
+WHERE session_end_ms <= (SELECT max(epoch_ms(ts)) FROM events)
+"""
+
+
+QUERIES = {
+    "stream_static_join": q_stream_static_join,
+    "stream_stream_join": q_stream_stream_join,
+    "stateful_sessionize": q_stateful_sessionize,
+}
+
+ORACLES = {
+    "stream_static_join": STREAM_STATIC_JOIN_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
+}
+
+
 def run_taxi_pipeline(
     spark: SparkSession,
     sf_dir: str,

@@ -32,6 +32,27 @@ def test_q2_streaming_matches_oracle(spark, duck):
     )
 
 
+import pytest
+
+
+@pytest.mark.parametrize("name", sorted(jobs.ORACLES))
+def test_extended_streaming_matches_oracle(spark, duck, name):
+    """Stream-static join, stream-stream interval join, and the custom
+    applyInPandasWithState sessionizer all match their batch oracles on a
+    bounded replay."""
+    assert_matches_oracle(spark, duck, jobs.QUERIES[name], jobs.ORACLES[name])
+
+
+def test_stream_static_join_broadcasts_dims(spark, duck):
+    """The static dimension side must not shuffle the stream: the join is
+    a broadcast join in the micro-batch plans."""
+    plan = (
+        jobs.stream_static_join_df(spark, SF_DIR)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower(), plan[:2000]
+
+
 def test_stream_equals_batch_up_to_watermark(spark):
     """Bounded streaming append-mode output == batch result restricted to
     windows closed by the final watermark (SURVEY.md §4.3 discipline)."""
