@@ -190,6 +190,15 @@ def q2_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# State partition count for bounded local replays. A streaming query's
+# state partitioning is fixed by spark.sql.shuffle.partitions at first
+# start, and EVERY partition opens its own RocksDB instance per batch —
+# at local scale 32 instances × 2 micro-batches is pure fixed cost (~4×
+# the whole query time, measured). On a real cluster this is sized to
+# total executor cores / expected state volume instead.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_memory(df: DataFrame, use_rocksdb: bool = True) -> DataFrame:
     """Run a bounded streaming query (availableNow) into a memory sink and
     return the final result as a batch DataFrame."""
@@ -199,17 +208,24 @@ def _run_to_memory(df: DataFrame, use_rocksdb: bool = True) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
