@@ -371,6 +371,126 @@ JOIN events p
 """
 
 
+def stream_stream_left_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view, with its attributed
+    purchases — or NULL once the watermark proves no purchase can arrive.
+
+    Unlike the inner join (eager emission), the null-extended rows are
+    held in state until the watermark passes view_ts + interval: only
+    then is 'no match' provable. On a bounded replay the final watermark
+    is max(event time), so views whose match window closes by then emit
+    exactly once (matched or null) and later views emit only if matched —
+    that emission rule is the oracle's WHERE clause.
+    """
+    views = (
+        _stream_events_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts_t").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "0 seconds")
+    )
+    purchases = (
+        _stream_events_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_t").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {VIEW_PURCHASE_HOURS} HOURS")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
+    )
+
+
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(stream_stream_left_join_df(spark, sf_dir))
+
+
+# Matched rows emit eagerly (all of them); a null-extended row emits only
+# once the watermark proves no match can arrive. With two watermarked
+# inputs the global watermark is the MIN across streams
+# (spark.sql.streaming.multipleWatermarkPolicy = min), so the final
+# watermark is LEAST(max view ts, max purchase ts), and a view emits null
+# iff view_ts + interval <= that watermark (verified empirically against
+# the state-eviction boundary).
+STREAM_STREAM_LEFT_JOIN_SQL = f"""
+WITH matched AS ({STREAM_STREAM_JOIN_SQL}),
+wm AS (
+  SELECT LEAST(
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'view'),
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+  ) AS wm_ms
+)
+SELECT * FROM matched
+UNION ALL
+SELECT v.user_id, v.event_id AS view_id, NULL AS purchase_id, NULL AS lag_ms
+FROM events v, wm
+WHERE v.event_type = 'view'
+  AND epoch_ms(v.ts) + {VIEW_PURCHASE_HOURS} * 3600000 <= wm.wm_ms
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {VIEW_PURCHASE_HOURS} HOUR)
+"""
+
+
+def streaming_dedup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark: first occurrence per
+    (user_id, event_type, minute-bucket) key; state for a key is dropped
+    once the watermark passes its event time (dropDuplicates-with-
+    watermark), so dedup state is bounded by the lateness horizon, not
+    by history — the streaming member of the dedup family in
+    operators/dedup.py.
+
+    Only the key columns are emitted: which physical row 'wins' within a
+    key is arrival-order-dependent, the key set itself is deterministic.
+    """
+    ev = (
+        _stream_events_ts(spark, sf_dir)
+        .withWatermark("ts_t", "0 seconds")
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_millis("ts_t") - F.unix_millis("ts_t") % 60000).alias(
+                "minute_ms"
+            ),
+            "ts_t",
+        )
+    )
+    return ev.dropDuplicates(["user_id", "event_type", "minute_ms"]).select(
+        "user_id", "event_type", "minute_ms"
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(streaming_dedup_df(spark, sf_dir))
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms
+FROM events
+"""
+
+
 SESSION_GAP_MIN = 30
 _SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
@@ -493,12 +613,16 @@ WHERE session_end_ms <= (SELECT max(epoch_ms(ts)) FROM events)
 QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
+    "stream_stream_left_join": q_stream_stream_left_join,
+    "streaming_dedup": q_streaming_dedup,
     "stateful_sessionize": q_stateful_sessionize,
 }
 
 ORACLES = {
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,
+    "streaming_dedup": STREAMING_DEDUP_SQL,
     "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
 }
 
