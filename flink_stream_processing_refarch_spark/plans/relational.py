@@ -602,6 +602,181 @@ GROUP BY band
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: event counts + exact
+    value sums at 1-minute, 1-hour, and 1-day buckets in ONE pass.
+
+    The three resolutions ride a single Expand (GROUPING SETS over
+    precomputed bucket columns) — one scan, one shuffle, instead of three
+    jobs. At 100 TB this is the continuous-aggregate pattern: the 1-min
+    tier is the raw rollup, coarser tiers are re-rollups of it; here all
+    tiers are exact because cents-sums are integers (re-aggregable).
+    """
+    ev = load_events(spark, sf_dir)
+    ms = "(ts DIV 1000000)"
+    ev = ev.select(
+        F.expr(f"{ms} - {ms} % 60000").alias("minute_ms"),
+        F.expr(f"{ms} - {ms} % 3600000").alias("hour_ms"),
+        F.expr(f"{ms} - {ms} % 86400000").alias("day_ms"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v_cents"),
+    )
+    ev.createOrReplaceTempView("events_rollup_src")
+    return spark.sql(
+        """
+        SELECT minute_ms, hour_ms, day_ms,
+               CASE WHEN minute_ms IS NOT NULL THEN 'minute'
+                    WHEN hour_ms IS NOT NULL THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               count(*) AS n_events, sum(v_cents) AS sum_value_cents
+        FROM events_rollup_src
+        GROUP BY GROUPING SETS ((minute_ms), (hour_ms), (day_ms))
+        """
+    )
+
+
+TIME_ROLLUP_SQL = """
+WITH src AS (
+  SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms,
+         epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+         epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT minute_ms, hour_ms, day_ms,
+       CASE WHEN minute_ms IS NOT NULL THEN 'minute'
+            WHEN hour_ms IS NOT NULL THEN 'hour'
+            ELSE 'day' END AS resolution,
+       count(*) AS n_events, sum(v_cents) AS sum_value_cents
+FROM src
+GROUP BY GROUPING SETS ((minute_ms), (hour_ms), (day_ms))
+"""
+
+
+def _median_low(pdf_vals) -> float:
+    """Lower (discrete) median — deterministic, no interpolation."""
+    import numpy as np
+
+    v = np.sort(np.asarray(pdf_vals, dtype="float64"))
+    return float(v[(len(v) - 1) // 2])
+
+
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate surface (SURVEY.md §2.7 'UDF/UDAF'): per-nation
+    lower-median customer account balance as a grouped-agg pandas UDF.
+
+    The UDAF is Arrow-batched (one numpy sort per group server-side, no
+    per-row Python). Median is holistic — it genuinely needs the group's
+    values — so this is the honest use-case for a pandas UDAF rather
+    than a built-in; for re-aggregable stats the built-ins win (see the
+    cents-sum pattern everywhere else).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median_impl(v: pd.Series) -> float:
+        return _median_low(v.to_numpy())
+
+    _median_impl.__annotations__ = {"v": pd.Series, "return": float}
+    median_low = pandas_udf(_median_impl, "double")
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(median_low("c_acctbal").alias("median_acctbal"))
+        .select("c_nationkey", F.round("median_acctbal", 2).alias("median_acctbal"))
+    )
+
+
+# quantile_disc(0.5) is DuckDB's lower median (no interpolation) — the
+# same element _median_low picks.
+UDAF_MEDIAN_SQL = """
+SELECT c_nationkey, round(quantile_disc(c_acctbal, 0.5), 2) AS median_acctbal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+N_SALTS = 8
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: events join a per-type dimension on
+    event_type — 5 distinct keys over the whole fact table, the
+    canonical pathological skew case. The salt spreads each hot key over
+    N_SALTS reducers: fact rows get salt = pmod(hash(event_id), N), the
+    dimension is exploded N ways, and the join key becomes (type, salt).
+
+    Locally a 5-row dim would be broadcast (and Catalyst does exactly
+    that — which is why the dim side here is built as a derived aggregate
+    to keep the demonstration honest); the salted form is the fallback
+    when BOTH sides are too large to broadcast and AQE's skew split
+    can't help (single-key skew in a non-sort-merge join). Result is
+    provably identical to the unsalted join — that equality is the
+    oracle.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v_cents"),
+    )
+    # derived per-type dimension (e.g. a type->weight table)
+    dim = (
+        load_events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("d_type"))
+        .agg(F.count("*").alias("type_total"))
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact.event_type == salted_dim.d_type)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v_cents").alias("sum_value_cents"),
+        F.max("type_total").alias("type_total"),
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT e.event_type, count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents,
+       max(d.type_total) AS type_total
+FROM events e
+JOIN (SELECT event_type AS d_type, count(*) AS type_total
+      FROM events GROUP BY event_type) d
+  ON e.event_type = d.d_type
+GROUP BY e.event_type
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of order totals per priority
+    (approx_percentile sketch — same family as approx_count_distinct).
+    Sketch output is estimate-only: rows-only driver check, with an
+    accuracy assertion in tests instead of an oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column (S2/F5 surface:
     dynamic JSON field access with null-on-malformed semantics)."""
@@ -639,6 +814,10 @@ QUERIES = {
     "session_windows": q_session_windows,
     "grouping_sets": q_grouping_sets,
     "range_join_bands": q_range_join_bands,
+    "time_rollup": q_time_rollup,
+    "udaf_median": q_udaf_median,
+    "skew_salted_join": q_skew_salted_join,
+    "approx_quantiles": q_approx_quantiles,
     "json_extract": q_json_extract,
 }
 
@@ -661,5 +840,9 @@ ORACLES = {
     "session_windows": SESSION_WINDOWS_SQL,
     "grouping_sets": GROUPING_SETS_SQL,
     "range_join_bands": RANGE_JOIN_BANDS_SQL,
+    "time_rollup": TIME_ROLLUP_SQL,
+    "udaf_median": UDAF_MEDIAN_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_SQL,
+    # approx_quantiles: sketch estimate — rows-only check, no oracle
     "json_extract": JSON_EXTRACT_SQL,
 }

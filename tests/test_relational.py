@@ -31,6 +31,29 @@ def test_approx_distinct_runs(spark):
         )
 
 
+def test_approx_quantiles_accuracy(spark, duck):
+    """approx_percentile with accuracy 10000 is exact at this SF (the
+    sketch holds every value) — compare against DuckDB's discrete
+    quantiles loosely (within 2% of the value range)."""
+    rows = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in relational.q_approx_quantiles(spark, SF_DIR).collect()
+    }
+    exact = duck.execute(
+        """
+        SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5),
+               quantile_disc(o_totalprice, 0.9),
+               quantile_disc(o_totalprice, 0.99),
+               max(o_totalprice) - min(o_totalprice)
+        FROM orders GROUP BY o_orderpriority
+        """
+    ).fetchall()
+    for prio, e50, e90, e99, rng in exact:
+        a50, a90, a99 = rows[prio]
+        for a, e in ((a50, e50), (a90, e90), (a99, e99)):
+            assert abs(a - e) <= 0.02 * rng, (prio, a, e)
+
+
 def test_revenue_by_nation_broadcasts_dims(spark):
     """customer and nation must join via BroadcastHashJoin (no shuffle for
     dimension tables)."""
