@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from conftest import SF_DIR, assert_matches_oracle
+from pyspark.sql import functions as F
 
 from flink_stream_processing_refarch_spark.plans import relational
 
@@ -62,6 +63,64 @@ def test_revenue_by_nation_broadcasts_dims(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_revenue_join_falls_back_to_smj_at_scale(spark):
+    """With auto-broadcast disabled (the 100 TB regime for the fact-fact
+    join), the un-hinted lineitem ⋈ orders join compiles to a sort-merge
+    join on the keys — no code change required. The explicitly hinted
+    dimension joins stay broadcast (dims are broadcastable at any SF)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE has its own runtime threshold and would re-broadcast otherwise
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = relational.q_revenue_by_nation(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join on the join key removes
+    the per-query Exchange entirely — the co-location strategy for the
+    biggest repeated joins at 100 TB. Verified: the bucketed orders ⋈
+    customer plan contains a join but zero Exchange operators."""
+    warehouse = str(tmp_path / "buckets")
+    orders = relational.load_table(spark, SF_DIR, "orders")
+    cust = relational.load_table(spark, SF_DIR, "customer")
+    (orders.write.format("parquet").bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").option("path", warehouse + "/orders")
+        .saveAsTable("orders_bkt"))
+    (cust.write.format("parquet").bucketBy(4, "c_custkey")
+        .sortBy("c_custkey").option("path", warehouse + "/customer")
+        .saveAsTable("customer_bkt"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("customer_bkt"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        join_part = plan.split("HashAggregate")[-1]  # below the agg
+        assert "Join" in plan
+        assert "Exchange" not in join_part, join_part[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
 
 
 def test_top_parts_uses_take_ordered(spark):

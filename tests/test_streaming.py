@@ -141,6 +141,89 @@ def test_malformed_wire_rows_skipped(spark, tmp_path):
     assert rows == [("dr5ru7", 2, 1704067799999)]
 
 
+def test_checkpoint_recovery_resumes_with_state(spark, tmp_path):
+    """A6: a restart from the same checkpoint resumes the source offset
+    AND the window state — already-emitted windows are not re-emitted,
+    and a window spanning the stop/restart boundary still counts rows
+    from before the restart."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.functions import geo
+
+    out = str(tmp_path / "wire5")
+    os.makedirs(out)
+    base = {
+        "type": "trip",
+        "pickup_lat": 40.7566, "pickup_lon": -73.9863,
+        "dropoff_lat": 40.7566, "dropoff_lon": -73.9863,
+        "total_amount": 1.0,
+    }
+
+    def trip(i, drop):
+        return json.dumps(dict(
+            base, trip_id=i,
+            pickup_datetime="2024-01-01T00:00:00.000Z",
+            dropoff_datetime=drop,
+        ))
+
+    def q1_agg(src):
+        trips = jobs.stream_trips_from_wire(spark, src)
+        trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
+        return (
+            trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
+            .agg(F.count("*").alias("pickup_count"))
+            .filter(F.col("pickup_count") >= 2)
+            .select(
+                "location",
+                "pickup_count",
+                (F.unix_millis("window.end") - 1).alias("timestamp"),
+            )
+        )
+
+    def run(src, ckpt, sink):
+        # file sink: the one sink whose commit log supports restart
+        # (memory sink refuses checkpoint recovery by design)
+        q = (
+            q1_agg(src)
+            .writeStream.format("parquet")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return _rows(spark.read.parquet(sink))
+
+    # chunk 0: two trips close the 00:00 window once 00:12 advances the
+    # watermark; 00:12 itself stays in the open 00:10 window's state
+    with open(out + "/chunk-0.json", "w") as f:
+        f.write(trip(1, "2024-01-01T00:01:00.000Z") + "\n")
+        f.write(trip(2, "2024-01-01T00:02:00.000Z") + "\n")
+        f.write(trip(3, "2024-01-01T00:12:00.000Z") + "\n")
+    ckpt = str(tmp_path / "ckpt_recovery")
+    sink = str(tmp_path / "sink_recovery")
+    w1 = ("dr5ru7", 2, 1704067799999)   # 00:00-00:10 window, end-1ms
+    assert run(out, ckpt, sink) == [w1]
+
+    # chunk 1 arrives after the "crash": two more trips in the 00:10
+    # window plus one at 00:25 to push the watermark past its end
+    with open(out + "/chunk-1.json", "w") as f:
+        f.write(trip(4, "2024-01-01T00:13:00.000Z") + "\n")
+        f.write(trip(5, "2024-01-01T00:14:00.000Z") + "\n")
+        f.write(trip(6, "2024-01-01T00:25:00.000Z") + "\n")
+    # restart against the SAME checkpoint + sink: the 00:10 window count
+    # of 3 includes the pre-restart 00:12 row (recovered state), and the
+    # already-emitted 00:00 window appears exactly once (no reprocess)
+    w2 = ("dr5ru7", 3, 1704068399999)   # 00:10-00:20 window
+    assert run(out, ckpt, sink) == sorted([w1, w2])
+
+    # equivalence: a single uninterrupted run over both chunks emits
+    # exactly the same result
+    single = run(
+        out, str(tmp_path / "ckpt_single"), str(tmp_path / "sink_single")
+    )
+    assert single == sorted([w1, w2])
+
+
 def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     """A4 semantics: with per-file micro-batches, a row older than the
     watermark is dropped; the same data in one batch keeps it."""
