@@ -161,6 +161,66 @@ WHERE kind = 'video' AND k < n_frames
 """
 
 
+# ---------------------------------------------------------------------------
+# Resize (mapInPandas — bytes + dims in, bytes + dims out)
+# ---------------------------------------------------------------------------
+
+RESIZE_MAX = 64
+
+
+def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE resize: aspect-preserving fit into a
+    RESIZE_MAX box with pure integer arithmetic; the 'resized payload' is
+    content-addressed (md5 of payload + target dims). A real resizer
+    (PIL.Image.resize) drops into the same batch signature."""
+    for pdf in it:
+        w, h = pdf["width"], pdf["height"]
+        m = pd.concat([w, h], axis=1).max(axis=1)
+        nw = (w * RESIZE_MAX // m).astype("int64")
+        nh = (h * RESIZE_MAX // m).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w.astype("int64"),
+                "height": h.astype("int64"),
+                "new_width": nw,
+                "new_height": nh,
+                "resized_md5": [
+                    hashlib.md5(
+                        p + f"|{a}x{b}".encode()
+                    ).hexdigest()
+                    for p, a, b in zip(pdf["payload"], nw, nh)
+                ],
+            }
+        )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = media_df(spark, sf_dir).filter(F.col("kind") == "image")
+    return images.mapInPandas(
+        _resize,
+        schema=(
+            "doc_id long, width long, height long, new_width long,"
+            " new_height long, resized_md5 string"
+        ),
+    )
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH media AS ({MEDIA_CTE})
+SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(width * {RESIZE_MAX} // greatest(width, height) AS BIGINT) AS new_width,
+       CAST(height * {RESIZE_MAX} // greatest(width, height) AS BIGINT) AS new_height,
+       md5(text || '|' ||
+           CAST(width * {RESIZE_MAX} // greatest(width, height) AS VARCHAR) ||
+           'x' ||
+           CAST(height * {RESIZE_MAX} // greatest(width, height) AS VARCHAR))
+         AS resized_md5
+FROM media
+WHERE kind = 'image'
+"""
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata projection (no UDF): proves the binary column plumbs
     through scans/projections untouched."""
@@ -185,11 +245,13 @@ FROM media
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
 }
 
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
     "media_features": MEDIA_FEATURES_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
 }
