@@ -162,6 +162,50 @@ FROM documents
 # Document fingerprinting (min-hash of word 5-grams — winnowing-lite)
 # ---------------------------------------------------------------------------
 
+def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.7 'UDF/UDAF/UDTF'): a table
+    function exploding each doc into (pos, word, is_stopish) rows — the
+    1->N scalar-to-table expansion as a declared UDTF rather than
+    posexplode (same plan shape; the UDTF form is the extension point for
+    logic SQL can't express, e.g. a real tokenizer).
+
+    Scale: UDTFs run per-partition in Arrow-batched Python workers —
+    the fan-out happens executor-side before any shuffle, like
+    mapInPandas. For this trivial split the built-in posexplode is the
+    production choice; the operator exists to keep the UDTF surface
+    tested.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string, word_len int")
+    class WordPositions:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate(text.split(" ")):
+                yield i, w, len(w)
+
+    spark.udtf.register("word_positions", WordPositions)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.pos, w.word, w.word_len
+        FROM documents_udtf d, LATERAL word_positions(d.text) w
+        WHERE d.doc_id % 50 = 0
+        """
+    )
+
+
+UDTF_WORD_POSITIONS_SQL = """
+SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.word,
+       CAST(length(u.word) AS INT) AS word_len
+FROM documents,
+     LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos) u
+WHERE doc_id % 50 = 0
+"""
+
+
 def _fingerprint_expr(dialect: str) -> str:
     w = words_expr("text", dialect)
     if dialect == "spark":
@@ -196,6 +240,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "udtf_word_positions": q_udtf_word_positions,
 }
 
 ORACLES = {
@@ -203,4 +248,5 @@ ORACLES = {
     "quality_score": _quality_score_sql(),
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": _doc_fingerprint_sql(),
+    "udtf_word_positions": UDTF_WORD_POSITIONS_SQL,
 }
