@@ -35,6 +35,32 @@ def test_q2_streaming_matches_oracle(spark, duck):
 import pytest
 
 
+def test_kinesis_swap_point(spark):
+    """S1/S7 parity: the Kinesis reader/writer configs build connector-
+    agnostically (load raises only where the connector jar is absent),
+    and the byte-parse chain drops malformed frames (S2/S5)."""
+    import json
+
+    from flink_stream_processing_refarch_spark.sources import kinesis
+
+    reader = kinesis.kinesis_reader(spark, "taxi-trips", "us-east-1")
+    with pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND"):
+        reader.load()
+
+    good = json.dumps({
+        "type": "trip", "trip_id": 1,
+        "pickup_datetime": "2024-01-01T00:00:00Z",
+        "dropoff_datetime": "2024-01-01T00:05:00Z",
+        "pickup_lat": 40.75, "pickup_lon": -73.98,
+        "dropoff_lat": 40.75, "dropoff_lon": -73.98,
+        "total_amount": 10.0,
+    }).encode()
+    df = spark.createDataFrame([(good,), (b"not json",)], "data binary")
+    out = kinesis.parse_wire_bytes(df)
+    assert out.count() == 1
+    assert "trip_id" in out.columns
+
+
 @pytest.mark.parametrize("name", sorted(jobs.ORACLES))
 def test_extended_streaming_matches_oracle(spark, duck, name):
     """Stream-static join, stream-stream interval join, and the custom
