@@ -114,6 +114,40 @@ GROUP BY n_name
 """
 
 
+def q_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume per region: a two-level snowflake join
+    (orders -> customer -> nation -> region), every dimension broadcast.
+    With this, every testdata table is exercised by at least one query.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("price_cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_BY_REGION_SQL = f"""
+SELECT r_name, count(*) AS n_orders,
+       sum({CENTS.format(x='o_totalprice')}) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(status, priority) with portable grouping id
     (GROUPING(a)*2 + GROUPING(b) — same formula both engines)."""
@@ -798,6 +832,7 @@ WHERE json_extract_string(props, '$.k') IS NOT NULL
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "orders_by_region": q_orders_by_region,
     "rollup_orders": q_rollup_orders,
     "cube_orders": q_cube_orders,
     "distinct_counts": q_distinct_counts,
@@ -824,6 +859,7 @@ QUERIES = {
 ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "orders_by_region": ORDERS_BY_REGION_SQL,
     "rollup_orders": ROLLUP_ORDERS_SQL,
     "cube_orders": CUBE_ORDERS_SQL,
     "distinct_counts": DISTINCT_COUNTS_SQL,
