@@ -213,7 +213,14 @@ def _run_to_memory(df: DataFrame, use_rocksdb: bool = True) -> DataFrame:
         "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    # Bounded throwaway replay -> checkpoint on tmpfs when available (the
+    # offset/commit/state logs fsync per micro-batch; ~1s/query on ext4).
+    # Durable jobs (run_taxi_pipeline, the CLI) pass their own
+    # checkpointLocation on real storage.
+    import os
+
+    ck_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=ck_base)
     try:
         q = (
             df.writeStream.format("memory")
