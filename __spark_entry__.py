@@ -20,7 +20,7 @@ from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
-from flink_stream_processing_refarch_spark.plans import relational, taxi  # noqa: E402
+from flink_stream_processing_refarch_spark.plans import relational, subqueries, taxi  # noqa: E402
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 
@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(streaming_jobs.QUERIES)
     out.update(relational.QUERIES)
+    out.update(subqueries.QUERIES)
     out.update(text_ops.QUERIES)
     out.update(dedup_ops.QUERIES)
     out.update(sim_ops.QUERIES)
@@ -58,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(streaming_jobs.ORACLES)
     out.update(relational.ORACLES)
+    out.update(subqueries.ORACLES)
     out.update(text_ops.ORACLES)
     out.update(dedup_ops.ORACLES)
     out.update(sim_ops.ORACLES)
