@@ -17,6 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup_ops.QUERIES)
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
+    out.update(sampling_ops.QUERIES)
     return out
 
 
@@ -64,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup_ops.ORACLES)
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)
+    out.update(sampling_ops.ORACLES)
     return out
