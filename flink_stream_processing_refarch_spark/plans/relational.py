@@ -829,6 +829,71 @@ WHERE json_extract_string(props, '$.k') IS NOT NULL
 """
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority, pivoted to one column per order status.
+
+    The status values are passed explicitly: without them Spark runs an
+    extra distinct-collect pass over the fact table to discover pivot
+    columns — a full scan you don't want at 100 TB (and a non-reproducible
+    schema if a new status appears). Spark plans this as a two-stage
+    aggregate: the first shuffle reduces the fact table to (priority,
+    status) partial counts — 15 rows at ANY scale — and the second
+    exchange only reshapes that tiny relation, so the 100 TB cost is one
+    map-side-combined shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_pending"})
+    )
+
+
+PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping: per-returnflag lineitem totals unpivoted to
+    (metric, value) rows — the melt() primitive for metric export.
+
+    The aggregate runs first (one shuffle over 3 groups), so the unpivot
+    expands a tiny relation; Spark's Expand emits both metric rows in one
+    pass without re-reading the input.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        F.sum(_cents("l_extendedprice")).alias("total_price_cents"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["total_qty", "total_price_cents"],
+        "metric",
+        "value",
+    )
+
+
+UNPIVOT_METRICS_SQL = f"""
+WITH wide AS (
+    SELECT l_returnflag,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+           sum({CENTS.format(x='l_extendedprice')}) AS total_price_cents
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'total_price_cents' AS metric, total_price_cents AS value FROM wide
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -854,6 +919,8 @@ QUERIES = {
     "skew_salted_join": q_skew_salted_join,
     "approx_quantiles": q_approx_quantiles,
     "json_extract": q_json_extract,
+    "pivot_status": q_pivot_status,
+    "unpivot_metrics": q_unpivot_metrics,
 }
 
 ORACLES = {
@@ -881,4 +948,6 @@ ORACLES = {
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     # approx_quantiles: sketch estimate — rows-only check, no oracle
     "json_extract": JSON_EXTRACT_SQL,
+    "pivot_status": PIVOT_STATUS_SQL,
+    "unpivot_metrics": UNPIVOT_METRICS_SQL,
 }
