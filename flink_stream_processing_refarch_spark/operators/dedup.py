@@ -450,6 +450,102 @@ def _fill(template: str, **extra: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Connected-components clustering of verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20  # safety cap; convergence needs O(component diameter)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: hash-min connected components over the
+    verified near-dup pair graph (candidates -> Jaccard verify -> cluster).
+    Emits (doc_id, cluster_id) where cluster_id = min doc_id reachable
+    through near-dup edges — the canonical "keep one per cluster" label a
+    training-data dedup pass needs (pairwise output alone over-deletes
+    when A~B and B~C but A!~C).
+
+    Scale design: hash-min label propagation — each round is one
+    edges-to-labels hash join plus one min-aggregation, both shuffled on
+    doc_id, and propagates every component's minimum one hop; rounds
+    needed = graph diameter (near-dup components are shallow — dups of a
+    doc are dups of each other — so 2-4 rounds in practice). The
+    driver-side loop is pure orchestration: two scalar actions per round
+    (localCheckpoint + a 1-row sum for the convergence test); label rows
+    are never collected. localCheckpoint materializes each round's labels
+    (2 bigint columns) and truncates lineage so the plan doesn't double
+    per round; on a real cluster use spark.sparkContext.setCheckpointDir
+    + .checkpoint() for executor-loss-tolerant truncation.
+    """
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # LSH+verify runs once, not once per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        msgs = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so an unchanged sum == fixpoint
+        cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+DEDUP_CLUSTERS_SQL_T = """
+WITH RECURSIVE corpus AS ({corpus}),
+sigs AS ({sigs}),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+wsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus
+),
+verified AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+    FROM cand p
+    JOIN wsets a ON a.doc_id = p.doc_a
+    JOIN wsets b ON b.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach AS (
+  SELECT src AS doc_id, src AS rid FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.rid FROM edges e JOIN reach r ON r.doc_id = e.src
+)
+SELECT doc_id, min(rid) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (banded sign-LSH candidates + exact cosine)
 # ---------------------------------------------------------------------------
 
@@ -579,6 +675,7 @@ QUERIES = {
     "simhash": q_simhash,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -609,6 +706,9 @@ def _oracles() -> dict[str, str]:
         ),
         "ngram_jaccard": _fill(
             NGRAM_JACCARD_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows
+        ),
+        "dedup_clusters": _fill(
+            DEDUP_CLUSTERS_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows
         ),
         "dedup_embedding": _dedup_embedding_sql(),
     }

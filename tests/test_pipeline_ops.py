@@ -66,6 +66,25 @@ def test_lsh_catches_exact_dups(spark):
         assert est[(d, d + 1000000)] == 1.0
 
 
+def test_dedup_clusters_merge_transitive_chains(spark):
+    """doc ~ doc+1M (exact) and doc ~ doc+2M (near) implies all three get
+    one cluster_id even though (doc+1M, doc+2M) may never pair directly —
+    the transitivity that pairwise dedup output lacks."""
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.q_dedup_clusters(spark, SF_DIR).collect()
+    }
+    near = [d for d in labels if d >= 2000000]
+    assert near, "no verified near-dup docs in cluster output"
+    for d in near:
+        base = d - 2000000
+        if base in labels:
+            # organic near-dup edges may merge further (cluster min < base),
+            # but the whole injected chain must share one label <= base
+            assert labels[d] == labels[base] <= base
+            assert labels.get(base + 1000000, labels[base]) == labels[base]
+
+
 def test_ann_cosines_are_valid(spark):
     for r in similarity.q_ann_lsh(spark, SF_DIR).collect():
         assert -1.000001 <= r.cos_sim <= 1.000001
