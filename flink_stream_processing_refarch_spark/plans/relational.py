@@ -894,6 +894,67 @@ SELECT l_returnflag, 'total_price_cents' AS metric, total_price_cents AS value F
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact/dimension join via bucketed tables: orders and
+    customer both bucketed (and sorted) on the customer key, then joined
+    WITHOUT any exchange on the join key.
+
+    This is the 100 TB posture for a join you run repeatedly: pay the
+    shuffle ONCE at ingest (the bucketed write), and every subsequent
+    join reads both sides already hash-clustered on the key — the scan's
+    bucketing satisfies the join's distribution requirement, so the plan
+    has no Exchange before the SortMergeJoin (verified in the test by
+    inspecting the physical plan). The ``merge`` hint pins SMJ so the
+    demonstration doesn't degrade to a broadcast at toy scale; at real
+    scale neither side fits a broadcast anyway. Bucket count (8 here)
+    is sized so one bucket ~ one task's memory at target scale; both
+    sides must agree on it. The pre-write ``repartition(8, key)`` uses
+    the same murmur3 pmod placement as the bucket spec, giving one file
+    per bucket. A residual SMJ sort remains (Spark ignores sortBy
+    metadata on read by default) but it is a local, single-bucket sort —
+    no exchange, pipelined with the scan.
+    """
+    wh = "/root/repo/spark-warehouse"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("price_cents")
+    )
+    for name, df, key in (
+        ("bucketed_customer", cust, "c_custkey"),
+        ("bucketed_orders", orders, "o_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(8, F.col(key))
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .saveAsTable(name)
+        )
+    c = spark.table("bucketed_customer")
+    o = spark.table("bucketed_orders")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum({CENTS.format(x='o_totalprice')}) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -921,6 +982,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "pivot_status": q_pivot_status,
     "unpivot_metrics": q_unpivot_metrics,
+    "bucketed_join": q_bucketed_join,
 }
 
 ORACLES = {
@@ -950,4 +1012,5 @@ ORACLES = {
     "json_extract": JSON_EXTRACT_SQL,
     "pivot_status": PIVOT_STATUS_SQL,
     "unpivot_metrics": UNPIVOT_METRICS_SQL,
+    "bucketed_join": BUCKETED_JOIN_SQL,
 }

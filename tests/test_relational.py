@@ -123,6 +123,18 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
 
 
+def test_q_bucketed_join_plan_is_colocated(spark):
+    """The registered bucketed_join query must plan as SMJ over bucketed
+    scans with exactly ONE Exchange (the post-join groupBy) — the join
+    keys themselves never shuffle."""
+    df = relational.q_bucketed_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
 def test_top_parts_uses_take_ordered(spark):
     plan = (
         relational.q_top_parts(spark, SF_DIR)
