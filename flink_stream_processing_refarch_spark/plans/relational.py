@@ -894,6 +894,79 @@ SELECT l_returnflag, 'total_price_cents' AS metric, total_price_cents AS value F
 """
 
 
+def q_full_outer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type matrix): per-nation counts
+    of high-balance customers vs high-balance suppliers — the balance
+    filters make each side miss nations the other has, so both null
+    directions are exercised. Two partial aggregates reduce each side to
+    <= |nations| rows BEFORE the join, so the outer join itself is a
+    25-row operation at any input scale (aggregate-then-join, never
+    join-then-aggregate, when the join key equals the group key).
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        )
+    )
+
+
+FULL_OUTER_BALANCES_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_rich_customers, 0) AS n_rich_customers,
+       coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+def q_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: per order status, the sorted distinct list
+    of priorities plus its length. collect_set is order-nondeterministic
+    across partition merge order — array_sort makes the result exact and
+    oracle-comparable (the same discipline float sums get via cents).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.size(F.array_sort(F.collect_set("o_orderpriority"))).alias(
+                "n_priorities"
+            ),
+        )
+    )
+
+
+PRIORITY_LISTS_SQL = """
+SELECT o_orderstatus,
+       list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact/dimension join via bucketed tables: orders and
     customer both bucketed (and sorted) on the customer key, then joined
@@ -983,6 +1056,8 @@ QUERIES = {
     "pivot_status": q_pivot_status,
     "unpivot_metrics": q_unpivot_metrics,
     "bucketed_join": q_bucketed_join,
+    "full_outer_balances": q_full_outer_balances,
+    "priority_lists": q_priority_lists,
 }
 
 ORACLES = {
@@ -1013,4 +1088,6 @@ ORACLES = {
     "pivot_status": PIVOT_STATUS_SQL,
     "unpivot_metrics": UNPIVOT_METRICS_SQL,
     "bucketed_join": BUCKETED_JOIN_SQL,
+    "full_outer_balances": FULL_OUTER_BALANCES_SQL,
+    "priority_lists": PRIORITY_LISTS_SQL,
 }
