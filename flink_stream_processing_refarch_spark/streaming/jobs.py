@@ -617,6 +617,112 @@ WHERE session_end_ms <= (SELECT max(epoch_ms(ts)) FROM events)
 """
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API (successor
+# to applyInPandasWithState): named state variables + explicit timers
+# ---------------------------------------------------------------------------
+
+_TWS_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value_cents BIGINT"
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol between
+    the JVM and a python driver worker; without google.protobuf installed
+    the worker crashes at init. Gate the query on the import so the
+    engine degrades to applyInPandasWithState (same capability, §2.7
+    'arbitrary stateful ops') in protobuf-less environments."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _user_totals_processor():
+    """Build the StatefulProcessor (class defined lazily so importing this
+    module never requires the streaming-state machinery)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserTotalsProcessor(StatefulProcessor):
+        """Per-user exact totals held in a ValueState, emitted by an
+        event-time timer once the watermark passes all input — the
+        transformWithState analogue of a Flink KeyedProcessFunction with
+        a ValueState + registerEventTimeTimer pair.
+
+        State per key is O(1) (two bigints), updated incrementally per
+        micro-batch — unlike the sessionizer there is no buffered event
+        list, so state size is bounded by the key population regardless
+        of event volume.
+        """
+
+        def init(self, handle):  # noqa: ANN001 - framework contract
+            self._handle = handle
+            self._totals = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["v_cents"].sum())
+            self._totals.update((int(n), int(cents)))
+            # Fire just past the current watermark: in an availableNow
+            # run the final no-data batch advances the watermark to max
+            # event time and delivers the timer.
+            self._handle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+            if not self._totals.exists():  # already emitted by an earlier timer
+                return
+            n, cents = self._totals.get()
+            self._totals.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [int(n)],
+                    "sum_value_cents": [int(cents)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return UserTotalsProcessor()
+
+
+def tws_user_totals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _stream_events_ts(spark, sf_dir)
+        .withWatermark("ts_t", "0 seconds")
+        .select(
+            "user_id",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v_cents"),
+            "ts_t",
+        )
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        _user_totals_processor(), _TWS_OUT_SCHEMA, "append", "eventTime"
+    )
+
+
+def q_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(tws_user_totals_df(spark, sf_dir))
+
+
+# Every user's totals emit (all timers fire once the final watermark =
+# max event time passes them), so the oracle is the plain batch GROUP BY.
+TWS_USER_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -625,6 +731,9 @@ QUERIES = {
     "stateful_sessionize": q_stateful_sessionize,
 }
 
+if _tws_available():  # pragma: no cover - environment-dependent
+    QUERIES["tws_user_totals"] = q_tws_user_totals
+
 ORACLES = {
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
@@ -632,6 +741,9 @@ ORACLES = {
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
 }
+
+if _tws_available():  # pragma: no cover - environment-dependent
+    ORACLES["tws_user_totals"] = TWS_USER_TOTALS_SQL
 
 
 def run_taxi_pipeline(

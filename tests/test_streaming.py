@@ -69,6 +69,14 @@ def test_extended_streaming_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, jobs.QUERIES[name], jobs.ORACLES[name])
 
 
+def test_tws_registration_tracks_protobuf_availability():
+    """transformWithStateInPandas needs google.protobuf (its JVM<->python
+    state protocol); the query must register exactly when that import
+    works, so the driver contract never exposes a query that crashes."""
+    assert ("tws_user_totals" in jobs.QUERIES) == jobs._tws_available()
+    assert ("tws_user_totals" in jobs.ORACLES) == jobs._tws_available()
+
+
 def test_stream_static_join_broadcasts_dims(spark, duck):
     """The static dimension side must not shuffle the stream: the join is
     a broadcast join in the micro-batch plans."""
