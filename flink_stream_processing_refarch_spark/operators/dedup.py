@@ -476,13 +476,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round; on a real cluster use spark.sparkContext.setCheckpointDir
     + .checkpoint() for executor-loss-tolerant truncation.
     """
-    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)  # LSH+verify runs once, not once per round
+    # Checkpoint the verified pairs FIRST, then mirror them: symmetrizing
+    # an un-materialized DataFrame would run the whole LSH+verify pipeline
+    # once per union branch (measured 2x at sf0.1), and again every round.
+    pairs = (
+        q_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
