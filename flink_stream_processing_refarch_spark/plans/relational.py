@@ -967,6 +967,57 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window (completes the frame-spec surface):
+    7-day rolling revenue per order priority. The RANGE frame is over a
+    day INDEX (datediff from a fixed epoch), so days missing from the
+    data still bound the window correctly — ROWS 6 PRECEDING would be
+    wrong whenever a priority has gap days.
+
+    Scale: the window runs on the per-(priority, day) aggregate (one
+    map-side-combinable shuffle reduces the fact table to ~|priorities| x
+    |days| rows), not on raw orders; partitioning the window by priority
+    caps per-task sort size at |days| rows. For entity-level rolling
+    windows (per user/device) the same shape parallelizes by entity key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("day_cents"))
+        .withColumn(
+            "day_idx", F.datediff(F.col("day"), F.to_date(F.lit("1992-01-01")))
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling7_cents"),
+    )
+
+
+ROLLING_REVENUE_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+         sum({CENTS.format(x='o_totalprice')}) AS day_cents
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, day, day_cents,
+       sum(day_cents) OVER (PARTITION BY o_orderpriority ORDER BY day_idx
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS rolling7_cents
+FROM daily
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact/dimension join via bucketed tables: orders and
     customer both bucketed (and sorted) on the customer key, then joined
@@ -1058,6 +1109,7 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "full_outer_balances": q_full_outer_balances,
     "priority_lists": q_priority_lists,
+    "rolling_revenue": q_rolling_revenue,
 }
 
 ORACLES = {
@@ -1090,4 +1142,5 @@ ORACLES = {
     "bucketed_join": BUCKETED_JOIN_SQL,
     "full_outer_balances": FULL_OUTER_BALANCES_SQL,
     "priority_lists": PRIORITY_LISTS_SQL,
+    "rolling_revenue": ROLLING_REVENUE_SQL,
 }
