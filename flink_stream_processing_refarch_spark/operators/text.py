@@ -235,12 +235,78 @@ def _doc_fingerprint_sql() -> str:
     return f"SELECT doc_id, {_fingerprint_expr('duckdb')} AS fingerprint FROM documents"
 
 
+# ---------------------------------------------------------------------------
+# Composed selection pipeline: quality filter + exact-dedup survivorship
+# + per-source rollup — the end-to-end corpus-build query
+# ---------------------------------------------------------------------------
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data selection in ONE plan: per-source doc and
+    token totals of quality-keep documents that survive exact dedup.
+
+    Shuffle shape at 100 TB: all text-derived features (token count,
+    quality flag, content hash) are computed narrow at the scan, so the
+    single wide exchange carries only (hash, doc_id, source, n_tokens,
+    keep) — never the text. Survivor selection is min_by over the content
+    hash (no survivors-back-to-corpus join), and the final per-source
+    rollup reduces map-side to |sources| rows.
+    """
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
+        f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
+        f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
+    )
+    scored = docs.select(
+        F.md5("text").alias("h"),
+        "doc_id",
+        "source",
+        F.expr(e["n_words"]).alias("n_tokens"),
+        F.expr(keep).alias("keep"),
+    )
+    surv = scored.groupBy("h").agg(
+        F.min_by(
+            F.struct("doc_id", "source", "n_tokens", "keep"), F.col("doc_id")
+        ).alias("s")
+    )
+    return (
+        surv.select("s.*")
+        .filter(F.col("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _training_mix_sql() -> str:
+    e = _exprs("duckdb")
+    return f"""
+WITH scored AS (
+  SELECT md5(text) AS h, doc_id, source,
+         {e['n_words']} AS n_tokens,
+         CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000
+              AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}
+                  >= CAST(0.01 AS DOUBLE)
+              THEN true ELSE false END AS keep
+  FROM documents
+),
+surv AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM scored JOIN surv USING (h, doc_id)
+WHERE keep GROUP BY source
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "udtf_word_positions": q_udtf_word_positions,
+    "training_mix": q_training_mix,
 }
 
 ORACLES = {
@@ -249,4 +315,5 @@ ORACLES = {
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": _doc_fingerprint_sql(),
     "udtf_word_positions": UDTF_WORD_POSITIONS_SQL,
+    "training_mix": _training_mix_sql(),
 }
