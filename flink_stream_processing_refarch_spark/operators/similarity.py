@@ -286,11 +286,57 @@ FROM embeddings
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the 4x storage/bandwidth
+    reduction step before writing an embedding corpus): scale = max|x|,
+    q_i = round(x_i * 127 / scale). Pure array expressions — narrow, zero
+    shuffles, whole-stage codegen; float32 inputs promote exactly to
+    double so both engines compute bit-identical codes. Explicit
+    floor(+0.5) rounding (not round()) keeps negative-value behaviour
+    engine-portable, same as the cents discipline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )
+    q = (
+        "transform(embedding, x -> CASE WHEN amax = CAST(0.0 AS DOUBLE)"
+        " THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)"
+        " END)"
+    )
+    return (
+        emb.select("vec_id", "embedding", F.expr(amax).alias("amax"))
+        .select(
+            "vec_id",
+            F.expr("round(amax, 6)").alias("max_abs"),
+            F.expr(q).alias("qvec"),
+        )
+    )
+
+
+def _embedding_quantize_sql() -> str:
+    return """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+)
+SELECT vec_id, round(amax, 6) AS max_abs,
+       list_transform(embedding,
+         x -> CASE WHEN amax = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
+                             AS BIGINT) END) AS qvec
+FROM m
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_norms": q_embedding_norms,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
@@ -298,4 +344,5 @@ ORACLES = {
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),
     "embedding_norms": _embedding_norms_sql(),
+    "embedding_quantize": _embedding_quantize_sql(),
 }

@@ -85,6 +85,15 @@ def test_dedup_clusters_merge_transitive_chains(spark):
             assert labels.get(base + 1000000, labels[base]) == labels[base]
 
 
+def test_embedding_quantize_codes_in_range(spark):
+    """int8 symmetric quantization: every code in [-127, 127] and the
+    max-abs element always maps to ±127 (scale is per-vector)."""
+    for r in similarity.q_embedding_quantize(spark, SF_DIR).collect():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        if r.max_abs > 0:
+            assert max(abs(q) for q in r.qvec) == 127
+
+
 def test_ann_cosines_are_valid(spark):
     for r in similarity.q_ann_lsh(spark, SF_DIR).collect():
         assert -1.000001 <= r.cos_sim <= 1.000001
