@@ -617,6 +617,35 @@ WHERE session_end_ms <= (SELECT max(epoch_ms(ts)) FROM events)
 """
 
 
+def session_windows_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in STREAMING session windows (the declarative, preferred
+    form of the custom sessionizer below): session_window + watermark in
+    append mode. Spark merges overlapping per-key session state and emits
+    a session once the watermark passes its end — the same closure rule
+    _sessionize_fn implements by hand, so both share one oracle. Prefer
+    this over the custom operator wherever plain per-session aggregates
+    suffice; reach for applyInPandasWithState only when the per-session
+    logic needs arbitrary state/output."""
+    ev = _stream_events_ts(spark, sf_dir).withWatermark("ts_t", "0 seconds")
+    return (
+        ev.groupBy(
+            F.session_window("ts_t", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(session_windows_stream_df(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # transformWithStateInPandas — the Spark 4 arbitrary-state API (successor
 # to applyInPandasWithState): named state variables + explicit timers
@@ -729,6 +758,7 @@ QUERIES = {
     "stream_stream_left_join": q_stream_stream_left_join,
     "streaming_dedup": q_streaming_dedup,
     "stateful_sessionize": q_stateful_sessionize,
+    "session_windows_streaming": q_session_windows_streaming,
 }
 
 if _tws_available():  # pragma: no cover - environment-dependent
@@ -740,6 +770,9 @@ ORACLES = {
     "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
+    # built-in session_window closes sessions by the identical watermark
+    # rule the custom operator implements -> same oracle
+    "session_windows_streaming": STATEFUL_SESSIONIZE_SQL,
 }
 
 if _tws_available():  # pragma: no cover - environment-dependent
