@@ -293,7 +293,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, whole-stage codegen; float32 inputs promote exactly to
     double so both engines compute bit-identical codes. Explicit
     floor(+0.5) rounding (not round()) keeps negative-value behaviour
-    engine-portable, same as the cents discipline."""
+    engine-portable, same as the cents discipline. The code vector is
+    emitted as a '|'-joined string: array-typed output is unhashable by
+    the driver's canonicalizer (and the string is the canonical lossless
+    wire form — same rule as priority_lists)."""
     emb = load_table(spark, sf_dir, "embeddings")
     amax = (
         "aggregate(embedding, CAST(0.0 AS DOUBLE),"
@@ -310,7 +313,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.expr("round(amax, 6)").alias("max_abs"),
-            F.expr(q).alias("qvec"),
+            F.expr(f"concat_ws('|', {q})").alias("qvec"),
         )
     )
 
@@ -323,10 +326,10 @@ WITH m AS (
   FROM embeddings
 )
 SELECT vec_id, round(amax, 6) AS max_abs,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CASE WHEN amax = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
                    ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
-                             AS BIGINT) END) AS qvec
+                             AS BIGINT) END), '|') AS qvec
 FROM m
 """
 

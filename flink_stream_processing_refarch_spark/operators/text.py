@@ -294,7 +294,7 @@ WITH scored AS (
   FROM documents
 ),
 surv AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h)
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM scored JOIN surv USING (h, doc_id)
 WHERE keep GROUP BY source
 """

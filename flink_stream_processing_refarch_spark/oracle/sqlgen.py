@@ -71,7 +71,7 @@ def q2_sql() -> str:
     wend = window_end_ms_sql("dropoff_ms")
     return (
         f"SELECT location, airport_code,"
-        f" sum(duration_min) AS sum_trip_duration,"
+        f" CAST(sum(duration_min) AS BIGINT) AS sum_trip_duration,"
         f" CAST(sum(duration_min) AS DOUBLE) / count(*) AS avg_trip_duration,"
         f' {wend} - 1 AS "timestamp"'
         f" FROM ({_airport_trips_sql()})"

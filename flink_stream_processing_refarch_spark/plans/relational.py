@@ -65,9 +65,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum({CENTS.format(x='l_extendedprice')}) AS sum_base_price_cents,
-       sum({CENTS.format(x='l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS sum_disc_price_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum({CENTS.format(x='l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS BIGINT) AS sum_disc_price_cents,
        count(*) AS count_order,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem
@@ -104,7 +104,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_BY_NATION_SQL = f"""
 SELECT n_name,
-       sum({CENTS.format(x='l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS revenue_cents,
+       CAST(sum({CENTS.format(x='l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -139,7 +139,7 @@ def q_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_BY_REGION_SQL = f"""
 SELECT r_name, count(*) AS n_orders,
-       sum({CENTS.format(x='o_totalprice')}) AS total_cents
+       CAST(sum({CENTS.format(x='o_totalprice')}) AS BIGINT) AS total_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -168,7 +168,7 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_ORDERS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum({CENTS.format(x='o_totalprice')}) AS sum_total_cents,
+       CAST(sum({CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_total_cents,
        GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -374,7 +374,7 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_PARTS_SQL = """
-SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem GROUP BY l_partkey
 ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
 """
@@ -625,7 +625,7 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_JOIN_BANDS_SQL = f"""
 SELECT band, count(*) AS n_parts,
-       sum({CENTS.format(x='p_retailprice')}) AS sum_price_cents
+       CAST(sum({CENTS.format(x='p_retailprice')}) AS BIGINT) AS sum_price_cents
 FROM part
 JOIN (VALUES ('economy', CAST(900.0 AS DOUBLE), CAST(940.0 AS DOUBLE)),
              ('standard', CAST(930.0 AS DOUBLE), CAST(970.0 AS DOUBLE)),
@@ -680,7 +680,7 @@ SELECT minute_ms, hour_ms, day_ms,
        CASE WHEN minute_ms IS NOT NULL THEN 'minute'
             WHEN hour_ms IS NOT NULL THEN 'hour'
             ELSE 'day' END AS resolution,
-       count(*) AS n_events, sum(v_cents) AS sum_value_cents
+       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
 FROM src
 GROUP BY GROUPING SETS ((minute_ms), (hour_ms), (day_ms))
 """
@@ -779,7 +779,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKEW_SALTED_JOIN_SQL = """
 SELECT e.event_type, count(*) AS n_events,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        max(d.type_total) AS type_total
 FROM events e
 JOIN (SELECT event_type AS d_type, count(*) AS type_total
@@ -852,9 +852,9 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_STATUS_SQL = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -884,8 +884,8 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNPIVOT_METRICS_SQL = f"""
 WITH wide AS (
     SELECT l_returnflag,
-           sum(CAST(l_quantity AS BIGINT)) AS total_qty,
-           sum({CENTS.format(x='l_extendedprice')}) AS total_price_cents
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum({CENTS.format(x='l_extendedprice')}) AS BIGINT) AS total_price_cents
     FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM wide
@@ -946,22 +946,25 @@ def q_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     of priorities plus its length. collect_set is order-nondeterministic
     across partition merge order — array_sort makes the result exact and
     oracle-comparable (the same discipline float sums get via cents).
+    The list is emitted as a '|'-joined scalar string: array-typed output
+    is not hashable by the driver's canonicalizer, and a canonical string
+    is the portable wire form anyway.
     """
     orders = load_table(spark, sf_dir, "orders")
+    plist = F.array_sort(F.collect_set("o_orderpriority"))
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
-            F.size(F.array_sort(F.collect_set("o_orderpriority"))).alias(
-                "n_priorities"
-            ),
+            F.concat_ws("|", plist).alias("priorities"),
+            F.size(plist).cast("bigint").alias("n_priorities"),
         )
     )
 
 
 PRIORITY_LISTS_SQL = """
 SELECT o_orderstatus,
-       list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       array_to_string(list(DISTINCT o_orderpriority ORDER BY o_orderpriority), '|')
+         AS priorities,
        count(DISTINCT o_orderpriority) AS n_priorities
 FROM orders GROUP BY o_orderstatus
 """
@@ -1007,13 +1010,13 @@ ROLLING_REVENUE_SQL = f"""
 WITH daily AS (
   SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
          date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
-         sum({CENTS.format(x='o_totalprice')}) AS day_cents
+         CAST(sum({CENTS.format(x='o_totalprice')}) AS BIGINT) AS day_cents
   FROM orders GROUP BY 1, 2, 3
 )
 SELECT o_orderpriority, day, day_cents,
-       sum(day_cents) OVER (PARTITION BY o_orderpriority ORDER BY day_idx
+       CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority ORDER BY day_idx
                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-         AS rolling7_cents
+         AS BIGINT) AS rolling7_cents
 FROM daily
 """
 
@@ -1073,7 +1076,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BUCKETED_JOIN_SQL = f"""
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum({CENTS.format(x='o_totalprice')}) AS total_cents
+       CAST(sum({CENTS.format(x='o_totalprice')}) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """

@@ -139,9 +139,9 @@ def q_scalar_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PROMO_REVENUE_SQL = f"""
-SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END) AS BIGINT)
          AS promo_cents,
-       sum({_REV_CENTS}) AS total_cents,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS total_cents,
        CAST(100.0 AS DOUBLE)
          * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END) AS DOUBLE)
          / CAST(sum({_REV_CENTS}) AS DOUBLE) AS promo_pct

@@ -50,46 +50,32 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
     """File-based streaming source over the events table (the local stand-
-    in for the Kinesis consumer, S1; swap format('kinesis') in prod)."""
+    in for the Kinesis consumer, S1; swap format('kinesis') in prod).
+    source_opts map to reader options (e.g. maxFilesPerTrigger — the
+    SHARD_GETRECORDS throttling analogue)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
     )
+    for k, v in source_opts.items():
+        reader = reader.option(k, v)
+    return reader.parquet(sf_dir)
 
 
 def stream_trips_from_wire(
-    spark: SparkSession, json_dir: str, watermark_delay: str = "0 seconds"
+    spark: SparkSession,
+    json_dir: str,
+    watermark_delay: str = "0 seconds",
+    **source_opts,
 ) -> DataFrame:
     """Reference-faithful ingestion: newline JSON wire events (S1/S2) ->
     from_json with the union schema -> malformed rows dropped (S5:
     unparseable lines yield a null struct and are filtered, matching the
     producer's warn-and-skip) -> watermark event rows dropped (P1) ->
-    P3/P4 filter chain -> event-time column + watermark."""
-    from ..schemas import EVENT_SCHEMA
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.readStream.text(json_dir)
-    ev = (
-        raw.select(F.from_json("value", EVENT_SCHEMA).alias("e"))
-        .filter(F.col("e").isNotNull() & F.col("e.type").isNotNull())
-        .select("e.*")
-    )
-    trips = ev.withColumn(
-        "pickup_ms", F.unix_millis("pickup_datetime")
-    ).withColumn("dropoff_ms", F.unix_millis("dropoff_datetime"))
-    trips = trips.filter(F.expr(clean_trip_filter_sql()))
-    return trips.withColumn(
-        "dropoff_ts", F.timestamp_millis(F.col("dropoff_ms"))
-    ).withWatermark("dropoff_ts", watermark_delay)
-
-
-def q1_from_wire(spark: SparkSession, json_dir: str, **source_opts) -> DataFrame:
-    """Streaming Q1 over the JSON wire stream (bounded run to memory).
+    P3/P4 filter chain -> event-time column + watermark.
 
     source_opts go to the text source (e.g. maxFilesPerTrigger=1 to force
     one micro-batch per chunk file — the knob that makes watermark
@@ -110,39 +96,17 @@ def q1_from_wire(spark: SparkSession, json_dir: str, **source_opts) -> DataFrame
         "pickup_ms", F.unix_millis("pickup_datetime")
     ).withColumn("dropoff_ms", F.unix_millis("dropoff_datetime"))
     trips = trips.filter(F.expr(clean_trip_filter_sql()))
-    trips = trips.withColumn(
-        "dropoff_ts", F.timestamp_millis(F.col("dropoff_ms"))
-    ).withWatermark("dropoff_ts", "0 seconds")
-    trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
-    agg = (
-        trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
-        .agg(F.count("*").alias("pickup_count"))
-        .filter(F.col("pickup_count") >= MIN_PICKUP_COUNT)
-        .select(
-            "location",
-            "pickup_count",
-            (F.unix_millis("window.end") - 1).alias("timestamp"),
-        )
-    )
-    return _run_to_memory(agg)
-
-
-def stream_clean_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived trip stream with the P1-P4 filter chain and an event-time
-    column; watermark attached AFTER filtering (so it tracks the cleaned
-    stream, matching where the reference assigns timestamps)."""
-    ev = stream_events(spark, sf_dir)
-    trips = ev.select(
-        *[F.expr(e).alias(name) for name, e in trip_exprs("spark")]
-    ).filter(F.expr(clean_trip_filter_sql()))
     return trips.withColumn(
         "dropoff_ts", F.timestamp_millis(F.col("dropoff_ms"))
-    ).withWatermark("dropoff_ts", "0 seconds")
+    ).withWatermark("dropoff_ts", watermark_delay)
 
 
-def q1_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Q1: append-mode windowed count with HAVING."""
-    trips = stream_clean_trips(spark, sf_dir)
+def q1_agg_from_trips(trips: DataFrame) -> DataFrame:
+    """Q1 windowed aggregation over a (cleaned, watermarked) trip stream:
+    pickup counts per geohash6 per 10-min window, HAVING count >= 2
+    (ProcessTaxiStream.java:96-107). Shared by every Q1 surface — the
+    oracle-checked streaming query, the wire-ingest path, and the
+    pipeline — so all agree on one plan."""
     trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
     return (
         trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
@@ -156,9 +120,10 @@ def q1_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q2_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Q2: airport classification + windowed sum/avg duration."""
-    trips = stream_clean_trips(spark, sf_dir)
+def q2_agg_from_trips(trips: DataFrame) -> DataFrame:
+    """Q2 windowed aggregation: airport classification (JFK precedence),
+    floored-minute durations, sum+avg per (geohash6, airport, window),
+    HAVING count > 1 (ProcessTaxiStream.java:109-136)."""
     trips = trips.withColumn(
         "airport_code",
         F.when(geo.near_jfk("dropoff_lat", "dropoff_lon"), F.lit("JFK")).when(
@@ -188,6 +153,35 @@ def q2_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("window.end") - 1).alias("timestamp"),
         )
     )
+
+
+def q1_from_wire(spark: SparkSession, json_dir: str, **source_opts) -> DataFrame:
+    """Streaming Q1 over the JSON wire stream (bounded run to memory)."""
+    trips = stream_trips_from_wire(spark, json_dir, **source_opts)
+    return _run_to_memory(q1_agg_from_trips(trips))
+
+
+def stream_clean_trips(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
+    """Derived trip stream with the P1-P4 filter chain and an event-time
+    column; watermark attached AFTER filtering (so it tracks the cleaned
+    stream, matching where the reference assigns timestamps)."""
+    ev = stream_events(spark, sf_dir, **source_opts)
+    trips = ev.select(
+        *[F.expr(e).alias(name) for name, e in trip_exprs("spark")]
+    ).filter(F.expr(clean_trip_filter_sql()))
+    return trips.withColumn(
+        "dropoff_ts", F.timestamp_millis(F.col("dropoff_ms"))
+    ).withWatermark("dropoff_ts", "0 seconds")
+
+
+def q1_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Q1: append-mode windowed count with HAVING."""
+    return q1_agg_from_trips(stream_clean_trips(spark, sf_dir))
+
+
+def q2_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Q2: airport classification + windowed sum/avg duration."""
+    return q2_agg_from_trips(stream_clean_trips(spark, sf_dir))
 
 
 # State partition count for bounded local replays. A streaming query's
@@ -302,7 +296,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window_end <= final watermark = max event time (ms-truncated).
 STREAM_STATIC_JOIN_SQL = """
 SELECT n_name, ws_ms, count(*) AS n_events,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
 FROM (
   SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS ws_ms, value, c_nationkey
   FROM events JOIN customer ON user_id = c_custkey
@@ -747,7 +742,8 @@ def q_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max event time passes them), so the oracle is the plain batch GROUP BY.
 TWS_USER_TOTALS_SQL = """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
 FROM events GROUP BY user_id
 """
 
