@@ -504,52 +504,98 @@ _SESSION_OUT_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType()),
     ]
 )
+# Open sessions as parallel arrays (start_us, end_us, n_events) — state
+# per key is O(open sessions), NOT O(events): arrivals fold into session
+# aggregates on arrival (VERDICT r01 #5; a hot key at 100x event volume
+# holds the same state as at 1x as long as its live-session count holds).
 _SESSION_STATE_SCHEMA = T.StructType(
-    [T.StructField("ts_list", T.ArrayType(T.LongType()))]
+    [
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
 )
 
 
+def _merge_sessions(
+    sessions: list[list[int]], new_ts: list[int]
+) -> list[list[int]]:
+    """Fold new event timestamps into the open-session set: each event is
+    a 1-event session; coalesce any adjacent pair with gap < GAP (also
+    merges sessions a new event bridges). Interval merge over a sorted
+    list — the incremental form of the gaps-and-islands rule."""
+    items = [list(s) for s in sessions] + [[t, t, 1] for t in sorted(new_ts)]
+    items.sort(key=lambda s: (s[0], s[1]))
+    out = [items[0]]
+    for s, e, n in items[1:]:
+        if s - out[-1][1] < _SESSION_GAP_US:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += n
+        else:
+            out.append([s, e, n])
+    return out
+
+
 def _sessionize_fn(key, pdfs, state):  # noqa: ANN001 - pandas-UDF contract
-    """Per-user gap sessionizer (GroupState). Data batches buffer event
-    timestamps; the event-time timeout fires once the watermark has
-    advanced, and emits every session whose close (last event + gap) is
-    at or before the watermark — the same closure rule the built-in
-    session_window applies, restated for a custom operator."""
+    """Per-user gap sessionizer (GroupState). Arrivals merge into open-
+    session aggregates immediately; an event-time timer at the earliest
+    open-session close boundary emits every session whose close (last
+    event + gap) is at or before the watermark, keeps the still-open
+    remainder in state, and re-registers for the next close — the same
+    closure rule the built-in session_window applies, restated for a
+    custom operator, and safe on an unbounded stream (no state removal
+    of open sessions, no unregistered-timer stall)."""
     import pandas as pd  # local import: runs on python workers
 
+    wm = state.getCurrentWatermarkMs()
+
+    def _timer_for(sessions: list[list[int]]) -> int:
+        earliest_close_ms = min((e + _SESSION_GAP_US) // 1000 for _, e, _n in sessions)
+        # event-time timers must sit strictly past the current watermark
+        return max(earliest_close_ms, wm + 1)
+
     if state.hasTimedOut:
-        (ts_list,) = state.get
-        wm = state.getCurrentWatermarkMs()
-        ts = sorted(ts_list)
-        sessions = []
-        start = prev = ts[0]
-        n = 1
-        for t in ts[1:]:
-            if t - prev >= _SESSION_GAP_US:
-                sessions.append((start, prev, n))
-                start, n = t, 0
-            prev = t
-            n += 1
-        sessions.append((start, prev, n))
-        rows = [
-            (key[0], s // 1000, (e + _SESSION_GAP_US) // 1000, n)
-            for s, e, n in sessions
-            if (e + _SESSION_GAP_US) // 1000 <= wm
-        ]
-        state.remove()
-        if rows:
+        starts, ends, counts = state.get
+        sessions = [list(s) for s in zip(starts, ends, counts)]
+        closed = [s for s in sessions if (s[1] + _SESSION_GAP_US) // 1000 <= wm]
+        still_open = [s for s in sessions if (s[1] + _SESSION_GAP_US) // 1000 > wm]
+        if still_open:
+            state.update(
+                (
+                    [s[0] for s in still_open],
+                    [s[1] for s in still_open],
+                    [s[2] for s in still_open],
+                )
+            )
+            state.setTimeoutTimestamp(_timer_for(still_open))
+        else:
+            state.remove()
+        if closed:
             yield pd.DataFrame(
-                rows,
+                [
+                    (key[0], s // 1000, (e + _SESSION_GAP_US) // 1000, n)
+                    for s, e, n in closed
+                ],
                 columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
             )
     else:
-        ts = list(state.get[0]) if state.exists else []
+        if state.exists:
+            starts, ends, counts = state.get
+            sessions = [list(s) for s in zip(starts, ends, counts)]
+        else:
+            sessions = []
+        new_ts: list[int] = []
         for pdf in pdfs:
-            ts.extend(int(v) for v in pdf["ts_us"])
-        state.update((ts,))
-        # Fire on the first watermark advance; by then the bounded input
-        # is fully buffered and closed sessions can be emitted.
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            new_ts.extend(int(v) for v in pdf["ts_us"])
+        sessions = _merge_sessions(sessions, new_ts)
+        state.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+            )
+        )
+        state.setTimeoutTimestamp(_timer_for(sessions))
 
 
 def stateful_sessionize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,15 +605,22 @@ def stateful_sessionize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     KeyedProcessFunction with timers.
 
     Scale: state is partitioned by user_id across the state store (RocksDB
-    provider); each group holds only its own event times, and timeouts
-    evict state as the watermark advances, so state size tracks the live
-    session population, not history.
+    provider); each group holds (start, end, count) per OPEN session —
+    arrivals fold into those aggregates immediately, and timers evict
+    closed sessions as the watermark advances, so state size tracks the
+    live session population, never event history.
     """
+    return sessionize_events_stream(_stream_events_ts(spark, sf_dir))
+
+
+def sessionize_events_stream(ev: DataFrame) -> DataFrame:
+    """Apply the custom sessionizer to any events stream carrying
+    (user_id, ts, ts_t) — split from the source so tests can drive it
+    with a chunked multi-batch source."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = (
-        _stream_events_ts(spark, sf_dir)
-        .withWatermark("ts_t", "0 seconds")
+        ev.withWatermark("ts_t", "0 seconds")
         .select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "ts_t")
     )
     return ev.groupBy("user_id").applyInPandasWithState(
@@ -779,78 +832,82 @@ def run_taxi_pipeline(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    source_format: str = "parquet",
+    collect_results: bool = True,
 ) -> dict[str, DataFrame]:
-    """The full consumer job (ProcessTaxiStream.main equivalent): ONE
-    streaming query over the trip stream; each micro-batch is cached once
-    and both aggregates are computed from it (the Flink DAG-fan-out
-    equivalent, SURVEY.md §4.1), then bulk-written to the ES-style sink.
+    """The full consumer job (ProcessTaxiStream.main equivalent): Q1 + Q2
+    as TWO streaming queries over the same trip-stream definition, each
+    with its windowed aggregation INSIDE the streaming plan — the state
+    store carries windows across micro-batches and append mode emits each
+    window exactly once when the watermark closes it. ``foreachBatch`` is
+    sink fan-out ONLY: it receives finalized result deltas (tiny,
+    post-HAVING) and relays them to the ES bulk sink.
 
-    Returns the accumulated results of both queries as batch DataFrames.
+    This is window-correct under ANY micro-batch split (multiple files,
+    ``max_files_per_trigger`` throttling, restarts from ``checkpoint_dir``);
+    the previous design aggregated per micro-batch inside foreachBatch and
+    was correct only for single-batch availableNow runs. Flink fans one
+    DAG out to both aggregates (ProcessTaxiStream.java:87,96,109); Spark's
+    equivalent of shared cross-batch agg state is one query per aggregate —
+    the second source scan is the idiomatic price of correct state
+    ownership, and at 100 TB the scan is the cheap part next to the agg.
+
+    Emission semantics match q1_streaming/q2_streaming (and Flink's
+    in-band watermark): windows closed by the final watermark = max event
+    time emit; the trailing open window stays in state (and would emit on
+    the next run from the same checkpoint).
+
+    ``collect_results=False`` skips driver-side accumulation (the CLI
+    path): results then live only in the sink files.
     """
+    from ..schemas import PICKUP_COUNT_SCHEMA, TRIP_DURATION_SCHEMA
     from .sinks import EsBulkFileSink, write_batch_to_es
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="es_sink_")
-    sink_q1 = EsBulkFileSink(out_dir + "/pickup_count")
-    sink_q2 = EsBulkFileSink(out_dir + "/trip_duration")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_pipeline_")
+    src_opts: dict[str, str] = {}
+    if max_files_per_trigger is not None:
+        src_opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    if source_format == "parquet":
+        trips = stream_clean_trips(spark, sf_dir, **src_opts)
+    elif source_format == "wire":
+        trips = stream_trips_from_wire(spark, sf_dir, **src_opts)
+    else:
+        raise ValueError(f"unknown source_format: {source_format!r}")
+
     results: dict[str, list] = {"pickup_count": [], "trip_duration": []}
 
-    trips = stream_clean_trips(spark, sf_dir)
-    trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
+    def relay(sink: EsBulkFileSink, doc_type: str):
+        def body(batch_df: DataFrame, epoch_id: int) -> None:
+            write_batch_to_es(batch_df, sink, doc_type)
+            if collect_results:
+                results[doc_type].extend(batch_df.collect())
 
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.cache()
-        try:
-            wend = "unix_millis(window.end) - 1"
-            q1 = (
-                batch_df.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
-                .agg(F.count("*").alias("pickup_count"))
-                .filter(F.col("pickup_count") >= MIN_PICKUP_COUNT)
-                .select("location", "pickup_count", F.expr(wend).alias("timestamp"))
-            )
-            q2 = (
-                batch_df.withColumn(
-                    "airport_code",
-                    F.when(
-                        geo.near_jfk("dropoff_lat", "dropoff_lon"), F.lit("JFK")
-                    ).when(geo.near_lga("dropoff_lat", "dropoff_lon"), F.lit("LGA")),
-                )
-                .filter(F.col("airport_code").isNotNull())
-                .withColumn(
-                    "duration_min",
-                    F.expr(duration_min_sql("dropoff_ms", "pickup_ms", "spark")),
-                )
-                .groupBy(F.window("dropoff_ts", "10 minutes"), "location", "airport_code")
-                .agg(
-                    F.sum("duration_min").alias("sum_trip_duration"),
-                    F.count("*").alias("cnt"),
-                )
-                .filter(F.col("cnt") > 1)
-                .select(
-                    "location",
-                    "airport_code",
-                    "sum_trip_duration",
-                    (
-                        F.col("sum_trip_duration").cast("double") / F.col("cnt")
-                    ).alias("avg_trip_duration"),
-                    F.expr(wend).alias("timestamp"),
-                )
-            )
-            write_batch_to_es(q1, sink_q1, "pickup_count")
-            write_batch_to_es(q2, sink_q2, "trip_duration")
-            results["pickup_count"].extend(q1.collect())
-            results["trip_duration"].extend(q2.collect())
-        finally:
-            batch_df.unpersist()
+        return body
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_pipeline_")
-    q = (
-        trips.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    from ..schemas import PICKUP_COUNT_SCHEMA, TRIP_DURATION_SCHEMA
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        queries = []
+        for agg_df, doc_type in (
+            (q1_agg_from_trips(trips), "pickup_count"),
+            (q2_agg_from_trips(trips), "trip_duration"),
+        ):
+            queries.append(
+                agg_df.writeStream.foreachBatch(
+                    relay(EsBulkFileSink(f"{out_dir}/{doc_type}"), doc_type)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", f"{ckpt}/{doc_type}")
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:  # both run concurrently; await in order
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     return {
         "pickup_count": spark.createDataFrame(
@@ -860,4 +917,5 @@ def run_taxi_pipeline(
             results["trip_duration"], TRIP_DURATION_SCHEMA
         ),
         "out_dir": out_dir,
+        "checkpoint_dir": ckpt,
     }
