@@ -38,7 +38,16 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         qs = entry.queries()
-        for wq in ("q1_pickup_count", "q2_trip_duration", "media_features"):
+        # q1_streaming warms the micro-batch engine + RocksDB classes,
+        # stateful_sessionize the python state workers — first-streaming-
+        # query init otherwise lands on whichever query runs first.
+        for wq in (
+            "q1_pickup_count",
+            "q2_trip_duration",
+            "media_features",
+            "q1_streaming",
+            "stateful_sessionize",
+        ):
             try:
                 qs[wq](spark, warm_dir).count()
             except Exception as e:  # noqa: BLE001

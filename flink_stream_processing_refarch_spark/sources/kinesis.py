@@ -72,6 +72,18 @@ def parse_wire_bytes(raw: DataFrame) -> DataFrame:
     )
 
 
+def wire_frame(df: DataFrame) -> DataFrame:
+    """Wire frame for the Kinesis sink: payload bytes + the producer's
+    payload-hash partition-key routing (F9,
+    kinesis-taxi-stream-producer/.../Event.java:38-40). Deterministic —
+    identical payloads land on the same shard; connector-independent, so
+    the routing rule is testable without the jar."""
+    return df.select(
+        F.col("value").cast("binary").alias("data"),
+        F.hash("value").cast("string").alias("partitionKey"),
+    )
+
+
 def kinesis_writer(
     df: DataFrame,
     stream_name: str,
@@ -85,10 +97,7 @@ def kinesis_writer(
     (kinesis-taxi-stream-producer/.../Event.java:38-40): a ``partitionKey``
     column of hash(payload).
     """
-    out = df.select(
-        F.col("value").cast("binary").alias("data"),
-        F.hash("value").cast("string").alias("partitionKey"),
-    )
+    out = wire_frame(df)
     return (
         out.writeStream.format(KINESIS_FORMAT)
         .option("streamName", stream_name)

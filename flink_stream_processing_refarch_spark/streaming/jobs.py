@@ -188,9 +188,12 @@ def q2_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state partitioning is fixed by spark.sql.shuffle.partitions at first
 # start, and EVERY partition opens its own RocksDB instance per batch —
 # at local scale 32 instances × 2 micro-batches is pure fixed cost (~4×
-# the whole query time, measured). On a real cluster this is sized to
-# total executor cores / expected state volume instead.
-STREAM_STATE_PARTITIONS = 8
+# the whole query time, measured). 4 vs 8 saves a further ~0.7-1.2 s per
+# bounded replay at sf0.1 (r02 probe; 2 is no better than 4, and the
+# HDFS-backed provider is within JVM noise of RocksDB, so RocksDB stays
+# for A6 parity). On a real cluster this is sized to total executor
+# cores / expected state volume instead.
+STREAM_STATE_PARTITIONS = 4
 
 
 def _run_to_memory(df: DataFrame, use_rocksdb: bool = True) -> DataFrame:

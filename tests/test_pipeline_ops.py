@@ -87,11 +87,13 @@ def test_dedup_clusters_merge_transitive_chains(spark):
 
 def test_embedding_quantize_codes_in_range(spark):
     """int8 symmetric quantization: every code in [-127, 127] and the
-    max-abs element always maps to ±127 (scale is per-vector)."""
+    max-abs element always maps to ±127 (scale is per-vector). qvec is
+    the '|'-joined canonical string (driver-hashable wire form)."""
     for r in similarity.q_embedding_quantize(spark, SF_DIR).collect():
-        assert all(-127 <= q <= 127 for q in r.qvec)
+        codes = [int(v) for v in r.qvec.split("|")]
+        assert all(-127 <= q <= 127 for q in codes)
         if r.max_abs > 0:
-            assert max(abs(q) for q in r.qvec) == 127
+            assert max(abs(q) for q in codes) == 127
 
 
 def test_ann_cosines_are_valid(spark):

@@ -61,6 +61,21 @@ def test_kinesis_swap_point(spark):
     assert "trip_id" in out.columns
 
 
+def test_kinesis_partition_key_routing(spark):
+    """F9: the sink's partition key is the payload hash — deterministic
+    (same payload -> same shard) and spread across distinct payloads."""
+    from flink_stream_processing_refarch_spark.sources.kinesis import wire_frame
+
+    df = spark.createDataFrame(
+        [("payload-a",), ("payload-a",), ("payload-b",)], "value string"
+    )
+    rows = wire_frame(df).collect()
+    assert [r["data"] for r in rows] == [b"payload-a", b"payload-a", b"payload-b"]
+    keys = [r["partitionKey"] for r in rows]
+    assert keys[0] == keys[1] != keys[2]
+    assert all(isinstance(k, str) for k in keys)
+
+
 @pytest.mark.parametrize("name", sorted(jobs.ORACLES))
 def test_extended_streaming_matches_oracle(spark, duck, name):
     """Stream-static join, stream-stream interval join, and the custom
