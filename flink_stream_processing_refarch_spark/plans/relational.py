@@ -304,38 +304,70 @@ LEFT JOIN (
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each event paired with the customer's latest order at
-    event time (composition: range join + per-event top-1 window, since
-    Spark has no native as-of).
+    event time. Spark has no native as-of; the scalable composition is
+    the union + running-last_value window (the sort-merge as-of):
 
-    Scale path: both sides hash-partition on the key, the window sorts
-    within (event) groups only. For very large fact sides, bucket both
-    tables on the key so the exchange disappears.
+      1. tag both sides and union on (key, time) — orders sort BEFORE
+         events at equal time (inclusive `o_ms <= ts_ms` bound), ties
+         among same-ms orders broken by o_orderkey so the running last
+         is the highest key (same rule as a top-1 by (ms, key) DESC);
+      2. one window per key ordered by time carries the latest order
+         struct forward (last_value ignoreNulls, unbounded-preceding);
+      3. keep event rows with a carried order (inner semantics).
+
+    Scale: ONE shuffle (hash on the key) + per-key sort — cost is
+    O((|events|+|orders|) log) regardless of match fan-in, where the
+    naive range-join + top-1 materializes every (event, earlier-order)
+    pair before trimming (quadratic per hot key at 100 TB). For repeated
+    runs, bucket both tables on the key and the exchange disappears.
     """
     ev = load_events(spark, sf_dir).select(
-        "event_id", "user_id", F.expr("ts DIV 1000000").alias("ts_ms")
+        F.col("user_id").alias("k"),
+        F.expr("ts DIV 1000000").alias("t"),
+        "event_id",
     )
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
+        F.col("o_custkey").alias("k"),
         # parquet ms timestamps read as TIMESTAMP_NTZ; cast (session tz is
         # UTC) so unix_millis applies — matches DuckDB's naive epoch_ms
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_ms"),
-        "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        "o_orderkey",
+        _cents("o_totalprice").alias("order_total_cents"),
     )
-    j = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey) & (orders.o_ms <= F.col("ts_ms")),
-        "inner",
+    tagged = orders.select(
+        "k",
+        "t",
+        F.lit(0).alias("side"),  # orders first at equal time (inclusive asof)
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("t").alias("o_ms"), "o_orderkey", "order_total_cents"
+        ).alias("ord"),
+    ).unionByName(
+        ev.select(
+            "k",
+            "t",
+            F.lit(1).alias("side"),
+            "event_id",
+            F.lit(None)
+            .cast("struct<o_ms:bigint,o_orderkey:bigint,order_total_cents:bigint>")
+            .alias("ord"),
+        )
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_ms"), F.desc("o_orderkey")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", F.col("ord.o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        tagged.withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("last_ord").isNotNull())
         .select(
-            "event_id", "user_id", "ts_ms", "o_orderkey", "o_ms",
-            _cents("o_totalprice").alias("order_total_cents"),
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts_ms"),
+            F.col("last_ord.o_orderkey").alias("o_orderkey"),
+            F.col("last_ord.o_ms").alias("o_ms"),
+            F.col("last_ord.order_total_cents").alias("order_total_cents"),
         )
     )
 

@@ -135,6 +135,19 @@ def test_q_bucketed_join_plan_is_colocated(spark):
     assert plan.count("Exchange") == 1, plan[:2000]
 
 
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The as-of join must plan as union + running last_value window —
+    NO join operator (the range-join + top-1 form materializes every
+    (event, earlier-order) pair before trimming; quadratic per hot key)."""
+    df = relational.q_asof_join(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+    assert "Union" in plan, plan[:2000]
+
+
 def test_top_parts_uses_take_ordered(spark):
     plan = (
         relational.q_top_parts(spark, SF_DIR)
