@@ -69,6 +69,7 @@ def stream_trips_from_wire(
     spark: SparkSession,
     json_dir: str,
     watermark_delay: str = "0 seconds",
+    auto_decompress: bool = False,
     **source_opts,
 ) -> DataFrame:
     """Reference-faithful ingestion: newline JSON wire events (S1/S2) ->
@@ -79,14 +80,24 @@ def stream_trips_from_wire(
 
     source_opts go to the text source (e.g. maxFilesPerTrigger=1 to force
     one micro-batch per chunk file — the knob that makes watermark
-    late-row dropping observable on bounded replays)."""
+    late-row dropping observable on bounded replays).
+
+    auto_decompress=True swaps the text source for the binaryFile +
+    magic-byte path (S4): .snz (snappy-framed, the reference dataset's
+    codec, absent from Hadoop's registry) / .gz / plain chunks all
+    replay identically."""
     from ..schemas import EVENT_SCHEMA
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream
-    for k, v in source_opts.items():
-        reader = reader.option(k, v)
-    raw = reader.text(json_dir)
+    if auto_decompress:
+        from ..sources.compression import stream_text_auto
+
+        raw = stream_text_auto(spark, json_dir, **source_opts)
+    else:
+        reader = spark.readStream
+        for k, v in source_opts.items():
+            reader = reader.option(k, v)
+        raw = reader.text(json_dir)
     ev = (
         raw.select(F.from_json("value", EVENT_SCHEMA).alias("e"))
         .filter(F.col("e").isNotNull() & F.col("e.type").isNotNull())

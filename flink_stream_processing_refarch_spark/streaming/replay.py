@@ -111,10 +111,16 @@ def replay(
     chunk_seconds: int = 600,
     max_chunks: int | None = None,
     pace: bool = False,
+    compress: str | None = None,
 ) -> int:
     """Replay the derived trip stream into ``out_dir`` as newline JSON
     chunk files ordered by dropoff time, one chunk per ``chunk_seconds``
     of event time; sleeps event_time/speedup between chunks when ``pace``.
+
+    ``compress="snz"`` writes snappy-framed chunks (the reference
+    dataset's own codec — StreamPopulator.java:104 reads
+    ``nyc-tlc-trips.snz``; S4 round trip with
+    ``stream_trips_from_wire(auto_decompress=True)``); ``"gz"`` gzips.
 
     Returns the number of events written. The file-streaming source picks
     the chunks up in order, reproducing the Kinesis replay topology.
@@ -141,9 +147,20 @@ def replay(
         )
         rows = to_wire_json(chunk).collect()
         if rows:
-            path = os.path.join(out_dir, f"chunk-{chunk_idx:06d}.json")
-            with open(path, "w") as f:
-                f.write("\n".join(r["value"] for r in rows) + "\n")
+            payload = ("\n".join(r["value"] for r in rows) + "\n").encode()
+            name = f"chunk-{chunk_idx:06d}.json"
+            if compress == "snz":
+                from ..sources.compression import encode_snappy_framed
+
+                payload, name = encode_snappy_framed(payload), name + ".snz"
+            elif compress == "gz":
+                import gzip
+
+                payload, name = gzip.compress(payload), name + ".gz"
+            elif compress is not None:
+                raise ValueError(f"unknown compress codec: {compress!r}")
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(payload)
             n_total += len(rows)
         if pace and speedup > 0:
             time.sleep(chunk_ms / 1000.0 / speedup)

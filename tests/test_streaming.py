@@ -320,6 +320,58 @@ def test_gzip_wire_ingestion_transparent_decompression(spark, tmp_path):
     assert spark.read.text(out).count() == 4
 
 
+def test_snappy_framed_codec_roundtrip():
+    """S4: the snappy framing format codec (the reference dataset's .snz
+    codec, TaxiEventReader.java:108-118 + StreamPopulator.java:104) —
+    encode/decode round trip with CRC-32C verification, skippable-chunk
+    tolerance, and hard errors on corrupt streams."""
+    from flink_stream_processing_refarch_spark.sources import compression as C
+
+    data = b"line one\nline two\n" * 5000  # > one 64 KiB chunk
+    enc = C.encode_snappy_framed(data)
+    assert enc.startswith(b"\xff\x06\x00\x00sNaPpY")
+    assert len(enc) < len(data) // 2  # actually compressed
+    assert C.decode_snappy_framed(enc, verify=True) == data
+
+    # skippable padding chunk (0xfe) is ignored mid-stream
+    padded = enc[:10] + b"\xfe\x03\x00\x00abc" + enc[10:]
+    assert C.decode_snappy_framed(padded, verify=True) == data
+
+    # corrupt payload byte -> CRC failure under verify
+    corrupt = bytearray(enc)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.decode_snappy_framed(bytes(corrupt), verify=True)
+
+    # auto-detection: snz, gzip, plain
+    import gzip as _gzip
+
+    assert C.maybe_decompress(enc) == data
+    assert C.maybe_decompress(_gzip.compress(data)) == data
+    assert C.maybe_decompress(b"just plain text") == b"just plain text"
+
+
+def test_snz_wire_replay_end_to_end(spark, tmp_path):
+    """S4 end to end: replay writes snappy-framed wire chunks, the
+    auto-decompress ingest path replays them through Q1 with results
+    identical to the plain-text path."""
+    from pyspark.sql import functions as F
+
+    plain, snz = str(tmp_path / "plain"), str(tmp_path / "snz")
+    n1 = replay.replay(spark, SF_DIR, plain, adapt="ORIGINAL")
+    n2 = replay.replay(spark, SF_DIR, snz, adapt="ORIGINAL", compress="snz")
+    assert n1 == n2
+    assert glob.glob(snz + "/*.json.snz") and not glob.glob(snz + "/*[!z]")
+
+    def q1(src, **kw):
+        trips = jobs.stream_trips_from_wire(spark, src, **kw)
+        return jobs._run_to_memory(jobs.q1_agg_from_trips(trips))
+
+    expected = _rows(q1(plain))
+    assert expected  # non-degenerate
+    assert _rows(q1(snz, auto_decompress=True)) == expected
+
+
 def test_checkpoint_recovery_resumes_with_state(spark, tmp_path):
     """A6: a restart from the same checkpoint resumes the source offset
     AND the window state — already-emitted windows are not re-emitted,
