@@ -38,14 +38,16 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         qs = entry.queries()
-        # q1_streaming warms the micro-batch engine + RocksDB classes,
-        # stateful_sessionize the python state workers — first-streaming-
-        # query init otherwise lands on whichever query runs first.
+        # q1/q2_streaming warm the micro-batch engine + RocksDB classes +
+        # each query's codegen (q2's airport/duration expression tree
+        # compiles once), stateful_sessionize the python state workers —
+        # first-streaming-query init otherwise lands inside timed runs.
         for wq in (
             "q1_pickup_count",
             "q2_trip_duration",
             "media_features",
             "q1_streaming",
+            "q2_streaming",
             "stateful_sessionize",
         ):
             try:
