@@ -351,6 +351,24 @@ def test_snappy_framed_codec_roundtrip():
     assert C.maybe_decompress(b"just plain text") == b"just plain text"
 
 
+def test_read_text_auto_mixed_codecs(spark, tmp_path):
+    """S4 batch path: one directory mixing plain / .gz / .snz text files
+    reads as a single line stream (executor-side decompress)."""
+    import gzip as _gzip
+
+    from flink_stream_processing_refarch_spark.sources import compression as C
+
+    d = tmp_path / "mixed"
+    os.makedirs(d)
+    payload = ("\n".join(f"line-{i}" for i in range(100)) + "\n").encode()
+    (d / "a.json").write_bytes(payload)
+    (d / "b.json.gz").write_bytes(_gzip.compress(payload))
+    (d / "c.json.snz").write_bytes(C.encode_snappy_framed(payload))
+    df = C.read_text_auto(spark, str(d))
+    assert df.count() == 300
+    assert df.distinct().count() == 100
+
+
 def test_snz_wire_replay_end_to_end(spark, tmp_path):
     """S4 end to end: replay writes snappy-framed wire chunks, the
     auto-decompress ingest path replays them through Q1 with results
