@@ -137,3 +137,63 @@ def test_watermark_delay_monotonicity(spark, tmp_path):
     assert r60 <= r10 <= r0, (r0, r10, r60)
     # no-loss sanity: the zero-delay run emitted all but the last window
     assert len(r0) == 3
+
+
+@given(
+    data=st.binary(min_size=0, max_size=300_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_snappy_framed_roundtrip_any_bytes(data):
+    """5. The snappy framing codec round-trips ARBITRARY byte strings
+    (multi-chunk once > 64 KiB) with CRC verification intact."""
+    from flink_stream_processing_refarch_spark.sources.compression import (
+        decode_snappy_framed,
+        encode_snappy_framed,
+    )
+
+    assert decode_snappy_framed(encode_snappy_framed(data), verify=True) == data
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=10**7), min_size=1, max_size=200
+    ),
+    n_splits=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_incremental_session_merge_equals_batch(ts, n_splits):
+    """6. The sessionizer's incremental fold is order/batching-invariant:
+    merging any chunking of the (sorted) event stream into open-session
+    aggregates yields exactly the batch gaps-and-islands sessions."""
+    from flink_stream_processing_refarch_spark.streaming.jobs import (
+        _SESSION_GAP_US,
+        _merge_sessions,
+    )
+
+    # batch gaps-and-islands reference
+    s = sorted(ts)
+    expected = []
+    start = prev = s[0]
+    n = 1
+    for t in s[1:]:
+        if t - prev >= _SESSION_GAP_US:
+            expected.append([start, prev, n])
+            start, n = t, 0
+        prev = t
+        n += 1
+    expected.append([start, prev, n])
+
+    # incremental: fold arbitrary contiguous chunks of the sorted stream
+    # (watermark ordering guarantee), in order
+    sessions: list[list[int]] = []
+    k = max(1, len(s) // n_splits)
+    for i in range(0, len(s), k):
+        sessions = _merge_sessions(sessions, s[i : i + k])
+    assert sessions == expected
+
+    # and unordered single-batch arrival (within-batch disorder) too
+    import random
+
+    shuffled = list(ts)
+    random.Random(42).shuffle(shuffled)
+    assert _merge_sessions([], shuffled) == expected
