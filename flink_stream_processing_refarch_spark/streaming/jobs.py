@@ -895,7 +895,9 @@ def run_taxi_pipeline(
 
     def relay(sink: EsBulkFileSink, doc_type: str):
         def body(batch_df: DataFrame, epoch_id: int) -> None:
-            write_batch_to_es(batch_df, sink, doc_type)
+            # epoch-addressed bulk files: epoch redelivery on recovery
+            # overwrites, never duplicates (exactly-once to the transport)
+            write_batch_to_es(batch_df, sink, doc_type, epoch_id=epoch_id)
             if collect_results:
                 results[doc_type].extend(batch_df.collect())
 

@@ -13,6 +13,14 @@ newline-delimited JSON bulk files per (index, doc_type, epoch) — the same
 payload shape the reference posts to ``/_bulk`` — so everything up to the
 HTTP call is real and testable. Swapping in the ES connector is a one-line
 ``format("es")`` change.
+
+Delivery semantics: bulk files are EPOCH-ADDRESSED (``bulk-e{epoch}-*``).
+Structured Streaming redelivers a whole epoch on recovery; rewriting that
+epoch's files is idempotent, so the file transport is effectively
+exactly-once — strictly stronger than the reference's at-least-once (its
+flush can acknowledge incompletely, ElasticsearchJestSink.java:98 FIXME).
+Against a real ES cluster the same epoch key becomes the document ``_id``
+prefix, turning redelivery into an upsert.
 """
 
 from __future__ import annotations
@@ -50,7 +58,21 @@ class EsBulkFileSink:
         self._buf: list[str] = []
         self._oldest_ms: float | None = None
         self._flush_seq = 0
+        self._epoch: int | None = None
         os.makedirs(out_dir, exist_ok=True)
+
+    def begin_epoch(self, epoch_id: int) -> None:
+        """Start (or REstart) an epoch: drop any files a previous partial
+        delivery of this epoch wrote, reset the per-epoch flush sequence.
+        Makes epoch redelivery after recovery idempotent."""
+        import glob as _glob
+
+        self._epoch = int(epoch_id)
+        self._flush_seq = 0
+        for stale in _glob.glob(
+            os.path.join(self.out_dir, f"bulk-e{self._epoch:06d}-*.ndjson")
+        ):
+            os.remove(stale)
 
     def add(self, doc_type: str, doc_json: str) -> None:
         # bulk action line + source line, as the reference's Jest Bulk does
@@ -77,7 +99,11 @@ class EsBulkFileSink:
         commit (the snapshotState flush, ElasticsearchJestSink.java:139-148)."""
         if not self._buf:
             return None
-        path = os.path.join(self.out_dir, f"bulk-{self._flush_seq:06d}.ndjson")
+        if self._epoch is not None:
+            name = f"bulk-e{self._epoch:06d}-{self._flush_seq:03d}.ndjson"
+        else:  # non-epoch use (ad-hoc batch writes)
+            name = f"bulk-{self._flush_seq:06d}.ndjson"
+        path = os.path.join(self.out_dir, name)
         with open(path, "w") as f:
             f.write("\n".join(self._buf) + "\n")
         self._buf.clear()
@@ -96,11 +122,17 @@ def docs_as_json(df: DataFrame, doc_type: str) -> DataFrame:
 
 
 def write_batch_to_es(
-    batch_df: DataFrame, sink: EsBulkFileSink, doc_type: str
+    batch_df: DataFrame,
+    sink: EsBulkFileSink,
+    doc_type: str,
+    epoch_id: int | None = None,
 ) -> None:
     """foreachBatch body for one result stream. Aggregated micro-batch
     outputs are tiny (post-HAVING groups), so collecting the serialized
-    docs to the relay is bounded; raw data never passes through here."""
+    docs to the relay is bounded; raw data never passes through here.
+    Passing ``epoch_id`` makes redelivery of the epoch idempotent."""
+    if epoch_id is not None:
+        sink.begin_epoch(epoch_id)
     for row in docs_as_json(batch_df, doc_type).collect():
         sink.add(row["doc_type"], row["doc"])
     sink.flush()

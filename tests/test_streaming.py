@@ -158,6 +158,57 @@ def test_pipeline_stateful_aggregation(spark, tmp_path):
     assert n_docs == res["pickup_count"].count()
 
 
+def test_es_sink_epoch_redelivery_idempotent(spark, tmp_path):
+    """Epoch-addressed bulk files: redelivering the same epoch (Structured
+    Streaming's recovery contract) overwrites instead of appending —
+    exactly-once to the transport, vs the reference's at-least-once
+    (ElasticsearchJestSink.java:98 FIXME)."""
+    from flink_stream_processing_refarch_spark.streaming.sinks import (
+        EsBulkFileSink,
+        write_batch_to_es,
+    )
+
+    sink = EsBulkFileSink(str(tmp_path / "sink"), max_docs=2)  # multi-flush epoch
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    write_batch_to_es(df, sink, "t", epoch_id=7)
+    first = sorted(glob.glob(str(tmp_path / "sink" / "*.ndjson")))
+    assert first and all("bulk-e000007-" in f for f in first)
+    docs0 = sum(len(open(f).read().splitlines()) // 2 for f in first)
+    assert docs0 == 3
+
+    write_batch_to_es(df, sink, "t", epoch_id=7)  # redelivery of epoch 7
+    again = sorted(glob.glob(str(tmp_path / "sink" / "*.ndjson")))
+    docs1 = sum(len(open(f).read().splitlines()) // 2 for f in again)
+    assert docs1 == 3  # no duplicates
+
+    write_batch_to_es(df.limit(1), sink, "t", epoch_id=8)  # next epoch appends
+    all_files = sorted(glob.glob(str(tmp_path / "sink" / "*.ndjson")))
+    docs2 = sum(len(open(f).read().splitlines()) // 2 for f in all_files)
+    assert docs2 == 4
+
+
+def test_pipeline_restart_same_checkpoint_no_duplicates(spark, tmp_path):
+    """A restart of the whole pipeline against the same checkpoint + sink
+    reprocesses nothing (offsets committed) and duplicates nothing."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def n_docs():
+        return sum(
+            len(open(f).read().splitlines()) // 2
+            for f in glob.glob(out + "/*/*.ndjson")
+        )
+
+    jobs.run_taxi_pipeline(
+        spark, SF_DIR, out_dir=out, checkpoint_dir=ckpt, collect_results=False
+    )
+    first = n_docs()
+    assert first > 0
+    jobs.run_taxi_pipeline(
+        spark, SF_DIR, out_dir=out, checkpoint_dir=ckpt, collect_results=False
+    )
+    assert n_docs() == first
+
+
 def test_pipeline_multibatch_windows_span_batches(spark, tmp_path):
     """VERDICT r01 #4: with maxFilesPerTrigger=1 forcing one micro-batch
     per replayed chunk, windows spanning micro-batches still aggregate
