@@ -167,3 +167,55 @@ def replay(
         lo += chunk_ms
         chunk_idx += 1
     return n_total
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Producer CLI — StreamPopulator.main parity
+    (kinesis-taxi-stream-producer/.../StreamPopulator.java:88-115):
+
+      reference flag                      here
+      --------------------------------    ------------------------------
+      -bucket/-prefix (S3 dataset)        --source (testdata sf dir)
+      -stream (Kinesis out)               --out-dir (wire chunk files)
+      -speedup (default 6480)             --speedup
+      -adaptTime ORIGINAL/...             --adapt
+      -seek <timestamp>                   --seek-ms
+      -aggregate (KPL batching)           n/a (file chunks batch by time)
+                                          --compress snz|gz (the dataset's
+                                          own codec, for round-trip tests)
+    """
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--source", required=True, help="testdata sf dir (parquet)")
+    p.add_argument("--out-dir", required=True, help="wire chunk output dir")
+    p.add_argument("--speedup", type=float, default=6480.0)
+    p.add_argument("--adapt", default="ORIGINAL", choices=ADAPT_MODES)
+    p.add_argument("--seek-ms", type=int, default=None)
+    p.add_argument("--chunk-seconds", type=int, default=600)
+    p.add_argument("--max-chunks", type=int, default=None)
+    p.add_argument("--pace", action="store_true")
+    p.add_argument("--compress", default=None, choices=("snz", "gz"))
+    args = p.parse_args(argv)
+
+    spark = get_spark("taxi-replay")
+    spark.sparkContext.setLogLevel("WARN")
+    n = replay(
+        spark,
+        args.source,
+        args.out_dir,
+        speedup=args.speedup,
+        adapt=args.adapt,
+        seek_ms=args.seek_ms,
+        chunk_seconds=args.chunk_seconds,
+        max_chunks=args.max_chunks,
+        pace=args.pace,
+        compress=args.compress,
+    )
+    print(f"replayed {n} events -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
