@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="treat --source as a newline-JSON wire chunk dir (replay output)",
     )
+    p.add_argument(
+        "--auto-decompress",
+        action="store_true",
+        help="with --wire: magic-byte decompression of .snz/.gz chunks (S4)",
+    )
     p.add_argument("--cpus", default=None, help="local parallelism override")
     args = p.parse_args(argv)
 
@@ -77,6 +82,7 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint_dir=args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
         source_format="wire" if args.wire else "parquet",
+        auto_decompress=args.auto_decompress,
         collect_results=False,
     )
     n1 = _count_docs(os.path.join(res["out_dir"], "pickup_count"))

@@ -849,6 +849,7 @@ def run_taxi_pipeline(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     source_format: str = "parquet",
+    auto_decompress: bool = False,
     collect_results: bool = True,
 ) -> dict[str, DataFrame]:
     """The full consumer job (ProcessTaxiStream.main equivalent): Q1 + Q2
@@ -887,7 +888,9 @@ def run_taxi_pipeline(
     if source_format == "parquet":
         trips = stream_clean_trips(spark, sf_dir, **src_opts)
     elif source_format == "wire":
-        trips = stream_trips_from_wire(spark, sf_dir, **src_opts)
+        trips = stream_trips_from_wire(
+            spark, sf_dir, auto_decompress=auto_decompress, **src_opts
+        )
     else:
         raise ValueError(f"unknown source_format: {source_format!r}")
 
