@@ -235,6 +235,29 @@ def test_pipeline_multibatch_windows_span_batches(spark, tmp_path):
     )
 
 
+def test_pipeline_cli_wire_auto_decompress(spark, tmp_path, capsys):
+    """CLI arg wiring end to end: snz-compressed wire chunks through
+    --wire --auto-decompress --checkpoint --max-files-per-trigger."""
+    from flink_stream_processing_refarch_spark import pipeline as cli
+
+    wire = str(tmp_path / "wire")
+    replay.replay(spark, SF_DIR, wire, adapt="ORIGINAL", compress="snz")
+    cli.main([
+        "--source", wire,
+        "--out-dir", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--max-files-per-trigger", "1",
+        "--wire", "--auto-decompress",
+    ])
+    out = capsys.readouterr().out
+    assert "pipeline complete:" in out
+    n1 = int(out.split("pipeline complete: ")[1].split(" ")[0])
+    expected = _rows(
+        _watermark_restricted(spark, taxi.q1_pickup_count(spark, SF_DIR))
+    )
+    assert n1 == len(expected)
+
+
 def test_sessionizer_state_bounded_multibatch(spark, duck, tmp_path):
     """VERDICT r01 #5: the custom sessionizer folds arrivals into open-
     session aggregates (state = O(open sessions), not O(events)) and
