@@ -42,6 +42,10 @@ REFERENCE_START_MS = 1704067200000
 
 ADAPT_MODES = ("ORIGINAL", "INVOCATION", "INGESTION")
 
+# Upper bound on rows a single replay chunk may relay through the driver
+# (the pacing tool writes one file per chunk by design; see replay()).
+MAX_CHUNK_ROWS = 2_000_000
+
 
 def seek(trips: DataFrame, min_dropoff_ms: int) -> DataFrame:
     """Skip events before the target time (TaxiEventReader.seek). The
@@ -145,7 +149,17 @@ def replay(
         chunk = trips.filter(
             (F.col("dropoff_ms") >= lo) & (F.col("dropoff_ms") < lo + chunk_ms)
         )
-        rows = to_wire_json(chunk).collect()
+        # Driver-side relay is intentional here: the producer's job is ONE
+        # paced wire file per event-time chunk (StreamPopulator's serial
+        # put loop), and chunks are bounded by chunk_seconds. The guard
+        # keeps a mis-sized chunk from silently OOMing the driver —
+        # shrink chunk_seconds rather than raising the cap.
+        rows = to_wire_json(chunk).limit(MAX_CHUNK_ROWS + 1).collect()
+        if len(rows) > MAX_CHUNK_ROWS:
+            raise ValueError(
+                f"replay chunk at {lo} exceeds {MAX_CHUNK_ROWS} rows; "
+                "reduce chunk_seconds (driver-relay guard)"
+            )
         if rows:
             payload = ("\n".join(r["value"] for r in rows) + "\n").encode()
             name = f"chunk-{chunk_idx:06d}.json"
