@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from flink_stream_processing_refarch_spark.operators import contamination as contam_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
@@ -102,8 +103,12 @@ PRIORITY = [
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
-    # ---- entries below are past the driver's 50-entry window: r01-green
-    # Catalyst built-ins, still inventory-complete and pytest-covered ----
+    # ---- entries below are past the driver's 50-entry window ----
+    # New this round (rotate INTO the window next round, swapping out the
+    # re-proved relational entries above once their r02 rows are green):
+    "decontaminate",
+    "vocab_stats",
+    # r01-green Catalyst built-ins, inventory-complete and pytest-covered:
     "cube_orders",
     "distinct_counts",
     "semi_join",
@@ -144,6 +149,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(subqueries.QUERIES)
     out.update(text_ops.QUERIES)
+    out.update(contam_ops.QUERIES)
     out.update(dedup_ops.QUERIES)
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
@@ -181,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(subqueries.ORACLES)
     out.update(text_ops.ORACLES)
+    out.update(contam_ops.ORACLES)
     out.update(dedup_ops.ORACLES)
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)

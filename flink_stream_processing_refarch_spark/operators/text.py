@@ -300,8 +300,45 @@ WHERE keep GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (token -> term/document frequency)
+# ---------------------------------------------------------------------------
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary table: per token, total occurrences and the
+    number of documents containing it — the input to BPE vocab builds,
+    stopword induction, and df-based quality filters.
+
+    Scale shape: the explode is narrow (executor-side fan-out at the
+    scan, text never shuffled); ``count`` gets a map-side partial
+    aggregate, and ``countDistinct(doc_id)`` becomes Spark's two-stage
+    distinct-then-count expansion — both exchanges carry (word, doc_id)
+    pairs at most, never text. Output cardinality = |vocab|, which is
+    bounded (~100k-1M tokens) regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(words_expr("text", "spark"))).alias("word"),
+    )
+    return tok.groupBy("word").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+VOCAB_STATS_SQL = f"""
+SELECT word, count(*) AS term_freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest({words_expr('text', 'duckdb')}) AS word
+      FROM documents)
+GROUP BY word
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
+    "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -311,6 +348,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": _token_stats_sql(),
+    "vocab_stats": VOCAB_STATS_SQL,
     "quality_score": _quality_score_sql(),
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": _doc_fingerprint_sql(),

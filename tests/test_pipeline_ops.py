@@ -7,6 +7,7 @@ import pytest
 from conftest import SF_DIR, assert_matches_oracle
 
 from flink_stream_processing_refarch_spark.operators import (
+    contamination,
     dedup,
     multimodal,
     similarity,
@@ -16,6 +17,8 @@ from flink_stream_processing_refarch_spark.operators import (
 ALL = [
     ("text", name) for name in sorted(text.ORACLES)
 ] + [
+    ("contamination", name) for name in sorted(contamination.ORACLES)
+] + [
     ("dedup", name) for name in sorted(dedup.ORACLES)
 ] + [
     ("similarity", name) for name in sorted(similarity.ORACLES)
@@ -24,6 +27,7 @@ ALL = [
 ]
 MODS = {
     "text": text,
+    "contamination": contamination,
     "dedup": dedup,
     "similarity": similarity,
     "multimodal": multimodal,
@@ -99,6 +103,38 @@ def test_embedding_quantize_codes_in_range(spark):
 def test_ann_cosines_are_valid(spark):
     for r in similarity.q_ann_lsh(spark, SF_DIR).collect():
         assert -1.000001 <= r.cos_sim <= 1.000001
+
+
+def test_decontaminate_flags_only_training_docs(spark):
+    """Eval-split docs are never flagged; ratios are exact-int quotients
+    in (0, 1]; matched count never exceeds the doc's shingle count."""
+    rows = contamination.q_decontaminate(spark, SF_DIR).collect()
+    assert rows, "synthetic corpus should produce some contamination"
+    for r in rows:
+        assert r.doc_id % contamination.EVAL_MOD != 0
+        assert 1 <= r.n_matched <= r.n_shingles
+        assert 0.0 < r.contamination <= 1.0
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval shingle set must reach the probe side as a broadcast —
+    at 100 TB the training shingles never shuffle for this join."""
+    df = contamination.q_decontaminate(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_stats_totals_tie_out(spark):
+    """sum(term_freq) over the vocab == sum of per-doc token counts, and
+    doc_freq is bounded by term_freq and the corpus size."""
+    vocab = text.q_vocab_stats(spark, SF_DIR).collect()
+    n_docs = text.q_token_stats(spark, SF_DIR).count()
+    total_tokens = sum(
+        r.n_tokens for r in text.q_token_stats(spark, SF_DIR).collect()
+    )
+    assert sum(r.term_freq for r in vocab) == total_tokens
+    for r in vocab:
+        assert 1 <= r.doc_freq <= min(r.term_freq, n_docs)
 
 
 def test_decode_real_is_stubbed():
