@@ -108,6 +108,7 @@ PRIORITY = [
     # re-proved relational entries above once their r02 rows are green):
     "decontaminate",
     "vocab_stats",
+    "corpus_build",
     # r01-green Catalyst built-ins, inventory-complete and pytest-covered:
     "cube_orders",
     "distinct_counts",

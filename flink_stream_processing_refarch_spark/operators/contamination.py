@@ -117,5 +117,97 @@ GROUP BY tr.doc_id
 """
 
 
-QUERIES = {"decontaminate": q_decontaminate}
-ORACLES = {"decontaminate": _decontaminate_sql()}
+# ---------------------------------------------------------------------------
+# Composed corpus build: quality filter -> exact-dedup survivorship ->
+# decontamination gate -> per-source training mix. The end-to-end corpus
+# selection as ONE declarative plan (training_mix plus the decontamination
+# stage this module adds).
+# ---------------------------------------------------------------------------
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/token totals of training docs (eval split excluded)
+    that pass the quality filter, survive exact dedup, and share no
+    n-gram with the eval set.
+
+    Shuffle shape at 100 TB: quality features and the content hash are
+    narrow at the scan; the dedup exchange carries (hash, id, source,
+    n_tokens); the decontamination stage is the broadcast-probe from
+    ``q_decontaminate``; the final anti-join shuffles two-bigint
+    (doc_id) rows; the rollup reduces map-side to |sources| rows. The
+    text column never crosses any exchange.
+    """
+    from .text import _exprs
+
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
+        f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
+        f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
+    )
+    scored = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.md5("text").alias("h"),
+        "doc_id",
+        "source",
+        F.expr(e["n_words"]).alias("n_tokens"),
+        F.expr(keep).alias("keep"),
+    )
+    surv = scored.groupBy("h").agg(
+        F.min_by(
+            F.struct("doc_id", "source", "n_tokens", "keep"), F.col("doc_id")
+        ).alias("s")
+    ).select("s.*")
+    contaminated = q_decontaminate(spark, sf_dir).select("doc_id")
+    return (
+        surv.filter(F.col("keep"))
+        .join(contaminated, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _corpus_build_sql() -> str:
+    from .text import _exprs
+
+    e = _exprs("duckdb")
+    return f"""
+WITH scored AS (
+  SELECT md5(text) AS h, doc_id, source,
+         {e['n_words']} AS n_tokens,
+         CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000
+              AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}
+                  >= CAST(0.01 AS DOUBLE)
+              THEN true ELSE false END AS keep
+  FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+),
+surv AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h),
+base AS (
+  SELECT doc_id, {_shingles('duckdb')} AS sh FROM documents
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM base WHERE doc_id % {EVAL_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(sh) AS g FROM base
+        WHERE doc_id % {EVAL_MOD} <> 0) tr
+  JOIN ev USING (g)
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM scored JOIN surv USING (h, doc_id)
+WHERE keep AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "corpus_build": q_corpus_build,
+}
+ORACLES = {
+    "decontaminate": _decontaminate_sql(),
+    "corpus_build": _corpus_build_sql(),
+}

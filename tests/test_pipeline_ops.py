@@ -124,6 +124,19 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_corpus_build_is_a_training_mix_subset(spark):
+    """The decontamination + eval-split gates only remove docs: per
+    source, corpus_build totals are bounded by training_mix totals."""
+    mix = {
+        r.source: (r.n_docs, r.total_tokens)
+        for r in text.q_training_mix(spark, SF_DIR).collect()
+    }
+    for r in contamination.q_corpus_build(spark, SF_DIR).collect():
+        n_docs, total_tokens = mix[r.source]
+        assert r.n_docs <= n_docs
+        assert r.total_tokens <= total_tokens
+
+
 def test_vocab_stats_totals_tie_out(spark):
     """sum(term_freq) over the vocab == sum of per-doc token counts, and
     doc_freq is bounded by term_freq and the corpus size."""
