@@ -109,6 +109,7 @@ PRIORITY = [
     "decontaminate",
     "vocab_stats",
     "corpus_build",
+    "corpus_ingest_streaming",
     # r01-green Catalyst built-ins, inventory-complete and pytest-covered:
     "cube_orders",
     "distinct_counts",

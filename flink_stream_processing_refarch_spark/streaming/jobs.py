@@ -207,9 +207,13 @@ def q2_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 4
 
 
-def _run_to_memory(df: DataFrame, use_rocksdb: bool = True) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, use_rocksdb: bool = True, output_mode: str = "append"
+) -> DataFrame:
     """Run a bounded streaming query (availableNow) into a memory sink and
-    return the final result as a batch DataFrame."""
+    return the final result as a batch DataFrame. ``output_mode``:
+    'append' for watermark-finalized streams, 'complete' for running
+    (non-windowed) aggregations whose latest snapshot is the result."""
     spark = df.sparkSession
     if use_rocksdb:
         spark.conf.set(
@@ -233,7 +237,7 @@ def _run_to_memory(df: DataFrame, use_rocksdb: bool = True) -> DataFrame:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -498,6 +502,111 @@ def streaming_dedup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(streaming_dedup_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingest: the LLM-data-pipeline selection stage
+# (quality filter -> local exact dedup -> per-source running totals)
+# as a Structured Streaming job over arriving document files.
+# ---------------------------------------------------------------------------
+
+# documents.parquet physical schema (plain types; no nanos column)
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, **source_opts
+) -> DataFrame:
+    """File-based streaming source over the documents table — the local
+    stand-in for a corpus landing zone (S3 prefix / Kafka topic) that new
+    crawl shards arrive in."""
+    reader = spark.readStream.schema(DOCS_SCHEMA).option(
+        "pathGlobFilter", "documents.parquet"
+    )
+    for k, v in source_opts.items():
+        reader = reader.option(k, v)
+    return reader.parquet(sf_dir)
+
+
+def corpus_ingest_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source running (n_docs, total_tokens) of quality-keep docs
+    after WITHIN-SOURCE exact dedup — the streaming front half of
+    ``operators/contamination.q_corpus_build``.
+
+    Dedup is keyed (source, content-hash), not global: the survivor of a
+    cross-source duplicate under global streaming dedup is arrival-order-
+    dependent, while the within-source key makes every emitted row a
+    deterministic function of the data. This mirrors production sharded
+    ingest: a local dedup pass at the landing zone, with global
+    survivorship in the batch corpus build.
+
+    State shape: dedup state is one row per distinct (source, hash) —
+    on an unbounded stream, swap ``dropDuplicates`` for
+    ``dropDuplicatesWithinWatermark`` on ingest time to bound it; the
+    running totals state is |sources| rows. Text never crosses a
+    shuffle: the hash, token count, and keep flag are computed at the
+    source, and the dedup exchange carries (source, h, n_tokens) only.
+    """
+    return corpus_ingest_from_stream(stream_documents(spark, sf_dir))
+
+
+def corpus_ingest_from_stream(docs: DataFrame) -> DataFrame:
+    """The ingest transformation over any documents stream (source-
+    agnostic: file landing zone here, Kafka/Kinesis in production)."""
+    from ..operators.text import _exprs
+
+    e = _exprs("spark")
+    keep = (
+        f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
+        f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
+        f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
+    )
+    scored = docs.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.expr(e["n_words"]).alias("n_tokens"),
+        F.expr(keep).alias("keep"),
+    ).filter(F.col("keep"))
+    deduped = scored.dropDuplicates(["source", "h"])
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def q_corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the corpus-ingest stream (complete mode: the
+    running per-source totals are the result, not an append log)."""
+    return _run_to_memory(
+        corpus_ingest_stream_df(spark, sf_dir), output_mode="complete"
+    )
+
+
+def _corpus_ingest_sql() -> str:
+    from ..operators.text import _exprs
+
+    e = _exprs("duckdb")
+    return f"""
+WITH scored AS (
+  SELECT source, md5(text) AS h, {e['n_words']} AS n_tokens
+  FROM documents
+  WHERE {e['n_words']} >= 20 AND {e['n_words']} <= 1000
+    AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']} >= CAST(0.01 AS DOUBLE)
+),
+ded AS (
+  SELECT source, h, min(n_tokens) AS n_tokens FROM scored GROUP BY source, h
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM ded GROUP BY source
+"""
 
 
 STREAMING_DEDUP_SQL = """
@@ -820,6 +929,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_stream_left_join": q_stream_stream_left_join,
     "streaming_dedup": q_streaming_dedup,
+    "corpus_ingest_streaming": q_corpus_ingest_streaming,
     "stateful_sessionize": q_stateful_sessionize,
     "session_windows_streaming": q_session_windows_streaming,
 }
@@ -832,6 +942,7 @@ ORACLES = {
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
+    "corpus_ingest_streaming": _corpus_ingest_sql(),
     "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
     # built-in session_window closes sessions by the identical watermark
     # rule the custom operator implements -> same oracle
