@@ -110,6 +110,7 @@ PRIORITY = [
     "vocab_stats",
     "corpus_build",
     "corpus_ingest_streaming",
+    "global_row_number",
     # r01-green Catalyst built-ins, inventory-complete and pytest-covered:
     "cube_orders",
     "distinct_counts",

@@ -118,14 +118,77 @@ GROUP BY lang, split
 """
 
 
+ID_BUCKETS = 32  # parallelism of the numbering phase
+
+
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers in doc_id order — the stable-ID
+    assignment step of a corpus build (rows -> training-example ids).
+
+    The naive plan, ``row_number() OVER (ORDER BY doc_id)`` with no
+    PARTITION BY, funnels the entire corpus through ONE reducer — the
+    classic 100 TB scale-killer. This is the two-phase fix as one fully
+    declarative plan (no driver actions, no literals):
+
+      1. range-bucket the key: min/max arrive per-row via a broadcast
+         1-row cross join feeding uniform ``width_bucket`` (swap in
+         percentile boundaries for skewed keys — correctness never
+         depends on the boundary choice, only skew balance does,
+         because offsets are counted per the same bucket definition);
+      2. per-bucket counts roll up map-side to ID_BUCKETS rows, and the
+         cumulative-offset window runs over that METADATA-sized
+         relation (the single-partition window touches O(buckets)
+         rows, never data);
+      3. rows are numbered within each bucket in parallel and shifted
+         by the bucket's broadcast offset.
+
+    One data shuffle total (hash on bucket for the per-bucket sort).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    withb = (
+        docs.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "bucket",
+            F.expr(f"width_bucket(doc_id, lo, hi + 1, {ID_BUCKETS})"),
+        )
+        .drop("lo", "hi")
+    )
+    counts = withb.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        withb.join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("off")).cast("bigint").alias("rn"),
+        )
+    )
+
+
+GLOBAL_ROW_NUMBER_SQL = """
+SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+FROM documents
+"""
+
+
 QUERIES = {
     "split_train_test": q_split_train_test,
+    "global_row_number": q_global_row_number,
     "split_counts": q_split_counts,
     "stratified_cap": q_stratified_cap,
 }
 
 ORACLES = {
     "split_train_test": SPLIT_TRAIN_TEST_SQL,
+    "global_row_number": GLOBAL_ROW_NUMBER_SQL,
     "split_counts": SPLIT_COUNTS_SQL,
     "stratified_cap": STRATIFIED_CAP_SQL,
 }

@@ -54,6 +54,20 @@ def test_split_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_global_row_number_avoids_global_sort(spark):
+    """The data path must never range-shuffle into one reducer: no
+    rangepartitioning exchange anywhere, and the bucket window's hash
+    exchange is present — the two-phase shape, not the naive plan."""
+    plan = (
+        sampling.q_global_row_number(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(bucket" in plan
+
+
 def test_stratified_cap_respects_cap(spark):
     df = sampling.q_stratified_cap(spark, SF_DIR)
     counts = df.groupBy("lang", "source").count().collect()
