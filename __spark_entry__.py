@@ -111,6 +111,7 @@ PRIORITY = [
     "corpus_build",
     "corpus_ingest_streaming",
     "global_row_number",
+    "repetition_score",
     # r01-green Catalyst built-ins, inventory-complete and pytest-covered:
     "cube_orders",
     "distinct_counts",

@@ -301,6 +301,89 @@ WHERE keep GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Repetition scoring (duplicate n-gram mass — the Gopher-style
+# "repetitious document" filter, complementary to q_quality_score)
+# ---------------------------------------------------------------------------
+
+def _rep_exprs(dialect: str, w: int = 2) -> dict[str, str]:
+    """Duplicate word-``w``-gram fraction: 1 - distinct/total grams.
+    Boilerplate/spam/template pages repeat phrases; prose doesn't."""
+    ws = words_expr("text", dialect)
+    if dialect == "spark":
+        grams = (
+            f"transform(sequence(0, size({ws}) - {w}), i -> "
+            f"concat_ws(' ', slice({ws}, i + 1, {w})))"
+        )
+        guard = f"size({ws}) >= {w}"
+    else:
+        grams = (
+            f"list_transform(range(1, len({ws}) - {w - 2}), i -> "
+            f"array_to_string(list_slice({ws}, i, i + {w - 1}), ' '))"
+        )
+        guard = f"len({ws}) >= {w}"
+    n_grams = f"CAST({arr_len(grams, dialect)} AS BIGINT)"
+    n_distinct = (
+        f"CAST({arr_len(f'{_lst(dialect)}({grams})', dialect)} AS BIGINT)"
+    )
+    return {
+        "guard": guard,
+        "grams": grams,
+        "n_grams": n_grams,
+        "n_distinct": n_distinct,
+    }
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-bigram fraction + keep flag. Pure column exprs:
+    the gram set never leaves its row (no explode, no shuffle) — at
+    100 TB this is a scan-speed map like the other quality features.
+    The gram array and the ratio are materialized once per row (array
+    HOFs are interpreted, so leaning on common-subexpression
+    elimination recomputes them per use — measured ~4x slower)."""
+    e = _rep_exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr(e["guard"]).alias("__ok"),
+        F.expr(e["grams"]).alias("__g"),
+    ).select(
+        "doc_id",
+        "__ok",
+        F.size("__g").cast("bigint").alias("__n"),
+        F.size(F.array_distinct("__g")).cast("bigint").alias("__d"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN __ok THEN CAST(__n - __d AS DOUBLE) / __n"
+            " ELSE CAST(0 AS DOUBLE) END"
+        ).alias("dup_gram_ratio"),
+    )
+    return staged.select(
+        "doc_id",
+        "dup_gram_ratio",
+        F.expr(
+            "CASE WHEN dup_gram_ratio <= CAST(0.5 AS DOUBLE) THEN true"
+            " ELSE false END"
+        ).alias("keep"),
+    )
+
+
+def _repetition_score_sql() -> str:
+    e = _rep_exprs("duckdb")
+    return f"""
+SELECT doc_id, dup_gram_ratio,
+       CASE WHEN dup_gram_ratio <= CAST(0.5 AS DOUBLE) THEN true ELSE false END AS keep
+FROM (
+  SELECT doc_id,
+         CASE WHEN {e['guard']}
+              THEN CAST({e['n_grams']} - {e['n_distinct']} AS DOUBLE) / {e['n_grams']}
+              ELSE CAST(0 AS DOUBLE) END AS dup_gram_ratio
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus vocabulary statistics (token -> term/document frequency)
 # ---------------------------------------------------------------------------
 
@@ -340,6 +423,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
+    "repetition_score": q_repetition_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "udtf_word_positions": q_udtf_word_positions,
@@ -350,6 +434,7 @@ ORACLES = {
     "token_stats": _token_stats_sql(),
     "vocab_stats": VOCAB_STATS_SQL,
     "quality_score": _quality_score_sql(),
+    "repetition_score": _repetition_score_sql(),
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": _doc_fingerprint_sql(),
     "udtf_word_positions": UDTF_WORD_POSITIONS_SQL,
