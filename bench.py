@@ -9,14 +9,23 @@ Runs every query in ``__spark_entry__.queries()`` at
 ``value`` is the summed wall time of the headline reference queries
 (q1 + q2), the number BASELINE.md's derived events/s target applies to;
 per-query times for the whole surface are in ``queries``.
+
+Each query is executed ``N_RUNS`` times and the MEDIAN wall time is
+reported (single-shot walls at 0.5-5 s vary ±20-40% with JVM/GC/OS
+noise on this box, which would drown real round-over-round changes;
+the median is the standard robust estimator and is reported for every
+query identically).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+N_RUNS = 3  # runs per query; the reported time is the median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,16 +66,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materializes the full plan; results are aggregates
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # materializes the plan; results are aggregates
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        print(
+            f"# {name}: {n} rows; median {timings[name]}s of "
+            f"{[round(r, 3) for r in runs]}",
+            file=sys.stderr,
+        )
 
     headline = sum(timings.get(q, 0.0) for q in HEADLINE)
     total = sum(timings.values())
     out = {
-        "metric": "taxi q1+q2 wall time (headline); all queries in 'queries'",
+        "metric": (
+            "taxi q1+q2 wall time, median of "
+            f"{N_RUNS} runs/query (headline); all queries in 'queries'"
+        ),
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
