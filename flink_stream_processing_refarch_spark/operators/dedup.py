@@ -38,6 +38,7 @@ from ..schemas import load_table
 
 N_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
+LSH_BUCKET_CAP = 64   # drop band buckets larger than this (see LSH query)
 SIMHASH_BITS = 32
 SIM_HAMMING_MAX = 3
 
@@ -199,6 +200,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures become a materialized TABLE (written once at ingest), which
     has the sharing benefit without the in-memory cache cost.
     """
+    from pyspark.sql import Window
+
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -214,6 +217,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+    # Degenerate-bucket cap: a hot band hash (boilerplate/empty templates
+    # at web scale) would emit |bucket|^2/2 candidate pairs from the
+    # self-join — THE quadratic blowup that kills banded LSH at 100 TB.
+    # Buckets larger than LSH_BUCKET_CAP are dropped (their members are
+    # head-of-distribution near-identical docs, handled by exact dedup);
+    # the count window partitions on the join key, so it rides the same
+    # exchange the self-join needs anyway. No-op on the test corpora
+    # (max observed bucket = 16 at sf0.1) and mirrored in the oracle.
+    bands = (
+        bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "bh"))
+        )
+        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -249,6 +267,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle mirror of the degenerate-bucket cap (see q_dedup_minhash_lsh).
+def _bands_ok_cte() -> str:
+    return f"""bands_ok AS (
+  SELECT band, bh, doc_id FROM (
+    SELECT band, bh, doc_id, count(*) OVER (PARTITION BY band, bh) AS bsz
+    FROM bands)
+  WHERE bsz <= {LSH_BUCKET_CAP}
+)"""
+
+
 def _lsh_pairs_sql(dialect: str = "duckdb") -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {_band_expr(dialect, b)} AS bh FROM sigs"
@@ -262,9 +290,10 @@ def _lsh_pairs_sql(dialect: str = "duckdb") -> str:
 WITH corpus AS ({{corpus}}),
 sigs AS ({_signatures_sql(dialect)}),
 bands AS ({band_rows}),
+{_bands_ok_cte()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
@@ -425,9 +454,10 @@ NGRAM_JACCARD_SQL_T = """
 WITH corpus AS ({corpus}),
 sigs AS ({sigs}),
 bands AS ({band_rows}),
+""" + _bands_ok_cte() + """,
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
 wsets AS (
@@ -518,9 +548,10 @@ DEDUP_CLUSTERS_SQL_T = """
 WITH RECURSIVE corpus AS ({corpus}),
 sigs AS ({sigs}),
 bands AS ({band_rows}),
+""" + _bands_ok_cte() + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
 wsets AS (

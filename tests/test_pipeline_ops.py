@@ -70,6 +70,16 @@ def test_lsh_catches_exact_dups(spark):
         assert est[(d, d + 1000000)] == 1.0
 
 
+def test_lsh_bucket_cap_gates_candidate_join(spark, monkeypatch):
+    """With the cap forced to 1, every band bucket that could produce a
+    pair (size >= 2) is dropped, so the candidate join must emit ZERO
+    pairs — proving the degenerate-bucket guard actually bounds the
+    self-join (at the default cap of 64 it is a no-op on this corpus,
+    which the oracle-parity and injected-dup tests pin down)."""
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 1)
+    assert dedup.q_dedup_minhash_lsh(spark, SF_DIR).count() == 0
+
+
 def test_dedup_clusters_merge_transitive_chains(spark):
     """doc ~ doc+1M (exact) and doc ~ doc+2M (near) implies all three get
     one cluster_id even though (doc+1M, doc+2M) may never pair directly —
