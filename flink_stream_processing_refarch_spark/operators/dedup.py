@@ -362,6 +362,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair within Hamming distance 3 of 32 bits agrees exactly on at least
     one half), then exact Hamming check <= 3.
 
+    Scale note: blocking is an EXACT pigeonhole guarantee, so a bucket
+    cap would silently lose pairs — the correct 100 TB mitigations keep
+    exactness: a 64-bit simhash split into four 16-bit blocks (pairs
+    within Hamming 3 still agree on >= 1 block, buckets shrink 65536x
+    per extra block) and/or recursive splitting of hot blocks on a
+    second key. Half-key skew here is data skew, not a plan defect.
+
     (Measured: persisting the signature relation here HURTS — the cache
     materialization serializes a 3-partition write and breaks stage
     pipelining; recomputing both join sides is cheaper. Contrast with the
@@ -613,6 +620,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is bucketed on (band, code). Candidate recall is tunable
     via bands x bits; the oracle mirrors the same candidate rule, so
     results are deterministic, not best-effort.
+
+    Cost honesty: with 2 sign bits per band the bucket distribution is
+    the cost driver — clustered embeddings (this testdata: ~29% of
+    vectors share a code) make the candidate set dense, which is
+    inherent to "emit every near-dup pair" over clustered data. The
+    scale knobs, in order: widen the code (8-16 bits/band shrinks
+    buckets exponentially for spread data), apply the minhash-style
+    bucket cap (`LSH_BUCKET_CAP`) against degenerate spikes, and feed
+    pairs straight into clustering instead of materializing them.
     """
     from .similarity import _dot_spark
 
