@@ -112,6 +112,7 @@ PRIORITY = [
     "corpus_ingest_streaming",
     "global_row_number",
     "repetition_score",
+    "length_histogram",
     # r01-green Catalyst built-ins, inventory-complete and pytest-covered:
     "cube_orders",
     "distinct_counts",

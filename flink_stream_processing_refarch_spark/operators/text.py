@@ -384,6 +384,43 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Corpus QA: document-length histogram per source
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_WIDTH = 50  # chars per histogram bucket
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution per source — the QA report behind length
+    cutoffs in quality filters. Fixed-width buckets (not width_bucket
+    over observed min/max: fixed edges keep rounds and engines
+    comparable). Narrow bucket expr + one map-combinable aggregation;
+    output is O(sources x buckets) regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.expr(
+                f"(CAST(length(text) AS BIGINT) DIV {LEN_BUCKET_WIDTH})"
+                f" * {LEN_BUCKET_WIDTH}"
+            ).alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+SELECT source,
+       (CAST(length(text) AS BIGINT) // {LEN_BUCKET_WIDTH}) * {LEN_BUCKET_WIDTH}
+         AS len_bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, len_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus vocabulary statistics (token -> term/document frequency)
 # ---------------------------------------------------------------------------
 
@@ -426,6 +463,7 @@ QUERIES = {
     "repetition_score": q_repetition_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "length_histogram": q_length_histogram,
     "udtf_word_positions": q_udtf_word_positions,
     "training_mix": q_training_mix,
 }
@@ -437,6 +475,7 @@ ORACLES = {
     "repetition_score": _repetition_score_sql(),
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": _doc_fingerprint_sql(),
+    "length_histogram": LENGTH_HISTOGRAM_SQL,
     "udtf_word_positions": UDTF_WORD_POSITIONS_SQL,
     "training_mix": _training_mix_sql(),
 }
