@@ -21,10 +21,11 @@ Scale shape at 100 TB:
   - The final per-doc count is map-side combinable (partial aggregation
     before the exchange).
 
-Reference parity: nearest analogue is the reference's filter+keyBy
-pattern (kinesis-analytics-taxi-consumer ProcessTaxiStream.java:124-139)
-— this operator generalizes it to a set-membership filter against a
-broadcast dimension built in the same query.
+Reference parity: nearest analogue is the reference's predicate chain +
+keyed aggregation (flink-taxi-stream-processor/.../ProcessTaxiStream.java:90-106),
+whose geo filters test membership in constant cell sets built at
+class-load (GeoUtils.java:28-43) — this operator generalizes that fixed
+membership set to a broadcast dimension built in the same query.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import words_expr
-from ..schemas import load_table
+from ..schemas import load_table, spread
 
 EVAL_MOD = 97  # ~1% of docs act as the held-out eval set
 NGRAM = 3      # shingle width in words
@@ -66,10 +67,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs that share ≥1 word n-gram with the eval split:
     (doc_id, n_shingles, n_matched, contamination ratio)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Single-file testdata scans as 1 partition; spread the CPU-bound
-    # shingle transform across cores (no-op at real scale — see
-    # dedup.corpus_df for the measured rationale).
-    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    # Single-file testdata scans as 1 partition; spread() repartitions
+    # ONLY in that starved case (gated on the scan's partition count), so
+    # the at-scale plan has no exchange upstream of the shingle
+    # projection — text never crosses a shuffle there. Project down to
+    # (doc_id, text) first so even the local exchange carries no extras.
+    base = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_shingles("spark")).alias("sh")
     )
     ev = (

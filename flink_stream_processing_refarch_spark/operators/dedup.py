@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import TOKENS, arr_len, arr_min, arr_transform, words_expr
-from ..schemas import load_table
+from ..schemas import load_table, spread
 
 N_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
@@ -71,12 +71,10 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The documents table is one small parquet file, so each union branch
     # scans as a single partition — 3 tasks total, starving the md5/
     # shingle map work (measured: 10x under-parallelized at local[32]).
-    # Round-robin repartition spreads the CPU-bound hashing across all
-    # cores; at 100 TB the scan has thousands of splits and this becomes
-    # a no-op knob.
-    return spark.sql(corpus_sql("spark")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread() round-robins across cores ONLY in that starved case; at
+    # 100 TB the scan has thousands of splits and no exchange is added —
+    # document text never crosses a shuffle in the at-scale plan.
+    return spread(spark.sql(corpus_sql("spark")))
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,19 @@ def load_table(spark, sf_dir: str, name: str):
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df):
+    """Round-robin repartition ONLY when the scan is under-parallelized.
+
+    The local testdata tables are single-file / single-row-group parquet,
+    so they scan as 1-3 partitions and starve CPU-bound map work (md5,
+    shingling) at local[32]. At real scale the scan has >= cores splits
+    and this returns the input unchanged — so wide columns (document
+    text) never cross a repartition exchange in the at-scale plan; the
+    exchange exists only in the starved-scan local case. Callers should
+    project down to the columns they need *before* calling.
+    """
+    sess = df.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df

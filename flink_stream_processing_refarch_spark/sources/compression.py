@@ -149,18 +149,40 @@ def encode_snappy_framed(data: bytes) -> bytes:
 
 def maybe_decompress(data: bytes) -> bytes:
     """Auto-detect by magic bytes and decompress; pass unknown data
-    through unchanged (TaxiEventReader.java:112-117's catch-and-continue)."""
-    if data.startswith(_SNAPPY_MAGIC[:4]):
-        return decode_snappy_framed(data)
-    if data.startswith(_GZIP_MAGIC):
-        import gzip
+    through unchanged, and fall back to the raw bytes when a stream that
+    *looked* compressed fails to inflate (truncation/corruption) — the
+    full catch-and-fall-back-to-plain contract of
+    TaxiEventReader.java:112-117, where CompressorStreamFactory failure
+    of any kind downgrades to reading the object as plain text."""
+    try:
+        if data.startswith(_SNAPPY_MAGIC[:4]):
+            return decode_snappy_framed(data)
+        if data.startswith(_GZIP_MAGIC):
+            import gzip
 
-        return gzip.decompress(data)
-    if data.startswith(_BZIP2_MAGIC):
-        import bz2
+            return gzip.decompress(data)
+        if data.startswith(_BZIP2_MAGIC):
+            import bz2
 
-        return bz2.decompress(data)
+            return bz2.decompress(data)
+    except (ValueError, OSError, EOFError):
+        return data
     return data
+
+
+def _decode_lines(content) -> list[str]:
+    """Decompress one file's bytes and split into text lines.
+
+    Splits on ``'\\n'`` only (with a single trailing ``'\\r'`` stripped,
+    Hadoop LineRecordReader style) — NOT ``str.splitlines()``, which
+    would also break on Unicode line separators (U+2028/U+2029, \\x0b,
+    \\x85, ...) that ``spark.read.text`` treats as ordinary in-line
+    characters; a JSON payload legally containing one must survive
+    intact or plain vs compressed replays of the same data diverge."""
+    text = maybe_decompress(bytes(content)).decode("utf-8")
+    return [
+        ln[:-1] if ln.endswith("\r") else ln for ln in text.split("\n")
+    ]
 
 
 def read_text_auto(spark, path: str, glob: str | None = None):
@@ -182,8 +204,7 @@ def read_text_auto(spark, path: str, glob: str | None = None):
 
         for pdf in batches:
             for content in pdf["content"]:
-                text = maybe_decompress(bytes(content)).decode("utf-8")
-                lines = text.splitlines()
+                lines = _decode_lines(content)
                 if lines:
                     yield pd.DataFrame({"value": lines})
 
@@ -214,8 +235,7 @@ def stream_text_auto(spark, path: str, glob: str | None = None, **source_opts):
 
         for pdf in batches:
             for content in pdf["content"]:
-                text = maybe_decompress(bytes(content)).decode("utf-8")
-                lines = text.splitlines()
+                lines = _decode_lines(content)
                 if lines:
                     yield pd.DataFrame({"value": lines})
 

@@ -648,6 +648,10 @@ def _merge_sessions(
     merges sessions a new event bridges). Interval merge over a sorted
     list — the incremental form of the gaps-and-islands rule."""
     items = [list(s) for s in sessions] + [[t, t, 1] for t in sorted(new_ts)]
+    if not items:
+        # A group can be invoked with only empty/null-timestamp batches;
+        # no sessions + no events must no-op, not IndexError.
+        return []
     items.sort(key=lambda s: (s[0], s[1]))
     out = [items[0]]
     for s, e, n in items[1:]:
@@ -711,6 +715,8 @@ def _sessionize_fn(key, pdfs, state):  # noqa: ANN001 - pandas-UDF contract
         for pdf in pdfs:
             new_ts.extend(int(v) for v in pdf["ts_us"])
         sessions = _merge_sessions(sessions, new_ts)
+        if not sessions:
+            return  # nothing buffered and nothing arrived: leave no state
         state.update(
             (
                 [s[0] for s in sessions],

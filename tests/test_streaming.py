@@ -90,6 +90,18 @@ def test_tws_registration_tracks_protobuf_availability():
     works, so the driver contract never exposes a query that crashes."""
     assert ("tws_user_totals" in jobs.QUERIES) == jobs._tws_available()
     assert ("tws_user_totals" in jobs.ORACLES) == jobs._tws_available()
+    if not jobs._tws_available():
+        # Make the gate REASON assert, not just the gate: it must be
+        # precisely the google.protobuf import (pip install is out of
+        # contract in this container), not some other rot hiding behind
+        # the same False.
+        with pytest.raises(ModuleNotFoundError, match="google"):
+            import google.protobuf  # noqa: F401
+        pytest.skip(
+            "tws_user_totals gated off: google.protobuf absent in this "
+            "environment (transformWithStateInPandas state protocol); "
+            "applyInPandasWithState covers §2.7 arbitrary stateful ops"
+        )
 
 
 def test_stream_static_join_broadcasts_dims(spark, duck):
