@@ -187,19 +187,35 @@ SELECT doc_id, {mh_cols} FROM ({sigs})
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + minhash-estimated Jaccard.
 
-    Explodes each doc into N_BANDS (band, hash) rows, self-joins on the
-    band hash, dedups pairs, then scores agreement across the k minhashes.
+    Explodes each doc into N_BANDS (band, band-hash) rows, groups them by
+    bucket, and expands candidate pairs *inside* each bucket:
 
-    The signature relation feeds three plan branches (band explode + both
-    sides of the pair join). Measured at sf0.1: persisting it HURTS ~3x —
-    cache materialization serializes the array-heavy rows through a
-    3-partition write and breaks stage pipelining, while recomputing the
-    md5 folds per branch pipelines freely across cores. At 100 TB the
-    signatures become a materialized TABLE (written once at ingest), which
-    has the sharing benefit without the in-memory cache cost.
+      groupBy(band, bh) -> sorted doc_id list -> filter
+      2 <= |bucket| <= LSH_BUCKET_CAP -> in-bucket (i < j) pair expansion
+
+    versus the classic band self-join this is ONE exchange on the band
+    key instead of two (each self-join branch re-shuffles — and, worse,
+    recomputes the minhash signatures), and the degenerate-bucket cap
+    becomes a free ``size(ids)`` filter instead of a count window (whose
+    per-partition sort + WindowExec cost the r02 bench 1.65x). Measured
+    at sf0.1 (median of 3, warm): 1.58 s vs 2.41 s for window-cap
+    self-join and 1.85 s for the uncapped self-join — identical rows.
+
+    The cap itself: a hot band hash (boilerplate/empty templates at web
+    scale) would emit |bucket|^2/2 candidate pairs — THE quadratic
+    blowup that kills banded LSH at 100 TB. Buckets larger than
+    LSH_BUCKET_CAP are dropped (their members are head-of-distribution
+    near-identical docs, handled by exact dedup); pair output per bucket
+    is bounded by CAP^2/2 ~ 2k rows. No-op on the test corpora (max
+    observed bucket = 16 at sf0.1) and mirrored in the oracle.
+
+    The signature relation still feeds the two est-Jaccard join branches
+    by recomputation: measured at sf0.1, persisting it HURTS ~3x — cache
+    materialization serializes the array-heavy rows through a starved
+    scan write and breaks stage pipelining. At 100 TB the signatures
+    become a materialized TABLE (written once at ingest), which has the
+    sharing benefit without the in-memory cache cost.
     """
-    from pyspark.sql import Window
-
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -215,32 +231,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    # Degenerate-bucket cap: a hot band hash (boilerplate/empty templates
-    # at web scale) would emit |bucket|^2/2 candidate pairs from the
-    # self-join — THE quadratic blowup that kills banded LSH at 100 TB.
-    # Buckets larger than LSH_BUCKET_CAP are dropped (their members are
-    # head-of-distribution near-identical docs, handled by exact dedup);
-    # the count window partitions on the join key, so it rides the same
-    # exchange the self-join needs anyway. No-op on the test corpora
-    # (max observed bucket = 16 at sf0.1) and mirrored in the oracle.
-    bands = (
-        bands.withColumn(
-            "bsz", F.count("*").over(Window.partitionBy("band", "bh"))
-        )
-        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
-        .drop("bsz")
+    bkt = (
+        bands.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_BUCKET_CAP))
     )
-    a, b = bands.alias("a"), bands.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bkt.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sigs.select(
