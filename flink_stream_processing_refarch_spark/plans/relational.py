@@ -215,13 +215,51 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — scale path for distinct counting.
-    No oracle (sketch estimates are engine-specific); rows-only check."""
+    """approx_count_distinct (HLL++) — the scale path for distinct
+    counting — bound-checked in-query against the exact distinct count.
+
+    Sketch estimates are engine-specific, so the raw estimate can never
+    hash-match a DuckDB oracle; instead the result carries the EXACT
+    count plus a ``sketch_ok`` boolean asserting the engine's own sketch
+    landed within 5% of it (HLL++ rsd here is 0.02, so 5% is a hard
+    bound, not a hope). Both engines compute the same deterministic
+    (exact, true) row — the sketch still runs on every execution, and a
+    sketch regression flips the boolean and fails the hash gate.
+    At 100 TB the exact twin is the expensive side (count distinct
+    shuffles the key set); production uses the sketch column alone —
+    this query is the operator plus its verification harness.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count("*").alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+                <= F.lit(0.05) * F.col("n_parts_exact")
+            ).alias("sketch_ok"),
+        )
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, n_parts_exact, n_rows,
+       abs(approx_parts - n_parts_exact)
+         <= CAST(0.05 AS DOUBLE) * n_parts_exact AS sketch_ok
+FROM (
+  SELECT l_returnflag,
+         approx_count_distinct(l_partkey) AS approx_parts,
+         count(DISTINCT l_partkey) AS n_parts_exact,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -821,26 +859,102 @@ GROUP BY e.event_type
 """
 
 
+_QUANTILES = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles of order totals per priority
-    (approx_percentile sketch — same family as approx_count_distinct).
-    Sketch output is estimate-only: rows-only driver check, with an
-    accuracy assertion in tests instead of an oracle."""
+    """approx_percentile (the distributed-quantile scale path)
+    bound-checked in-query against exact discrete quantiles.
+
+    The exact twin is the value at 1-based rank floor(q*(n-1))+1 of the
+    per-priority sort — an actual data element, so both engines produce
+    the identical double, unlike interpolated percentile_cont whose
+    float arithmetic can differ in the last bit. ``sketch_ok`` asserts
+    each engine's own sketch (Spark approx_percentile accuracy=10000,
+    DuckDB t-digest approx_quantile) lands within 5% of its exact twin,
+    giving the driver a deterministic hashable row while the sketch
+    still runs — and fails the gate — on every execution.
+
+    Scale note: the exact twin needs a per-group sort (the window), which
+    is exactly the cost the sketch exists to avoid at 100 TB; production
+    reads the sketch column, this query is operator + verification
+    harness in one plan.
+    """
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.expr(
-                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("pcts")
-        )
-        .select(
-            "o_orderpriority",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
-        )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(Window.partitionBy("o_orderpriority").orderBy("o_totalprice"))
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
     )
+    exact_cols = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(F.lit(q) * (F.col("n") - 1)).cast("long") + 1,
+                F.col("o_totalprice"),
+            )
+        ).alias(f"{name}_exact")
+        for name, q in _QUANTILES
+    ]
+    agg = ranked.groupBy("o_orderpriority").agg(
+        *exact_cols,
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("pcts"),
+    )
+    ok = None
+    for i, (name, _q) in enumerate(_QUANTILES):
+        cond = F.abs(
+            F.col("pcts")[i] - F.col(f"{name}_exact")
+        ) <= F.lit(0.05) * F.abs(F.col(f"{name}_exact"))
+        ok = cond if ok is None else (ok & cond)
+    return agg.select(
+        "o_orderpriority",
+        *[f"{name}_exact" for name, _q in _QUANTILES],
+        ok.alias("sketch_ok"),
+    )
+
+
+def _approx_quantiles_sql() -> str:
+    exact = ",\n         ".join(
+        f"max(CASE WHEN rn = CAST(floor(CAST({q} AS DOUBLE) * (n - 1)) AS BIGINT) + 1"
+        f" THEN o_totalprice END) AS {name}_exact"
+        for name, q in _QUANTILES
+    )
+    approx = ",\n         ".join(
+        f"approx_quantile(o_totalprice, {q}) AS a_{name}"
+        for name, q in _QUANTILES
+    )
+    checks = " AND ".join(
+        f"abs(a_{name} - {name}_exact)"
+        f" <= CAST(0.05 AS DOUBLE) * abs({name}_exact)"
+        for name, _q in _QUANTILES
+    )
+    cols = ", ".join(f"{name}_exact" for name, _q in _QUANTILES)
+    return f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+agg AS (
+  SELECT o_orderpriority,
+         {exact},
+         {approx}
+  FROM ranked GROUP BY o_orderpriority)
+SELECT o_orderpriority, {cols}, {checks} AS sketch_ok FROM agg
+"""
+
+
+APPROX_QUANTILES_SQL = _approx_quantiles_sql()
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,7 +1268,7 @@ ORACLES = {
     "rollup_orders": ROLLUP_ORDERS_SQL,
     "cube_orders": CUBE_ORDERS_SQL,
     "distinct_counts": DISTINCT_COUNTS_SQL,
-    # approx_distinct: sketch estimate — rows-only check, no oracle
+    "approx_distinct": APPROX_DISTINCT_SQL,
     "semi_join": SEMI_JOIN_SQL,
     "anti_join": ANTI_JOIN_SQL,
     "customer_order_stats": CUSTOMER_ORDER_STATS_SQL,
@@ -1170,7 +1284,7 @@ ORACLES = {
     "time_rollup": TIME_ROLLUP_SQL,
     "udaf_median": UDAF_MEDIAN_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
-    # approx_quantiles: sketch estimate — rows-only check, no oracle
+    "approx_quantiles": APPROX_QUANTILES_SQL,
     "json_extract": JSON_EXTRACT_SQL,
     "pivot_status": PIVOT_STATUS_SQL,
     "unpivot_metrics": UNPIVOT_METRICS_SQL,
