@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from flink_stream_processing_refarch_spark.operators import contamination as contam_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import corpus as corpus_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
@@ -90,14 +91,17 @@ PRIORITY = [
     #    twins + in-row bound check (first hashable rows) --
     "approx_distinct",
     "approx_quantiles",
-    # -- custom join ops + stateful streaming (sessionizer guard touched
-    #    r03; joins are the §2.7 showcase entries) --
-    "range_join_bands",
-    "time_rollup",
-    "skew_salted_join",
-    "priority_lists",
-    "promo_revenue",
-    "stream_static_join",
+    # -- NEW r03: corpus-construction operators (never driver-proven,
+    #    so they take window slots; the r02-green unchanged entries they
+    #    displace rotate past the window) --
+    "tfidf_top_terms",
+    "sequence_packing",
+    "bottomk_sample",
+    "bigram_lm",
+    "pii_scrub",
+    "dup_provenance",
+    # -- stateful streaming (sessionizer guard touched r03) + custom
+    #    join/stream ops --
     "stateful_sessionize",
     "session_windows_streaming",
     "asof_join",
@@ -105,7 +109,13 @@ PRIORITY = [
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
-    # Rotated out r03 (all hold green r02 rows over unchanged code):
+    # Rotated out r03 (all hold green r01/r02 rows over unchanged code):
+    "range_join_bands",
+    "time_rollup",
+    "skew_salted_join",
+    "priority_lists",
+    "promo_revenue",
+    "stream_static_join",
     "pricing_summary",
     "revenue_by_nation",
     "orders_by_region",
@@ -161,6 +171,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(subqueries.QUERIES)
     out.update(text_ops.QUERIES)
     out.update(contam_ops.QUERIES)
+    out.update(corpus_ops.QUERIES)
     out.update(dedup_ops.QUERIES)
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
@@ -199,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(subqueries.ORACLES)
     out.update(text_ops.ORACLES)
     out.update(contam_ops.ORACLES)
+    out.update(corpus_ops.ORACLES)
     out.update(dedup_ops.ORACLES)
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)
