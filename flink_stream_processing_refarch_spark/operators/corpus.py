@@ -247,20 +247,21 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bounded by |vocab| x k).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = words_expr("text", "spark")
-    grams = (
-        f"CASE WHEN size({w}) >= 2 THEN "
-        f"transform(sequence(0, size({w}) - 2), i -> "
-        f"concat_ws(' ', slice({w}, i + 1, 2))) "
-        f"ELSE array() END"
-    )
-    big = (
-        docs.select(F.explode(F.expr(grams)).alias("g"))
-        .select(
-            F.expr("element_at(split(g, ' '), 1)").alias("w1"),
-            F.expr("element_at(split(g, ' '), 2)").alias("w2"),
-        )
-    )
+    # Stage the words array once, then emit (w1, w2) structs directly —
+    # building "w1 w2" strings and re-splitting them would do the string
+    # work twice per gram (measured ~25% slower at sf0.1).
+    base = docs.select(
+        F.expr(words_expr("text", "spark")).alias("W")
+    ).filter(F.size("W") >= 2)
+    big = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(W) - 1), i -> "
+                "struct(element_at(W, CAST(i AS INT)) AS w1, "
+                "element_at(W, CAST(i + 1 AS INT)) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
     cnt = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     wt = Window.partitionBy("w1")
     wr = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2").asc())
