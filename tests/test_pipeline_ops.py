@@ -170,3 +170,22 @@ def test_media_features_via_arrow_batches(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # mapInPandas must run as an Arrow-batched python exec, not row UDF
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+
+
+def test_spread_noops_on_well_partitioned_input(spark):
+    """The starved-scan repartition gate: spread() must add NO exchange
+    when the input already has >= defaultParallelism partitions — the
+    at-scale regime where a round-robin repartition would pointlessly
+    shuffle the full relation (document text included)."""
+    from flink_stream_processing_refarch_spark.schemas import load_table, spread
+
+    docs = load_table(spark, SF_DIR, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    wide = docs.repartition(par + 8)
+    assert spread(wide) is wide  # no-op: same DataFrame, no new exchange
+
+    narrow = docs.coalesce(1)
+    spread_narrow = spread(narrow)
+    assert spread_narrow is not narrow
+    assert spread_narrow.rdd.getNumPartitions() == par
