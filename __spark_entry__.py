@@ -100,16 +100,17 @@ PRIORITY = [
     "bigram_lm",
     "pii_scrub",
     "dup_provenance",
+    "sketch_rollup",
     # -- stateful streaming (sessionizer guard touched r03) + custom
     #    join/stream ops --
     "stateful_sessionize",
     "session_windows_streaming",
-    "asof_join",
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
     # Rotated out r03 (all hold green r01/r02 rows over unchanged code):
+    "asof_join",
     "range_join_bands",
     "time_rollup",
     "skew_salted_join",

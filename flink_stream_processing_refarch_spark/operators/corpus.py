@@ -405,6 +405,78 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (HLL partial aggregation)
+# ---------------------------------------------------------------------------
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimates from HLL sketches PLUS the
+    corpus-wide estimate from *merging those sketches* — the pattern that
+    makes sketches matter at 100 TB: sketch each partition/day/source
+    once, then answer global (or any grouping's) distinct counts by
+    union-merging kilobyte-sized sketch blobs with no rescan. The
+    ``<ALL>`` row is computed through ``hll_union_agg`` over the
+    per-source sketches, so the merge path itself is what the bound
+    check exercises.
+
+    As with the other sketch queries, raw estimates are engine-specific,
+    so each engine bound-checks its own estimate against the exact
+    distinct count in-row and the driver hashes (exact, sketch_ok).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.expr(words_expr("text", "spark"))).alias("word")
+    )
+    per = tok.groupBy("source").agg(
+        F.expr("hll_sketch_agg(word)").alias("sk"),
+        F.countDistinct("word").alias("n_distinct_exact"),
+    )
+    ok = (
+        F.abs(
+            F.expr("hll_sketch_estimate(sk)") - F.col("n_distinct_exact")
+        )
+        <= F.lit(0.05) * F.col("n_distinct_exact")
+    )
+    src_rows = per.select("source", "n_distinct_exact", ok.alias("sketch_ok"))
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    gexact = tok.agg(F.countDistinct("word").alias("n_distinct_exact"))
+    tot = gexact.join(merged).select(
+        F.lit("<ALL>").alias("source"),
+        "n_distinct_exact",
+        (
+            F.abs(F.col("est") - F.col("n_distinct_exact"))
+            <= F.lit(0.05) * F.col("n_distinct_exact")
+        ).alias("sketch_ok"),
+    )
+    return src_rows.unionByName(tot)
+
+
+def _sketch_rollup_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH tok AS (SELECT source, unnest({w}) AS word FROM documents),
+per AS (
+  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_exact,
+         approx_count_distinct(word) AS est
+  FROM tok GROUP BY source),
+overall AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_exact,
+         approx_count_distinct(word) AS est
+  FROM tok)
+SELECT source, n_distinct_exact,
+       abs(est - n_distinct_exact)
+         <= CAST(0.05 AS DOUBLE) * n_distinct_exact AS sketch_ok
+FROM per
+UNION ALL
+SELECT '<ALL>' AS source, n_distinct_exact,
+       abs(est - n_distinct_exact)
+         <= CAST(0.05 AS DOUBLE) * n_distinct_exact AS sketch_ok
+FROM overall
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "sequence_packing": q_sequence_packing,
@@ -412,6 +484,7 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "pii_scrub": q_pii_scrub,
     "dup_provenance": q_dup_provenance,
+    "sketch_rollup": q_sketch_rollup,
 }
 
 ORACLES = {
@@ -421,4 +494,5 @@ ORACLES = {
     "bigram_lm": _bigram_lm_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "dup_provenance": _dup_provenance_sql(),
+    "sketch_rollup": _sketch_rollup_sql(),
 }

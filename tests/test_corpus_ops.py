@@ -140,3 +140,15 @@ def test_tfidf_broadcasts_small_sides(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sketch_rollup_merge_consistency(spark):
+    """The merged <ALL> row must bound every per-source exact count and
+    its own sketch must pass the in-row check (merge path exercised)."""
+    rows = {r["source"]: r for r in corpus.q_sketch_rollup(spark, SF_DIR).collect()}
+    assert "<ALL>" in rows
+    glob = rows.pop("<ALL>")
+    assert glob["sketch_ok"]
+    for r in rows.values():
+        assert r["sketch_ok"], r
+        assert r["n_distinct_exact"] <= glob["n_distinct_exact"]
