@@ -30,7 +30,7 @@ deployment would swap xxhash64 for md5 — same plan shape, ~5x cheaper.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import TOKENS, arr_len, arr_min, arr_transform, words_expr
@@ -742,9 +742,99 @@ WHERE cos_sim >= {COS_NEAR_DUP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (sub-document granularity)
+# ---------------------------------------------------------------------------
+
+PASSAGE_WORDS = 10  # non-overlapping passage size for sub-doc dedup
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup at passage granularity: split every corpus doc into
+    non-overlapping ``PASSAGE_WORDS``-word passages, keep only the
+    globally-first occurrence of each distinct passage (ordered by
+    (doc_id, pos)), and reassemble each document from its surviving
+    passages — the standard "remove boilerplate / repeated spans across
+    documents" step that whole-doc dedup misses.
+
+    Output per doc: passage counts before/after and the deduped text.
+
+    Scale shape: passages are hashed at the scan; winner selection is a
+    row_number window partitioned by the passage hash, then reassembly
+    groups by doc_id. Passage text crosses those two exchanges at passage
+    (not document) granularity — inherent to a global sub-document dedup
+    that must re-emit the surviving text; both exchanges key on
+    high-cardinality hashes/ids so they skew-balance. Nothing is
+    collected to the driver.
+    """
+    c = corpus_df(spark, sf_dir)
+    d = c.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).withColumn("n", F.size("words"))
+    p = d.select(
+        "doc_id",
+        "words",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)),
+                F.lit(PASSAGE_WORDS),
+            )
+        ).alias("pos", "start"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice(F.col("words"), F.col("start") + 1, F.lit(PASSAGE_WORDS)),
+            " ",
+        ).alias("ptext"),
+    )
+    hashed = p.withColumn("h", F.md5("ptext"))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = hashed.withColumn("kept", F.row_number().over(w) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, "
+            "CASE WHEN kept THEN ptext END AS t))), x -> x.t), ' ')"
+        ).alias("dedup_text"),
+    )
+
+
+def _passage_dedup_sql() -> str:
+    return f"""
+WITH c AS ({corpus_sql('duckdb')}),
+d AS (SELECT doc_id, string_split(text, ' ') AS words FROM c),
+s AS (
+  SELECT doc_id, words,
+         unnest(range(0, greatest(len(words), 1), {PASSAGE_WORDS})) AS start
+  FROM d
+),
+pa AS (
+  SELECT doc_id, CAST(start // {PASSAGE_WORDS} AS BIGINT) AS pos,
+         array_to_string(list_slice(words, start + 1,
+                                    start + {PASSAGE_WORDS}), ' ') AS ptext
+  FROM s
+),
+f AS (
+  SELECT doc_id, pos, ptext,
+         row_number() OVER (PARTITION BY md5(ptext)
+                            ORDER BY doc_id, pos) = 1 AS kept
+  FROM pa
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN ptext END, ' ' ORDER BY pos),
+                '') AS dedup_text
+FROM f GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
+    "passage_dedup": q_passage_dedup,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
@@ -764,6 +854,7 @@ def _oracles() -> dict[str, str]:
     return {
         "dedup_exact": _fill(DEDUP_EXACT_SQL_T),
         "dedup_survivors": _fill(DEDUP_SURVIVORS_SQL_T),
+        "passage_dedup": _passage_dedup_sql(),
         "minhash_signatures": _fill(
             MINHASH_SIGNATURES_SQL_T,
             mh_cols=", ".join(f"mh{j}" for j in range(N_HASHES)),

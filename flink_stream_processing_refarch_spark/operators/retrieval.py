@@ -1,0 +1,147 @@
+"""Retrieval-preparation operators: fixed-window document chunking (the
+RAG / context-window split step) and inverted-index construction (term ->
+postings), round 3 additions to the LLM-data-pipeline family.
+
+Beyond the reference's inventory (its only queries are the two taxi
+windowed aggregations, flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136);
+these are the indexing/serving-side operations a corpus pipeline needs
+after cleaning. Both are ``queries()`` entries with DuckDB oracles.
+
+Scale posture:
+- ``doc_chunks`` is a pure per-row fan-out — no exchange at all. Each doc
+  expands to ceil(n_words / stride) overlapping chunks at the scan, so a
+  100 TB corpus chunks at scan speed and the output inherits the input's
+  partitioning (doc-contiguous, which is what a downstream embedding
+  batch job wants).
+- ``inverted_index`` is the classic two-stage aggregation: the
+  (word, doc_id) term-frequency aggregate and the per-word rollup are
+  both map-side combinable, so the exchange carries partially-combined
+  (word, doc_id, tf) triples — never document text. Postings lists are
+  capped at ``POSTINGS_CAP`` so output rows stay O(1) wide even for
+  stopwords that appear in every document (at real scale the head of a
+  Zipf vocabulary would otherwise produce multi-GB rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import words_expr
+from ..schemas import load_table, spread
+
+CHUNK_WORDS = 40   # words per chunk (the "context window")
+CHUNK_STRIDE = 32  # chunk start stride -> 8-word overlap between chunks
+POSTINGS_CAP = 10  # doc ids kept per term in the postings head
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window overlapping chunking
+# ---------------------------------------------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into ``CHUNK_WORDS``-word chunks with stride
+    ``CHUNK_STRIDE`` (8-word overlap), the standard retrieval-corpus
+    chunking step.
+
+    chunk_id is the 0-based chunk ordinal; the final chunk may be short
+    (``n_words`` < CHUNK_WORDS). The whole query is narrow: split once,
+    explode the start offsets, slice — no shuffle, no UDF.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).withColumn("n", F.size("words"))
+    s = d.select(
+        "doc_id",
+        "words",
+        "n",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+            )
+        ).alias("chunk_id", "start"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("words"), F.col("start") + 1, F.lit(CHUNK_WORDS)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_WORDS), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+def _doc_chunks_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH d AS (SELECT doc_id, {w} AS words FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(range(0, greatest(len(words), 1), {CHUNK_STRIDE})) AS start
+  FROM d
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(words, start + 1, start + {CHUNK_WORDS}), ' ')
+         AS chunk_text,
+       CAST(least({CHUNK_WORDS}, len(words) - start) AS BIGINT) AS n_words
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (term -> capped postings)
+# ---------------------------------------------------------------------------
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the term dictionary + postings head: per word, total term
+    frequency, document frequency, and the first ``POSTINGS_CAP`` doc ids
+    (ascending) joined with '|'.
+
+    Two-stage aggregation — both stages partially aggregate before their
+    exchange; the second stage's collect_list is bounded because it runs
+    on the already-collapsed (word, doc_id) relation and is sliced to the
+    cap before leaving the aggregate.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    per_doc = tok.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("word").agg(
+        F.sum("tf").alias("term_freq"),
+        F.count("*").alias("doc_freq"),
+        F.expr(
+            "array_join(transform(slice(sort_array(collect_list(doc_id)), 1, "
+            f"{POSTINGS_CAP}), x -> CAST(x AS STRING)), '|')"
+        ).alias("postings_head"),
+    )
+
+
+def _inverted_index_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({w}) AS word FROM documents),
+pd AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY word, doc_id)
+SELECT word,
+       CAST(sum(tf) AS BIGINT) AS term_freq,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       array_to_string(
+         list_transform(list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP}),
+                        x -> CAST(x AS VARCHAR)), '|') AS postings_head
+FROM pd GROUP BY word
+"""
+
+
+QUERIES = {
+    "doc_chunks": q_doc_chunks,
+    "inverted_index": q_inverted_index,
+}
+
+ORACLES = {
+    "doc_chunks": _doc_chunks_sql(),
+    "inverted_index": _inverted_index_sql(),
+}
