@@ -7,13 +7,13 @@ driver hash-compares against at sf0.01.
 
 Ordering contract: the driver checks the first 50 ``queries()`` entries
 per round (observed in CORRECTNESS_r01/r02), so entries are emitted in
-an explicit priority order. Round-3 rotation policy (per VERDICT r02):
-every query that is NEW, CHANGED THIS ROUND, or NEVER DRIVER-PROVEN sits
+an explicit priority order. Rotation policy (per VERDICT r02): every
+query that is NEW, CHANGED THIS ROUND, or NEVER DRIVER-PROVEN sits
 inside the 50-entry window; the burn-in relational built-ins rotated out
-all hold green rows from r01 and/or r02 over unchanged code. The full
+all hold green rows from earlier rounds over unchanged code. The full
 registry (all entries, in and past the window) is self-checked each
-round with ``tools/check_oracle.py`` — the committed transcript is
-``SELFCHECK_r03.md`` — so rotation never substitutes for verification,
+round with ``tools/check_oracle.py`` — the committed transcripts are
+``SELFCHECK_r{N}.md`` — so rotation never substitutes for verification,
 it only chooses which 50 rows the external driver re-proves.
 
 Former "retired" entries (trips_clean / airport_trips / minhash_signatures
@@ -35,6 +35,7 @@ from flink_stream_processing_refarch_spark.operators import contamination as con
 from flink_stream_processing_refarch_spark.operators import corpus as corpus_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import retrieval as retr_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
@@ -75,10 +76,13 @@ PRIORITY = [
     "media_features",
     "media_resize",
     "frame_sample",
-    # -- LLM-data-pipeline: sampling / splits --
-    "split_train_test",
-    "split_counts",
-    "stratified_cap",
+    # -- LLM-data-pipeline: retrieval prep (written r03 but never
+    #    registered — first registration r04, so they take window slots) --
+    "doc_chunks",
+    "inverted_index",
+    # -- LLM-data-pipeline: passage-level dedup (added r03, never
+    #    driver-proven — takes a window slot r04) --
+    "passage_dedup",
     # -- rotated INTO the window r03: added r02, never driver-proven --
     "decontaminate",
     "vocab_stats",
@@ -109,6 +113,10 @@ PRIORITY = [
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
+    # Rotated out r04 (r02-green over unchanged code):
+    "split_train_test",
+    "split_counts",
+    "stratified_cap",
     # Rotated out r03 (all hold green r01/r02 rows over unchanged code):
     "asof_join",
     "range_join_bands",
@@ -177,6 +185,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
     out.update(sampling_ops.QUERIES)
+    out.update(retr_ops.QUERIES)
     return out
 
 
@@ -216,4 +225,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)
     out.update(sampling_ops.ORACLES)
+    out.update(retr_ops.ORACLES)
     return _ordered(out)

@@ -8,7 +8,8 @@ these are the indexing/serving-side operations a corpus pipeline needs
 after cleaning. Both are ``queries()`` entries with DuckDB oracles.
 
 Scale posture:
-- ``doc_chunks`` is a pure per-row fan-out — no exchange at all. Each doc
+- ``doc_chunks`` is a pure per-row fan-out — no exchange at scale (the
+  only local Exchange is the starved-scan ``spread()`` gate). Each doc
   expands to ceil(n_words / stride) overlapping chunks at the scan, so a
   100 TB corpus chunks at scan speed and the output inherits the input's
   partitioning (doc-contiguous, which is what a downstream embedding

@@ -1,0 +1,94 @@
+"""Oracle parity + invariants for the retrieval-prep operators
+(operators/retrieval.py): fixed-window chunking and inverted index."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR, assert_matches_oracle
+from pyspark.sql import functions as F
+
+from flink_stream_processing_refarch_spark.operators import retrieval
+
+
+@pytest.mark.parametrize("name", sorted(retrieval.ORACLES))
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(
+        spark, duck, retrieval.QUERIES[name], retrieval.ORACLES[name], min_rows=1
+    )
+
+
+def test_doc_chunks_cover_every_word_exactly_by_stride(spark):
+    """Chunking is a strided cover: chunk k starts at word k*stride+1,
+    chunk ids are dense from 0, and every chunk except possibly the last
+    is exactly CHUNK_WORDS long."""
+    rows = retrieval.q_doc_chunks(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in doc_rows] == list(range(len(doc_rows)))
+        # A non-last chunk always has another chunk starting STRIDE words
+        # later, so it holds at least STRIDE+1 words (it may still be short
+        # of CHUNK_WORDS when the doc ends inside its window).
+        for r in doc_rows[:-1]:
+            assert r["n_words"] > retrieval.CHUNK_STRIDE
+            assert r["n_words"] <= retrieval.CHUNK_WORDS
+            assert len(r["chunk_text"].split(" ")) == r["n_words"]
+        last = doc_rows[-1]
+        assert 1 <= last["n_words"] <= retrieval.CHUNK_WORDS
+        assert len(last["chunk_text"].split(" ")) == last["n_words"]
+
+
+def test_doc_chunks_overlap_matches_stride(spark):
+    """Consecutive chunks overlap by CHUNK_WORDS - CHUNK_STRIDE words."""
+    overlap = retrieval.CHUNK_WORDS - retrieval.CHUNK_STRIDE
+    rows = (
+        retrieval.q_doc_chunks(spark, SF_DIR)
+        .filter(F.col("n_words") == retrieval.CHUNK_WORDS)
+        .limit(200)
+        .collect()
+    )
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    checked = 0
+    for chunks in by_doc.values():
+        for cid, text in chunks.items():
+            nxt = chunks.get(cid + 1)
+            if nxt is None:
+                continue
+            tail = text.split(" ")[retrieval.CHUNK_STRIDE:]
+            head = nxt.split(" ")[:overlap]
+            assert tail == head
+            checked += 1
+    assert checked > 0
+
+
+def test_inverted_index_doc_freq_bounds_and_postings_sorted(spark, duck):
+    rows = retrieval.q_inverted_index(spark, SF_DIR).collect()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert rows
+    for r in rows:
+        assert 1 <= r["doc_freq"] <= n_docs
+        assert r["term_freq"] >= r["doc_freq"]
+        ids = [int(x) for x in r["postings_head"].split("|")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["doc_freq"], retrieval.POSTINGS_CAP)
+
+
+def test_doc_chunks_plan_is_narrow(spark):
+    """The chunker must stay narrow — no hash/range shuffle at any point.
+    The only Exchange permitted is the starved-scan round-robin gate
+    (spread()), which no-ops at real scale where the scan has >= cores
+    splits."""
+    plan = (
+        retrieval.q_doc_chunks(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
