@@ -69,9 +69,40 @@ def load_table(spark, sf_dir: str, name: str):
     Pins the session timezone to UTC first: NTZ->TZ casts and epoch
     extraction must agree with DuckDB's naive-UTC reading even when the
     caller (e.g. the external driver) built the session without it.
+
+    ``events`` additionally gets its ``ts`` normalized to BIGINT
+    epoch-nanos (see :func:`normalize_event_ts`) so every downstream
+    plan can use one arithmetic (``ts DIV 1000000`` -> epoch ms)
+    regardless of which physical timestamp layout the driver generated.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df):
+    """Normalize ``events.ts`` to BIGINT epoch-nanos.
+
+    The driver's testdata generator has produced both parquet layouts
+    across rounds: TIMESTAMP(NANOS) — which Spark can only read under
+    ``spark.sql.legacy.parquet.nanosAsLong`` as a BIGINT of nanos — and
+    TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ. DuckDB reads either
+    as naive TIMESTAMP, so the oracles' ``epoch_ms(ts)`` is layout-blind;
+    this shim gives the Spark side the same property. The NTZ->LTZ cast
+    is exact because load_table pins the session timezone to UTC.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    if "ts" not in df.columns:
+        return df
+    dtype = dict(df.dtypes)["ts"]
+    if dtype in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+        )
+    return df
 
 
 def spread(df):

@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 from ..functions import geo
 from ..functions.geo import dlit, geohash_center_py
 
-# Dialect tokens. ``ts_ms``: epoch-ms of the events.ts column — the parquet
-# stores TIMESTAMP(NANOS), which Spark reads as BIGINT nanos (under
-# spark.sql.legacy.parquet.nanosAsLong) while DuckDB reads as TIMESTAMP;
+# Dialect tokens. ``ts_ms``: epoch-ms of the events.ts column — on the
+# Spark side load_table/normalize_event_ts always presents ``ts`` as
+# BIGINT epoch-nanos (whether the parquet stores TIMESTAMP(NANOS) or
+# TIMESTAMP(MICROS)) while DuckDB reads either layout as naive TIMESTAMP;
 # both truncate toward zero down to ms. ``idiv``: truncating int division.
 DIALECTS = {
     "spark": {"ts_ms": "(ts DIV 1000000)", "idiv": "DIV"},
@@ -39,14 +40,18 @@ DIALECTS = {
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with the nanos-timestamp read flag set.
+    """events.parquet with ``ts`` normalized to BIGINT epoch-nanos.
 
-    The flag is a session conf — set it here (not only at session build)
-    because the driver supplies its own SparkSession.
+    The nanos flag is a session conf — set it here (not only at session
+    build) because the driver supplies its own SparkSession; the
+    load_table shim then covers either physical timestamp layout
+    (NANOS-as-long or MICROS NTZ) the testdata generator produced.
     """
+    from ..schemas import load_table
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return load_table(spark, sf_dir, "events")
 
 # 2024-01-01T00:00:00Z — testdata events start here; anchor for compression.
 TS_BASE_MS = 1704067200000

@@ -37,11 +37,12 @@ from ..functions.timeutils import duration_min_sql
 from ..plans.taxi import MIN_PICKUP_COUNT
 from ..sources.trips import clean_trip_filter_sql, trip_exprs
 
-# events.parquet physical schema under the nanos-as-long read flag
+# Normalized events schema: what stream_events/load_table emit after the
+# ts shim (BIGINT epoch-nanos), whatever the parquet's physical layout.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) -> bigint
+        T.StructField("ts", T.LongType()),  # epoch-nanos after normalize
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -50,19 +51,31 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """events.parquet read schema, with ``ts`` as whatever Spark infers
+    for the file's actual physical layout (BIGINT under the nanos flag
+    for TIMESTAMP(NANOS) files; TIMESTAMP_NTZ for MICROS files). A
+    streaming reader needs a declared schema — derive it from a batch
+    peek of the same file so it never drifts from the generator."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
 def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
     """File-based streaming source over the events table (the local stand-
     in for the Kinesis consumer, S1; swap format('kinesis') in prod).
     source_opts map to reader options (e.g. maxFilesPerTrigger — the
-    SHARD_GETRECORDS throttling analogue)."""
+    SHARD_GETRECORDS throttling analogue). ``ts`` is normalized to
+    BIGINT epoch-nanos exactly as on the batch path."""
+    from ..schemas import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    reader = spark.readStream.schema(_events_schema(spark, sf_dir)).option(
         "pathGlobFilter", "events.parquet"
     )
     for k, v in source_opts.items():
         reader = reader.option(k, v)
-    return reader.parquet(sf_dir)
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def stream_trips_from_wire(
