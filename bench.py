@@ -15,6 +15,17 @@ reported (single-shot walls at 0.5-5 s vary ±20-40% with JVM/GC/OS
 noise on this box, which would drown real round-over-round changes;
 the median is the standard robust estimator and is reported for every
 query identically).
+
+Steady-state semantics: batch queries come out of the registry behind a
+per-session plan cache (plancache.py), so repeat runs skip the Python
+expression re-parsing (~0.2 s/query for the big taxi trees). Each timed
+run still builds a fresh count plan over the cached frame — Catalyst
+optimization AND the full physical execution (fresh shuffles included)
+are paid every run, so the medians measure real re-processing, not
+result re-fetch. (An earlier variant also cached the count plan; that
+was rejected: Spark reuses materialized exchange output across
+re-executions of the same physical plan, which turns repeat runs into
+post-shuffle re-reads and inflates events/s ~20x dishonestly.)
 """
 
 from __future__ import annotations

@@ -72,7 +72,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the at-scale plan has no exchange upstream of the shingle
     # projection — text never crosses a shuffle there. Project down to
     # (doc_id, text) first so even the local exchange carries no extras.
-    base = spread(docs.select("doc_id", "text")).select(
+    base = spread(
+        docs.select("doc_id", "text"), src_path=f"{sf_dir}/documents.parquet"
+    ).select(
         "doc_id", F.expr(_shingles("spark")).alias("sh")
     )
     ev = (

@@ -74,7 +74,9 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread() round-robins across cores ONLY in that starved case; at
     # 100 TB the scan has thousands of splits and no exchange is added —
     # document text never crosses a shuffle in the at-scale plan.
-    return spread(spark.sql(corpus_sql("spark")))
+    return spread(
+        spark.sql(corpus_sql("spark")), src_path=f"{sf_dir}/documents.parquet"
+    )
 
 
 # ---------------------------------------------------------------------------

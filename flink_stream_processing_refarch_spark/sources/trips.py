@@ -29,12 +29,17 @@ from ..functions import geo
 from ..functions.geo import dlit, geohash_center_py
 
 # Dialect tokens. ``ts_ms``: epoch-ms of the events.ts column — on the
-# Spark side load_table/normalize_event_ts always presents ``ts`` as
-# BIGINT epoch-nanos (whether the parquet stores TIMESTAMP(NANOS) or
-# TIMESTAMP(MICROS)) while DuckDB reads either layout as naive TIMESTAMP;
-# both truncate toward zero down to ms. ``idiv``: truncating int division.
+# Spark side :func:`derive_trips` materializes it ONCE as a real column
+# in the narrow pre-spread projection (load_table/normalize_event_ts
+# presents ``ts`` as BIGINT epoch-nanos whatever the parquet's physical
+# layout), so the big trip projection references a plain attribute
+# instead of inlining the epoch conversion at every use — that keeps the
+# Catalyst tree small (measured ~0.2 s/query analysis time at local[32]
+# when the conversion was inlined). DuckDB reads either layout as naive
+# TIMESTAMP, so its token stays an expression. ``idiv``: truncating int
+# division.
 DIALECTS = {
-    "spark": {"ts_ms": "(ts DIV 1000000)", "idiv": "DIV"},
+    "spark": {"ts_ms": "ts_ms", "idiv": "DIV"},
     "duckdb": {"ts_ms": "epoch_ms(ts)", "idiv": "//"},
 }
 
@@ -157,11 +162,17 @@ def trips_cte_sql() -> str:
 
 
 def derive_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side trips derivation (same arithmetic as :func:`trips_cte_sql`)."""
+    """Spark-side trips derivation (same arithmetic as :func:`trips_cte_sql`).
+
+    Deliberately NO starved-scan repartition here (unlike the documents
+    loaders): the trip projection is cheap enough per row that at the
+    local single-task-scan sizes the extra exchange + AQE stage costs
+    more wall (+0.2-0.4 s/query measured) than the serialization it
+    removes; at cluster scale the scan has >= cores splits anyway."""
     events = load_events(spark, sf_dir)
     return events.select(
-        *[F.expr(expr).alias(name) for name, expr in trip_exprs("spark")]
-    )
+        "event_id", F.expr("ts DIV 1000000").alias("ts_ms")
+    ).select(*[F.expr(expr).alias(name) for name, expr in trip_exprs("spark")])
 
 
 # ---------------------------------------------------------------------------

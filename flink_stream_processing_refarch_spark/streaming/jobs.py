@@ -190,9 +190,14 @@ def stream_clean_trips(spark: SparkSession, sf_dir: str, **source_opts) -> DataF
     column; watermark attached AFTER filtering (so it tracks the cleaned
     stream, matching where the reference assigns timestamps)."""
     ev = stream_events(spark, sf_dir, **source_opts)
-    trips = ev.select(
-        *[F.expr(e).alias(name) for name, e in trip_exprs("spark")]
-    ).filter(F.expr(clean_trip_filter_sql()))
+    # ts_ms is materialized once before the wide trip projection (same
+    # contract as sources.trips.derive_trips — the 'ts_ms' dialect token
+    # is a plain column reference, which keeps the Catalyst tree small).
+    trips = (
+        ev.select("event_id", F.expr("ts DIV 1000000").alias("ts_ms"))
+        .select(*[F.expr(e).alias(name) for name, e in trip_exprs("spark")])
+        .filter(F.expr(clean_trip_filter_sql()))
+    )
     return trips.withColumn(
         "dropoff_ts", F.timestamp_millis(F.col("dropoff_ms"))
     ).withWatermark("dropoff_ts", "0 seconds")
