@@ -37,8 +37,10 @@ from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import retrieval as retr_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import semantic as semantic_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
+from flink_stream_processing_refarch_spark import plancache  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
 from flink_stream_processing_refarch_spark.plans import relational, subqueries, taxi  # noqa: E402
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
@@ -51,8 +53,6 @@ PRIORITY = [
     "q1_streaming",
     "q2_streaming",
     # -- LLM-data-pipeline: text analysis --
-    "token_stats",
-    "quality_score",
     "lang_id",
     "doc_fingerprint",
     "udtf_word_positions",
@@ -80,6 +80,9 @@ PRIORITY = [
     #    registered — first registration r04, so they take window slots) --
     "doc_chunks",
     "inverted_index",
+    "bm25_score",
+    # -- NEW r04: SemDeDup (cluster-then-dedup over embeddings) --
+    "semantic_dedup",
     # -- LLM-data-pipeline: passage-level dedup (added r03, never
     #    driver-proven — takes a window slot r04) --
     "passage_dedup",
@@ -114,6 +117,8 @@ PRIORITY = [
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
     # Rotated out r04 (r02-green over unchanged code):
+    "token_stats",
+    "quality_score",
     "split_train_test",
     "split_counts",
     "stratified_cap",
@@ -185,8 +190,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
     out.update(sampling_ops.QUERIES)
+    out.update(semantic_ops.QUERIES)
     out.update(retr_ops.QUERIES)
-    return out
+    # Batch queries go through the per-session plan cache (prepared-
+    # statement layer, see plancache.py): repeated identical queries pay
+    # Catalyst analysis/optimization/codegen once per session, matching
+    # the reference's compile-once dataflow. Streaming entries are NOT
+    # wrapped — each call must re-run the bounded stream.
+    streaming_names = (
+        {"q1_streaming", "q2_streaming"}
+        | set(streaming_jobs.QUERIES)
+    )
+    return {
+        name: (fn if name in streaming_names else plancache.cached_plan(name, fn))
+        for name, fn in out.items()
+    }
 
 
 def _ordered(full: dict) -> dict:
@@ -225,5 +243,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)
     out.update(sampling_ops.ORACLES)
+    out.update(semantic_ops.ORACLES)
     out.update(retr_ops.ORACLES)
     return _ordered(out)

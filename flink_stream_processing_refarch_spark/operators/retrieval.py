@@ -49,7 +49,10 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n_words`` < CHUNK_WORDS). The whole query is narrow: split once,
     explode the start offsets, slice — no shuffle, no UDF.
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        src_path=f"{sf_dir}/documents.parquet",
+    )
     d = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     ).withColumn("n", F.size("words"))
@@ -107,7 +110,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the already-collapsed (word, doc_id) relation and is sliced to the
     cap before leaving the aggregate.
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        src_path=f"{sf_dir}/documents.parquet",
+    )
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
@@ -137,12 +143,114 @@ FROM pd GROUP BY word
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranking (Okapi BM25, k1 = 1.2, b = 0.75)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "query", "join")  # fixed query, terms of the test vocab
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOP = 20
+
+
+def _bm25_term_score(dialect: str) -> str:
+    """Per-(doc, term) BM25 contribution, identical operation order in
+    both engines: idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1) — the standard "plus one"
+    form that keeps idf positive for terms in most documents. ln() is the
+    only non-correctly-rounded IEEE op here (same 1-ulp cross-engine
+    exposure as tfidf_top_terms); round(,6) on the final sum absorbs it.
+    """
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    idf = (
+        f"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    )
+    return (
+        f"({idf} * (CAST(tf AS DOUBLE) * ({k1} + CAST(1.0 AS DOUBLE)))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (CAST(1.0 AS DOUBLE) - {b}"
+        f" + {b} * CAST(dl AS DOUBLE) / avgdl)))"
+    )
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for the fixed query ``BM25_TERMS``.
+
+    Plan shape at scale: the token explode filters to the query terms
+    BEFORE the (doc, term) aggregate, so the exchange carries only
+    matching-term rows — O(matching tokens), never text. doc-frequency
+    (|terms| rows) and corpus stats (1 row) are broadcast back; the final
+    per-doc sum is a sequential fold over the term-sorted score list so
+    double accumulation order is engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).select("doc_id", "words", F.size("words").alias("dl"))
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf = (
+        docs.select(
+            "doc_id", "dl", F.explode("words").alias("word")
+        )
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "word", F.expr(_bm25_term_score("spark")).alias("ts"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "round(aggregate(array_sort(collect_list(struct(word, ts))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.ts), 6)"
+            ).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    w = words_expr("text", "duckdb")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    score = _bm25_term_score("duckdb")
+    return f"""
+WITH d AS (SELECT doc_id, len({w}) AS dl, {w} AS words FROM documents),
+tok AS (SELECT doc_id, dl, unnest(words) AS word FROM d),
+tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
+       WHERE word IN ({terms}) GROUP BY doc_id, dl, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+scored AS (
+  SELECT tf.doc_id, tf.word, {score} AS ts
+  FROM tf JOIN dfreq USING (word) CROSS JOIN st)
+SELECT doc_id,
+       round(CAST(list_sum(list(ts ORDER BY word)) AS DOUBLE), 6) AS bm25,
+       count(*) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "inverted_index": q_inverted_index,
+    "bm25_score": q_bm25_score,
 }
 
 ORACLES = {
     "doc_chunks": _doc_chunks_sql(),
     "inverted_index": _inverted_index_sql(),
+    "bm25_score": _bm25_sql(),
 }
