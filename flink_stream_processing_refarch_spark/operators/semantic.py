@@ -175,10 +175,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs *within* each final cluster; every vector reports its cluster,
     the lowest-id earlier near-dup that covers it (dup_of), and whether
     it survives (is_kept)."""
-    qv = _quantized(spark, sf_dir)
+    # The quantized working set is referenced by every Lloyd iteration
+    # AND the final pairing — checkpoint it once (the canonical Spark
+    # iterative-algorithm pattern, same as dedup_clusters' loop) so the
+    # plan holds ONE embeddings scan instead of re-deriving qv per
+    # reference (6 corpus scans at 100 TB otherwise). Each centroid
+    # generation is a 1-row frame; checkpointing it keeps the final
+    # lineage flat instead of nesting assign/update trees per iteration.
+    qv = _quantized(spark, sf_dir).localCheckpoint(eager=False)
     cents = _seed_cents(qv)
     for _ in range(LLOYD_ITERS):
-        cents = _update(_assign(qv, cents))
+        cents = _update(_assign(qv, cents)).localCheckpoint(eager=False)
     final = _assign(qv, cents).withColumn(
         "n2", F.expr(_doti("vq", "vq", "spark"))
     )
