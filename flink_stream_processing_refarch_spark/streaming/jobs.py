@@ -51,13 +51,22 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+_EVENTS_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """events.parquet read schema, with ``ts`` as whatever Spark infers
     for the file's actual physical layout (BIGINT under the nanos flag
     for TIMESTAMP(NANOS) files; TIMESTAMP_NTZ for MICROS files). A
     streaming reader needs a declared schema — derive it from a batch
-    peek of the same file so it never drifts from the generator."""
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    peek of the same file so it never drifts from the generator.
+    Memoized per directory: the footer read costs a Spark job's worth of
+    driver latency per call otherwise, paid by every streaming query."""
+    if sf_dir not in _EVENTS_SCHEMA_CACHE:
+        _EVENTS_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).schema
+    return _EVENTS_SCHEMA_CACHE[sf_dir]
 
 
 def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
