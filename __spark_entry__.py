@@ -54,7 +54,6 @@ PRIORITY = [
     "q2_streaming",
     # -- LLM-data-pipeline: text analysis --
     "lang_id",
-    "doc_fingerprint",
     "udtf_word_positions",
     "training_mix",
     # -- LLM-data-pipeline: dedup family (LSH pair-gen rewritten r03) --
@@ -91,6 +90,8 @@ PRIORITY = [
     "vocab_stats",
     "corpus_build",
     "corpus_ingest_streaming",
+    # -- NEW r04: streaming decontamination gate (stream-static) --
+    "decontaminate_streaming",
     "global_row_number",
     "repetition_score",
     "length_histogram",
@@ -119,6 +120,7 @@ PRIORITY = [
     # Rotated out r04 (r02-green over unchanged code):
     "token_stats",
     "quality_score",
+    "doc_fingerprint",
     "split_train_test",
     "split_counts",
     "stratified_cap",

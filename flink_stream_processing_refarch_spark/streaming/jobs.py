@@ -617,6 +617,92 @@ def q_corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate: arriving training documents pass
+    only if they share NO word n-gram with the held-out eval split —
+    the online form of ``operators/contamination.q_decontaminate``,
+    applied at ingest so contaminated shards never land in the corpus.
+
+    Shape: the eval shingle dictionary is a STATIC batch relation
+    collapsed to one array row (benchmarks are MBs, the same broadcast
+    argument as the batch operator) and cross-joined onto the stream —
+    a stateless stream-static join, so the gate is a narrow per-row
+    ``arrays_overlap`` with no streaming state, no watermark, and
+    append-mode emission. Document text never crosses an exchange; the
+    only non-map work is the one-time static aggregation of the eval
+    side. At 100 TB/day of arriving shards the per-row cost is
+    O(shingles x probe) against a broadcast hash — the same plan Spark
+    picks for the batch twin's matched-probe."""
+    from ..operators.contamination import EVAL_MOD, _shingles
+    from ..schemas import load_table
+
+    # static eval shingle set -> ONE array row (batch side of the join)
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(F.expr(_shingles("spark"))).alias("g"))
+        .distinct()
+        .agg(F.collect_list("g").alias("ev_g"))
+    )
+    return decontaminate_gate(stream_documents(spark, sf_dir), ev)
+
+
+def decontaminate_gate(docs: DataFrame, ev: DataFrame) -> DataFrame:
+    """The gate transformation over any documents stream plus a one-row
+    static eval-shingle-array relation (source-agnostic, same split as
+    :func:`corpus_ingest_from_stream`)."""
+    from ..operators.contamination import EVAL_MOD, _shingles
+    from ..operators.text import _exprs
+
+    e = _exprs("spark")
+    shingled = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id",
+        "source",
+        F.expr(e["n_words"]).alias("n_tokens"),
+        F.expr(_shingles("spark")).alias("sh"),
+    )
+    return (
+        shingled.crossJoin(F.broadcast(ev))
+        .filter(~F.arrays_overlap(F.col("sh"), F.col("ev_g")))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def q_decontaminate_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the streaming decontamination gate (stateless ->
+    plain append; RocksDB unnecessary)."""
+    return _run_to_memory(
+        decontaminate_stream_df(spark, sf_dir), use_rocksdb=False
+    )
+
+
+def _decontaminate_streaming_sql() -> str:
+    from ..operators.contamination import EVAL_MOD, _shingles
+    from ..operators.text import _exprs
+
+    e = _exprs("duckdb")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {e['n_words']} AS n_tokens,
+         {_shingles('duckdb')} AS sh
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM base WHERE doc_id % {EVAL_MOD} = 0
+),
+bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(sh) AS g FROM base
+        WHERE doc_id % {EVAL_MOD} <> 0) tr
+  JOIN ev USING (g)
+)
+SELECT doc_id, source, n_tokens
+FROM base
+WHERE doc_id % {EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def _corpus_ingest_sql() -> str:
     from ..operators.text import _exprs
 
@@ -963,6 +1049,7 @@ QUERIES = {
     "stream_stream_left_join": q_stream_stream_left_join,
     "streaming_dedup": q_streaming_dedup,
     "corpus_ingest_streaming": q_corpus_ingest_streaming,
+    "decontaminate_streaming": q_decontaminate_streaming,
     "stateful_sessionize": q_stateful_sessionize,
     "session_windows_streaming": q_session_windows_streaming,
 }
@@ -976,6 +1063,7 @@ ORACLES = {
     "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "corpus_ingest_streaming": _corpus_ingest_sql(),
+    "decontaminate_streaming": _decontaminate_streaming_sql(),
     "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
     # built-in session_window closes sessions by the identical watermark
     # rule the custom operator implements -> same oracle

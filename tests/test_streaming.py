@@ -698,3 +698,51 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # single trips and are suppressed by the HAVING threshold.
     win_end = 1704067200000 + 70 * 60 * 1000  # 01:10:00Z
     assert res == [("dr5ru7", 2, win_end - 1)]
+
+
+def test_decontaminate_streaming_multibatch(spark, duck, tmp_path):
+    """The streaming decontamination gate over THREE arriving document
+    chunk files with maxFilesPerTrigger=1: the gate is stateless, so
+    each micro-batch's clean docs append independently, and the union of
+    all batches equals the batch oracle (clean training docs only)."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.operators.contamination import (
+        EVAL_MOD,
+        _shingles,
+    )
+    from flink_stream_processing_refarch_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "chunks")
+    n_chunks = 3
+    for i in range(n_chunks):
+        docs.filter(F.col("doc_id") % n_chunks == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/c{i}")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(n_chunks):
+        (part,) = glob.glob(f"{src}/c{i}/part-*.parquet")
+        os.link(part, f"{flat}/chunk-{i:03d}.parquet")
+
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(F.expr(_shingles("spark"))).alias("g"))
+        .distinct()
+        .agg(F.collect_list("g").alias("ev_g"))
+    )
+    stream = (
+        spark.readStream.schema(jobs.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    out = jobs._run_to_memory(
+        jobs.decontaminate_gate(stream, ev), use_rocksdb=False
+    )
+    oracle = duck.execute(jobs.ORACLES["decontaminate_streaming"]).fetchall()
+    assert _rows(out) == sorted(tuple(r) for r in oracle)
+    # the gate must actually drop something: contaminated training docs
+    # exist by construction of the synthetic corpus
+    n_training = docs.filter(F.col("doc_id") % EVAL_MOD != 0).count()
+    assert out.count() < n_training
