@@ -678,17 +678,28 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bc"),
     ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # In-bucket pair expansion, same rewrite as q_dedup_minhash_lsh: ONE
+    # exchange on the (band, code) key instead of the two self-join
+    # shuffles (each of which also recomputed the hyperplane codes). No
+    # bucket cap here — the oracle's candidate rule is uncapped (the 2-bit
+    # codes make dense buckets inherent to this operator's recall target;
+    # the scale knobs are documented in the docstring above).
+    bkt = (
+        bands.groupBy("band", "code")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        bkt.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     # Norms are computed once per VECTOR (n x 64-fold), not once per
