@@ -205,7 +205,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     uncached = (
         {"q1_streaming", "q2_streaming"}
         | set(streaming_jobs.QUERIES)
-        | {"dedup_clusters", "semantic_dedup"}
+        | {"dedup_clusters", "semantic_dedup", "ngram_jaccard"}
     )
     return {
         name: (fn if name in uncached else plancache.cached_plan(name, fn))

@@ -41,6 +41,7 @@ N_RUNS = 3  # runs per query; the reported time is the median
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from flink_stream_processing_refarch_spark.schemas import load_table
 from flink_stream_processing_refarch_spark.session import get_spark
 
 HEADLINE = ("q1_pickup_count", "q2_trip_duration")
@@ -54,7 +55,9 @@ def main() -> None:
     # Warm the JVM (codegen/JIT), python workers, and parquet footer caches
     # with tiny sf0.001 runs — the timed numbers then measure steady-state
     # throughput, not one-time compilation.
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # via load_table: applies the layout shims (nanos flag / ts
+    # normalization) so the warm read works on either parquet layout
+    n_events = load_table(spark, sf_dir, "events").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         qs = entry.queries()

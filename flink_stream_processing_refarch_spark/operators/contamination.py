@@ -63,6 +63,19 @@ def _shingles(dialect: str, w: int = NGRAM) -> str:
     )
 
 
+def eval_shingle_array(docs: DataFrame) -> DataFrame:
+    """The eval split's distinct shingles collapsed to ONE array row
+    (``ev_g``) — the static/broadcast side of every decontamination
+    variant (batch probe, streaming gate, tests). One definition so the
+    eval-membership rule can never diverge between them."""
+    return (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(F.expr(_shingles("spark"))).alias("g"))
+        .distinct()
+        .agg(F.collect_list("g").alias("ev_g"))
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs that share ≥1 word n-gram with the eval split:
     (doc_id, n_shingles, n_matched, contamination ratio)."""

@@ -187,7 +187,6 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     ).select("doc_id", "words", F.size("words").alias("dl"))
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     tf = (
         docs.select(
             "doc_id", "dl", F.explode("words").alias("word")

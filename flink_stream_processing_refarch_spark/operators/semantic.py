@@ -100,8 +100,10 @@ def _quant_expr(vec: str, dialect: str) -> str:
     )
 
 
-# Spark-side argmax over the broadcast centroid array: a sequential fold
-# in ascending-cluster order with a strict > keeps the LOWEST cluster id
+# Spark-side argmax over the broadcast centroid array: score each
+# centroid ONCE via transform (the fold's CASE would otherwise evaluate
+# the 64-term dot twice per centroid), then a sequential fold in
+# ascending-cluster order with a strict > keeps the LOWEST cluster id
 # on score ties — the same rule as the oracle's ORDER BY score DESC, cl.
 def _pick_cluster_expr() -> str:
     score = (
@@ -109,12 +111,11 @@ def _pick_cluster_expr() -> str:
         + _doti("c.cvq", "c.cvq", "spark") + ")"
     )
     return (
-        "aggregate(cents,"
+        "aggregate("
+        f"transform(cents, c -> named_struct('cl', c.cl, 's', {score})),"
         " named_struct('cl', CAST(-1 AS INT),"
         " 's', CAST(-9223372036854775807 AS BIGINT)),"
-        f" (acc, c) -> CASE WHEN {score} > acc.s"
-        f" THEN named_struct('cl', c.cl, 's', {score})"
-        " ELSE acc END).cl"
+        " (acc, c) -> CASE WHEN c.s > acc.s THEN c ELSE acc END).cl"
     )
 
 

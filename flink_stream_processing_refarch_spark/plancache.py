@@ -21,17 +21,23 @@ re-streaming.
 
 Cache key: (JVM session id, sf_dir). Keyed on the underlying JVM session
 (not the Python wrapper id) so a stopped-and-rebuilt session never
-serves plans whose JVM state is gone. Bounded: one entry per query per
-session — no eviction needed at this cardinality (~100 plans).
+serves plans whose JVM state is gone. Bounded: plans are held per
+session, and only the ``MAX_SESSIONS`` most recent sessions are
+retained — a driver that rebuilds its session every round cannot
+accumulate dead-session plans for the process lifetime.
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+MAX_SESSIONS = 4
+
+#: session key -> {(query name, sf_dir): DataFrame}, most-recent last
+_CACHE: OrderedDict[int, dict[tuple[str, str], DataFrame]] = OrderedDict()
 
 
 def _session_key(spark: SparkSession) -> int:
@@ -48,11 +54,17 @@ def cached_plan(
     """Wrap a (spark, sf_dir) -> DataFrame builder with plan memoization."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (name, _session_key(spark), sf_dir)
-        df = _CACHE.get(key)
+        skey = _session_key(spark)
+        plans = _CACHE.get(skey)
+        if plans is None:
+            plans = _CACHE[skey] = {}
+            while len(_CACHE) > MAX_SESSIONS:  # drop oldest session's plans
+                _CACHE.popitem(last=False)
+        else:
+            _CACHE.move_to_end(skey)
+        df = plans.get((name, sf_dir))
         if df is None:
-            df = fn(spark, sf_dir)
-            _CACHE[key] = df
+            df = plans[(name, sf_dir)] = fn(spark, sf_dir)
         return df
 
     wrapped.__name__ = f"cached_{name}"

@@ -76,6 +76,10 @@ def load_table(spark, sf_dir: str, name: str):
     regardless of which physical timestamp layout the driver generated.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # must be set BEFORE the read: a TIMESTAMP(NANOS) layout is
+        # unreadable without it (the MICROS layout ignores it)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
@@ -109,29 +113,59 @@ def normalize_event_ts(df):
 _SPLIT_EST_CACHE: dict = {}
 
 
+def _byte_conf(spark, conf_key: str, default: int) -> int:
+    """A Spark byte-size conf as an int, accepting unit suffixes
+    ('64m', '134217728b', '1g') — int() alone would raise and silently
+    fall back, discarding an explicitly-set value."""
+    try:
+        raw = spark.conf.get(conf_key, None)
+    except Exception:
+        raw = None
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
 def _scan_splits_estimate(spark, src_path: str) -> int:
     """Estimated parquet scan split count from file METADATA only.
 
-    Mirrors Spark's byte-range split rule (ceil(bytes /
-    maxPartitionBytes)) for a local path; non-local / unreadable paths
-    (s3:// etc. — the at-scale case) report "many" so the starved-scan
-    gate no-ops. Pure os.stat — no plan analysis, no Py4J job — because
-    the gate runs at PLAN BUILD time on every query and a ``df.rdd``
-    probe here costs a full extra physical-planning pass per call
-    (measured ~0.3 s driver time at local[32])."""
+    Mirrors Spark's FilePartition split rule — maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, bytes / parallelism)) —
+    for a local path; non-local / unreadable paths (s3:// etc. — the
+    at-scale case) report "many" so the starved-scan gate no-ops. Pure
+    os.stat — no plan analysis, no Py4J job — because the gate runs at
+    PLAN BUILD time on every query and a ``df.rdd`` probe here costs a
+    full extra physical-planning pass per call (measured ~0.3 s driver
+    time at local[32])."""
     import math
     import os
 
-    try:
-        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-                     or 128 * 1024 * 1024)
-    except Exception:
-        max_pb = 128 * 1024 * 1024
-    key = (src_path, max_pb)
+    max_pb = _byte_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    open_cost = _byte_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
+    par = spark.sparkContext.defaultParallelism
+    key = (src_path, max_pb, open_cost, par)
     if key not in _SPLIT_EST_CACHE:
         try:
             size = os.path.getsize(src_path)
-            est = max(1, math.ceil(size / max_pb))
+            max_split = min(max_pb, max(open_cost, size // max(1, par)))
+            est = max(1, math.ceil(size / max(1, max_split)))
         except OSError:
             est = 1 << 20  # non-local path: assume well-split (at scale)
         _SPLIT_EST_CACHE[key] = est

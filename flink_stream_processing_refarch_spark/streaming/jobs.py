@@ -633,17 +633,11 @@ def decontaminate_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     side. At 100 TB/day of arriving shards the per-row cost is
     O(shingles x probe) against a broadcast hash — the same plan Spark
     picks for the batch twin's matched-probe."""
-    from ..operators.contamination import EVAL_MOD, _shingles
+    from ..operators.contamination import eval_shingle_array
     from ..schemas import load_table
 
     # static eval shingle set -> ONE array row (batch side of the join)
-    ev = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(F.expr(_shingles("spark"))).alias("g"))
-        .distinct()
-        .agg(F.collect_list("g").alias("ev_g"))
-    )
+    ev = eval_shingle_array(load_table(spark, sf_dir, "documents"))
     return decontaminate_gate(stream_documents(spark, sf_dir), ev)
 
 
@@ -661,9 +655,17 @@ def decontaminate_gate(docs: DataFrame, ev: DataFrame) -> DataFrame:
         F.expr(e["n_words"]).alias("n_tokens"),
         F.expr(_shingles("spark")).alias("sh"),
     )
+    # NULL-safe negation: arrays_overlap returns NULL (not false) when a
+    # no-match array contains a null element (a NULL-text doc shingles to
+    # [NULL]); the oracle's anti-join keeps such docs, so coalesce the
+    # overlap to false before negating.
     return (
         shingled.crossJoin(F.broadcast(ev))
-        .filter(~F.arrays_overlap(F.col("sh"), F.col("ev_g")))
+        .filter(
+            ~F.coalesce(
+                F.arrays_overlap(F.col("sh"), F.col("ev_g")), F.lit(False)
+            )
+        )
         .select("doc_id", "source", "n_tokens")
     )
 

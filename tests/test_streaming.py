@@ -709,7 +709,7 @@ def test_decontaminate_streaming_multibatch(spark, duck, tmp_path):
 
     from flink_stream_processing_refarch_spark.operators.contamination import (
         EVAL_MOD,
-        _shingles,
+        eval_shingle_array,
     )
     from flink_stream_processing_refarch_spark.schemas import load_table
 
@@ -726,12 +726,7 @@ def test_decontaminate_streaming_multibatch(spark, duck, tmp_path):
         (part,) = glob.glob(f"{src}/c{i}/part-*.parquet")
         os.link(part, f"{flat}/chunk-{i:03d}.parquet")
 
-    ev = (
-        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(F.expr(_shingles("spark"))).alias("g"))
-        .distinct()
-        .agg(F.collect_list("g").alias("ev_g"))
-    )
+    ev = eval_shingle_array(docs)
     stream = (
         spark.readStream.schema(jobs.DOCS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
