@@ -54,7 +54,6 @@ PRIORITY = [
     "q2_streaming",
     # -- LLM-data-pipeline: text analysis --
     "lang_id",
-    "udtf_word_positions",
     "training_mix",
     # -- LLM-data-pipeline: dedup family (LSH pair-gen rewritten r03) --
     "dedup_exact",
@@ -103,6 +102,8 @@ PRIORITY = [
     #    so they take window slots; the r02-green unchanged entries they
     #    displace rotate past the window) --
     "tfidf_top_terms",
+    # -- NEW r04: temperature-scaled source mixing weights --
+    "mixture_weights",
     "sequence_packing",
     "bottomk_sample",
     "bigram_lm",
@@ -121,6 +122,7 @@ PRIORITY = [
     "token_stats",
     "quality_score",
     "doc_fingerprint",
+    "udtf_word_positions",
     "split_train_test",
     "split_counts",
     "stratified_cap",

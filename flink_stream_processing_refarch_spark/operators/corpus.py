@@ -477,8 +477,90 @@ FROM overall
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (the multi-source data-mixing step)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 1_000_000  # tokens allocated across sources per "epoch"
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for multi-source training: token
+    counts temperature-scaled with alpha = 0.5 (w_s = tokens_s^alpha /
+    sum_s tokens_s^alpha — the standard upsampling of small sources used
+    for multilingual/multi-domain mixing), plus each source's token
+    allocation out of a MIX_BUDGET-token epoch.
+
+    Determinism discipline (same as semantic_dedup): tokens_s^0.5 is
+    sqrt of an exact integer (correctly rounded -> engine-identical),
+    quantized to BIGINT micro-units so the cross-source TOTAL is an
+    exact integer sum — no double accumulation ever crosses rows. The
+    final weight is one correctly-rounded division, rounded to 6.
+
+    Scale shape: one map-side-combinable aggregate to |sources| rows;
+    the 1-row total broadcasts back. Nothing else moves.
+    """
+    from .text import _exprs
+
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(e["n_words"])).alias("n_tokens"),
+    )
+    wq = (
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    weighted = src.select("source", "n_docs", "n_tokens", F.expr(wq).alias("wq"))
+    tot = weighted.agg(F.sum("wq").alias("tot"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "round(CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE), 6)"
+            ).alias("weight"),
+            F.expr(
+                "CAST(floor(CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE)"
+                f" * CAST({MIX_BUDGET}.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("budget_tokens"),
+        )
+    )
+
+
+def _mixture_weights_sql() -> str:
+    from .text import _exprs
+
+    e = _exprs("duckdb")
+    return f"""
+WITH src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({e['n_words']}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq
+  FROM src
+),
+tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM weighted)
+SELECT source, n_docs, n_tokens,
+       round(CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+       CAST(floor(CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE)
+                  * CAST({MIX_BUDGET}.0 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS budget_tokens
+FROM weighted CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
+    "mixture_weights": q_mixture_weights,
     "sequence_packing": q_sequence_packing,
     "bottomk_sample": q_bottomk_sample,
     "bigram_lm": q_bigram_lm,
@@ -489,6 +571,7 @@ QUERIES = {
 
 ORACLES = {
     "tfidf_top_terms": _tfidf_sql(),
+    "mixture_weights": _mixture_weights_sql(),
     "sequence_packing": _sequence_packing_sql(),
     "bottomk_sample": _bottomk_sample_sql(),
     "bigram_lm": _bigram_lm_sql(),

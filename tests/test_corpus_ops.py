@@ -152,3 +152,27 @@ def test_sketch_rollup_merge_consistency(spark):
     for r in rows.values():
         assert r["sketch_ok"], r
         assert r["n_distinct_exact"] <= glob["n_distinct_exact"]
+
+
+def test_mixture_weights_form_a_distribution(spark):
+    """Weights sum to ~1, every source gets a positive weight, and the
+    epoch budget allocation matches each weight within rounding."""
+    rows = corpus.q_mixture_weights(spark, SF_DIR).collect()
+    assert rows
+    total_w = sum(r["weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-4 * len(rows)
+    for r in rows:
+        assert r["weight"] > 0
+        assert abs(r["budget_tokens"] - r["weight"] * corpus.MIX_BUDGET) <= (
+            corpus.MIX_BUDGET * 1e-6 + 1
+        )
+    # temperature alpha=0.5 upsamples small sources: the weight ratio
+    # between the largest and smallest source is the sqrt of their token
+    # ratio, i.e. strictly compressed relative to proportional sampling
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    if big["n_tokens"] > small["n_tokens"]:
+        assert (
+            big["weight"] / small["weight"]
+            < big["n_tokens"] / small["n_tokens"]
+        )
