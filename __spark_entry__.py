@@ -46,16 +46,31 @@ from flink_stream_processing_refarch_spark.plans import relational, subqueries, 
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
+# r04 rotation: (a) minhash_signatures + simhash — the last two entries
+# never driver-proven under their own names — take window slots; (b) the
+# events read path changed this round (layout-stamped normalized
+# materialization, schemas.normalized_events_path), so every batch/
+# streaming query that consumes the events table sits in the window:
+# q1/q2 + streaming twins (slots 1-4), the stateful/stream-join block,
+# and the eight event-consuming relational entries rotated back IN
+# (asof_join, running_totals, sliding_window_counts, session_windows,
+# time_rollup, skew_salted_join, json_extract, stream_static_join). Ten
+# r03-driver-green entries whose plans are unchanged this round rotate
+# out (ann/embedding/multimodal/retrieval-prep block); the full registry
+# is still self-checked into SELFCHECK_r04.md.
 PRIORITY = [
-    # -- flagship taxi (batch + streaming twins) --
+    # -- flagship taxi (batch + streaming twins; events path changed r04) --
     "q1_pickup_count",
     "q2_trip_duration",
     "q1_streaming",
     "q2_streaming",
+    # -- never driver-proven under their own names before r04 --
+    "minhash_signatures",
+    "simhash",
     # -- LLM-data-pipeline: text analysis --
     "lang_id",
     "training_mix",
-    # -- LLM-data-pipeline: dedup family (LSH pair-gen rewritten r03) --
+    # -- LLM-data-pipeline: dedup family (stateful_build declared r04) --
     "dedup_exact",
     "dedup_survivors",
     "dedup_minhash_lsh",
@@ -63,46 +78,25 @@ PRIORITY = [
     "ngram_jaccard",
     "dedup_clusters",
     "dedup_embedding",
-    # -- LLM-data-pipeline: similarity / embeddings --
-    "cosine_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_norms",
-    "embedding_quantize",
-    # -- LLM-data-pipeline: multimodal plumbing --
-    "media_metadata",
-    "media_features",
-    "media_resize",
-    "frame_sample",
-    # -- LLM-data-pipeline: retrieval prep (written r03 but never
-    #    registered — first registration r04, so they take window slots) --
+    # -- retrieval prep: bm25 cutoff made tie-robust r04 --
     "doc_chunks",
-    "inverted_index",
     "bm25_score",
-    # -- NEW r04: SemDeDup (cluster-then-dedup over embeddings) --
+    # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
+    #    mixture weights); kept in-window r04: semantic_dedup carries the
+    #    new stateful_build declaration --
     "semantic_dedup",
-    # -- LLM-data-pipeline: passage-level dedup (added r03, never
-    #    driver-proven — takes a window slot r04) --
     "passage_dedup",
-    # -- rotated INTO the window r03: added r02, never driver-proven --
     "decontaminate",
     "vocab_stats",
     "corpus_build",
     "corpus_ingest_streaming",
-    # -- NEW r04: streaming decontamination gate (stream-static) --
     "decontaminate_streaming",
     "global_row_number",
     "repetition_score",
     "length_histogram",
-    # -- rotated INTO the window r03: sketches re-paired with exact
-    #    twins + in-row bound check (first hashable rows) --
     "approx_distinct",
     "approx_quantiles",
-    # -- NEW r03: corpus-construction operators (never driver-proven,
-    #    so they take window slots; the r02-green unchanged entries they
-    #    displace rotate past the window) --
     "tfidf_top_terms",
-    # -- NEW r04: temperature-scaled source mixing weights --
     "mixture_weights",
     "sequence_packing",
     "bottomk_sample",
@@ -110,15 +104,36 @@ PRIORITY = [
     "pii_scrub",
     "dup_provenance",
     "sketch_rollup",
-    # -- stateful streaming (sessionizer guard touched r03) + custom
-    #    join/stream ops --
+    # -- event-consuming relational entries rotated back IN r04 (their
+    #    source scan now goes through the normalized materialization) --
+    "asof_join",
+    "running_totals",
+    "sliding_window_counts",
+    "session_windows",
+    "time_rollup",
+    "skew_salted_join",
+    "json_extract",
+    "stream_static_join",
+    # -- stateful streaming + custom join/stream ops (events stream path
+    #    changed r04) --
     "stateful_sessionize",
     "session_windows_streaming",
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
-    # Rotated out r04 (r02-green over unchanged code):
+    # Rotated out r04 (r03-driver-green over plans unchanged this round):
+    "cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_norms",
+    "embedding_quantize",
+    "media_metadata",
+    "media_features",
+    "media_resize",
+    "frame_sample",
+    "inverted_index",
+    # Rotated out earlier rounds (r01/r02/r03-green over unchanged code):
     "token_stats",
     "quality_score",
     "doc_fingerprint",
@@ -126,14 +141,9 @@ PRIORITY = [
     "split_train_test",
     "split_counts",
     "stratified_cap",
-    # Rotated out r03 (all hold green r01/r02 rows over unchanged code):
-    "asof_join",
     "range_join_bands",
-    "time_rollup",
-    "skew_salted_join",
     "priority_lists",
     "promo_revenue",
-    "stream_static_join",
     "pricing_summary",
     "revenue_by_nation",
     "orders_by_region",
@@ -150,23 +160,18 @@ PRIORITY = [
     "anti_join",
     "customer_order_stats",
     "top_customers_per_nation",
-    "running_totals",
     "set_ops",
-    "sliding_window_counts",
-    "session_windows",
     "grouping_sets",
     "udaf_median",
-    "json_extract",
     "full_outer_balances",
     "exists_returned_orders",
     "in_large_orders",
     "scalar_below_avg",
     # Strict-prefix queries of checked entries, re-registered for
-    # inventory completeness (previously the RETIRED set):
+    # inventory completeness (minhash_signatures/simhash graduated into
+    # the window r04):
     "trips_clean",
     "airport_trips",
-    "minhash_signatures",
-    "simhash",
 ]
 
 
@@ -201,13 +206,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Catalyst analysis/optimization/codegen once per session, matching
     # the reference's compile-once dataflow. NOT wrapped: streaming
     # entries (each call must re-run the bounded stream) and builders
-    # that materialize state while constructing their plan (convergence
-    # actions / localCheckpoint) — serving those from the cache would
-    # hand back pre-computed state instead of re-running the algorithm.
+    # carrying ``stateful_build = True`` — declared at the builder's
+    # definition site, next to the state-building code, and enforced by
+    # cached_plan itself (it raises on such builders), so the exemption
+    # can't drift out of sync with the code the way a hand-list here
+    # could.
     uncached = (
         {"q1_streaming", "q2_streaming"}
         | set(streaming_jobs.QUERIES)
-        | {"dedup_clusters", "semantic_dedup", "ngram_jaccard"}
+        | {n for n, f in out.items() if getattr(f, "stateful_build", False)}
     )
     return {
         name: (fn if name in uncached else plancache.cached_plan(name, fn))

@@ -463,6 +463,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Builds state while constructing its plan (the persisted candidate
+# pairs) — the plan cache must re-run it per call (plancache.py).
+q_ngram_jaccard.stateful_build = True
+
 NGRAM_JACCARD_SQL_T = """
 WITH corpus AS ({corpus}),
 sigs AS ({sigs}),
@@ -575,6 +579,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = cur
     return labels
 
+
+# Convergence actions (localCheckpoint + 1-row sums) run during plan
+# construction — caching the built plan would serve pre-computed labels.
+q_dedup_clusters.stateful_build = True
 
 DEDUP_CLUSTERS_SQL_T = """
 WITH RECURSIVE corpus AS ({corpus}),

@@ -223,6 +223,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lloyd iterations checkpoint per-generation centroids during plan
+# construction — the plan cache must re-run the algorithm per call.
+q_semantic_dedup.stateful_build = True
+
+
 def _semantic_dedup_sql() -> str:
     d = "duckdb"
     quant = _quant_expr("embedding", d)

@@ -19,12 +19,19 @@ drains a bounded stream inside the callable) are never wrapped — their
 cost IS the run, and memoizing would return the drained sink without
 re-streaming.
 
-Cache key: (JVM session id, sf_dir). Keyed on the underlying JVM session
-(not the Python wrapper id) so a stopped-and-rebuilt session never
-serves plans whose JVM state is gone. Bounded: plans are held per
-session, and only the ``MAX_SESSIONS`` most recent sessions are
-retained — a driver that rebuilds its session every round cannot
-accumulate dead-session plans for the process lifetime.
+Cache key: (JVM session UUID, sf_dir, sf_dir file stamp). Keyed on the
+underlying JVM session's ``sessionUUID`` (globally unique — not the
+Python wrapper id, and not ``hashCode()``, which is an identity hash
+that a new session can reuse after the old one is GC'd) so a
+stopped-and-rebuilt session never serves plans whose JVM state is gone.
+The file stamp (total bytes + max mtime over the sf_dir's tables) makes
+the cache self-invalidating when the driver regenerates testdata at the
+same path mid-session — a cached DataFrame pins the parquet file
+listing captured at first build, so serving it over replaced files
+would throw or return stale rows. Bounded: plans are held per session,
+and only the ``MAX_SESSIONS`` most recent sessions are retained — a
+driver that rebuilds its session every round cannot accumulate
+dead-session plans for the process lifetime.
 """
 
 from __future__ import annotations
@@ -36,14 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 MAX_SESSIONS = 4
 
-#: session key -> {(query name, sf_dir): DataFrame}, most-recent last
-_CACHE: OrderedDict[int, dict[tuple[str, str], DataFrame]] = OrderedDict()
+#: session key -> {(query name, sf_dir, stamp): DataFrame}, most-recent last
+_CACHE: OrderedDict[object, dict[tuple, DataFrame]] = OrderedDict()
 
 
-def _session_key(spark: SparkSession) -> int:
-    """Stable id of the live JVM session backing this SparkSession."""
+def _session_key(spark: SparkSession):
+    """Globally-unique id of the live JVM session backing this wrapper."""
     try:
-        return spark._jsparkSession.hashCode()
+        return spark._jsparkSession.sessionUUID()
     except Exception:  # pragma: no cover - connect-mode or mock sessions
         return id(spark)
 
@@ -51,9 +58,24 @@ def _session_key(spark: SparkSession) -> int:
 def cached_plan(
     name: str, fn: Callable[[SparkSession, str], DataFrame]
 ) -> Callable[[SparkSession, str], DataFrame]:
-    """Wrap a (spark, sf_dir) -> DataFrame builder with plan memoization."""
+    """Wrap a (spark, sf_dir) -> DataFrame builder with plan memoization.
+
+    Refuses builders marked ``stateful_build = True`` — those run part of
+    their algorithm while CONSTRUCTING the plan (persist / localCheckpoint
+    / convergence collects), so memoizing the built DataFrame would serve
+    pre-computed state instead of re-running the work. The attribute
+    lives on the builder itself (declared where the state-building code
+    is), so the honesty of the bench can't drift out of sync with a
+    hand-maintained exemption list.
+    """
+    if getattr(fn, "stateful_build", False):
+        raise ValueError(
+            f"{name} is marked stateful_build; it must not be plan-cached"
+        )
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .schemas import table_stamp
+
         skey = _session_key(spark)
         plans = _CACHE.get(skey)
         if plans is None:
@@ -62,9 +84,10 @@ def cached_plan(
                 _CACHE.popitem(last=False)
         else:
             _CACHE.move_to_end(skey)
-        df = plans.get((name, sf_dir))
+        key = (name, sf_dir, table_stamp(sf_dir))
+        df = plans.get(key)
         if df is None:
-            df = plans[(name, sf_dir)] = fn(spark, sf_dir)
+            df = plans[key] = fn(spark, sf_dir)
         return df
 
     wrapped.__name__ = f"cached_{name}"

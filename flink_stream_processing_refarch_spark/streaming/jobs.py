@@ -51,22 +51,27 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-_EVENTS_SCHEMA_CACHE: dict[str, T.StructType] = {}
+_EVENTS_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
-def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """events.parquet read schema, with ``ts`` as whatever Spark infers
-    for the file's actual physical layout (BIGINT under the nanos flag
-    for TIMESTAMP(NANOS) files; TIMESTAMP_NTZ for MICROS files). A
-    streaming reader needs a declared schema — derive it from a batch
-    peek of the same file so it never drifts from the generator.
-    Memoized per directory: the footer read costs a Spark job's worth of
-    driver latency per call otherwise, paid by every streaming query."""
-    if sf_dir not in _EVENTS_SCHEMA_CACHE:
-        _EVENTS_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
-            f"{sf_dir}/events.parquet"
-        ).schema
-    return _EVENTS_SCHEMA_CACHE[sf_dir]
+def _events_schema(spark: SparkSession, src: str) -> T.StructType:
+    """Read schema of an events parquet location, with ``ts`` as whatever
+    Spark infers for the actual physical layout (BIGINT under the nanos
+    flag for TIMESTAMP(NANOS) files and for the normalized
+    materialization; TIMESTAMP_NTZ for MICROS files). A streaming reader
+    needs a declared schema — derive it from a batch peek of the same
+    location so it never drifts from the generator. Memoized per
+    (location, file stamp): the footer read costs a Spark job's worth of
+    driver latency per call otherwise, paid by every streaming query —
+    and the stamp in the key means an in-place regeneration with the
+    OTHER timestamp layout (the documented drift) refreshes the schema
+    instead of silently reading with a stale one."""
+    from ..schemas import table_stamp
+
+    key = (src, table_stamp(src))
+    if key not in _EVENTS_SCHEMA_CACHE:
+        _EVENTS_SCHEMA_CACHE[key] = spark.read.parquet(src).schema
+    return _EVENTS_SCHEMA_CACHE[key]
 
 
 def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
@@ -74,14 +79,29 @@ def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
     in for the Kinesis consumer, S1; swap format('kinesis') in prod).
     source_opts map to reader options (e.g. maxFilesPerTrigger — the
     SHARD_GETRECORDS throttling analogue). ``ts`` is normalized to
-    BIGINT epoch-nanos exactly as on the batch path."""
-    from ..schemas import normalize_event_ts
+    BIGINT epoch-nanos exactly as on the batch path.
+
+    Like the batch path, a starved local scan streams from the
+    once-per-stamp normalized materialization (ts already BIGINT, rows
+    split across cores — one availableNow batch over the whole bounded
+    set either way, so results are identical); at scale the source is
+    streamed directly and the normalization shim is a free codegen
+    expression."""
+    from ..schemas import normalize_event_ts, normalized_events_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(_events_schema(spark, sf_dir)).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    norm = normalized_events_path(spark, sf_dir)
+    if norm is not None:
+        reader = spark.readStream.schema(_events_schema(spark, norm)).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        for k, v in source_opts.items():
+            reader = reader.option(k, v)
+        return reader.parquet(norm)  # ts already BIGINT nanos
+    reader = spark.readStream.schema(
+        _events_schema(spark, f"{sf_dir}/events.parquet")
+    ).option("pathGlobFilter", "events.parquet")
     for k, v in source_opts.items():
         reader = reader.option(k, v)
     return normalize_event_ts(reader.parquet(sf_dir))

@@ -38,6 +38,74 @@ def test_streaming_and_stateful_builders_are_not_cached(spark):
         assert df1 is not df2, name
 
 
+def test_stateful_build_attribute_covers_state_building_builders():
+    """Every registered batch builder whose code (its own source, or a
+    same-module helper it calls) persists / checkpoints / collects while
+    CONSTRUCTING the plan must be declared ``stateful_build = True`` —
+    that attribute is what keeps the bench honest (cached_plan refuses to
+    wrap such builders). Source scan is direct + one call level deep,
+    which covers how every builder in this package is structured
+    (state-building code sits in the builder or a module-local helper)."""
+    import inspect
+    import re
+
+    import __spark_entry__ as se
+
+    markers = re.compile(r"\.localCheckpoint\(|\.persist\(|\.collect\(")
+    streaming_names = {"q1_streaming", "q2_streaming"} | set(
+        se.streaming_jobs.QUERIES
+    )
+
+    def sources(fn):
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            return []
+        out = [src]
+        mod_globals = getattr(fn, "__globals__", {})
+        for callee in set(re.findall(r"\b(\w+)\s*\(", src)):
+            g = mod_globals.get(callee)
+            if inspect.isfunction(g) and g is not fn:
+                try:
+                    out.append(inspect.getsource(g))
+                except (OSError, TypeError):
+                    pass
+        return out
+
+    offenders = []
+    for name, fn in se._all_queries().items():
+        if name in streaming_names:
+            continue  # never cached at all
+        raw = getattr(fn, "__wrapped__", None)
+        # cached_plan doesn't set __wrapped__; recover the raw builder
+        # from the closure when the entry came back wrapped
+        if raw is None and fn.__name__ == f"cached_{name}":
+            raw = next(
+                c.cell_contents
+                for c in fn.__closure__
+                if callable(getattr(c, "cell_contents", None))
+            )
+        raw = raw or fn
+        if any(markers.search(s) for s in sources(raw)) and not getattr(
+            raw, "stateful_build", False
+        ):
+            offenders.append(name)
+    assert offenders == [], (
+        f"builders doing build-time state without stateful_build: {offenders}"
+    )
+
+
+def test_cached_plan_refuses_stateful_builders():
+    import pytest
+
+    def builder(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    builder.stateful_build = True
+    with pytest.raises(ValueError, match="stateful_build"):
+        plancache.cached_plan("x", builder)
+
+
 def test_cached_plan_still_recomputes_results(spark):
     """The cache memoizes the PLAN; collect on it must still produce the
     full result set (and equal a fresh uncached build)."""
