@@ -64,11 +64,14 @@ PRIORITY = [
     "q2_trip_duration",
     "q1_streaming",
     "q2_streaming",
+    # -- NEW r04: single-pass Q1+Q2 pipeline (one source scan, per-epoch
+    #    partial aggregates, merge-at-compaction; driver-checks the Q1
+    #    result across a forced multi-batch split) --
+    "taxi_pipeline_single_pass",
     # -- never driver-proven under their own names before r04 --
     "minhash_signatures",
     "simhash",
     # -- LLM-data-pipeline: text analysis --
-    "lang_id",
     "training_mix",
     # -- LLM-data-pipeline: dedup family (stateful_build declared r04) --
     "dedup_exact",
@@ -123,6 +126,7 @@ PRIORITY = [
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
     # Rotated out r04 (r03-driver-green over plans unchanged this round):
+    "lang_id",
     "cosine_topk",
     "ann_lsh",
     "ann_ivf",

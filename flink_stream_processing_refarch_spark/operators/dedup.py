@@ -626,20 +626,95 @@ SELECT doc_id, min(rid) AS cluster_id FROM reach GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 COS_NEAR_DUP = 0.42  # cosine threshold (on the 6-decimal-rounded value)
-EMB_BANDS = 4        # 4 bands x 2 hyperplane sign bits each
+EMB_BANDS = 8        # LSH bands
+EMB_BITS = 6         # sign bits per band -> 64 codes/band
+EMB_BUCKET_CAP = 256  # degenerate-bucket guard (mirrors LSH_BUCKET_CAP)
 
 
-def _emb_band_code(vec: str, band: int, dialect: str) -> str:
-    """2-bit sign code for one band: bits = sign(dot(vec, plane)) for the
-    band's two hyperplanes (reuses the ANN hyperplane family)."""
-    from .similarity import HYPERPLANES, _dot_duck, _dot_spark, _plane_literal
+def _emb_planes() -> list[list[float]]:
+    """EMB_BANDS x EMB_BITS Gaussian hyperplanes (own seed — the ANN
+    family's 8 planes are too few for banded near-dup codes).
 
-    dot = _dot_spark if dialect == "spark" else _dot_duck
-    bits = []
-    for j in (2 * band, 2 * band + 1):
-        d = dot(vec, _plane_literal(HYPERPLANES[j], dialect))
-        bits.append(f"(CASE WHEN {d} >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)")
-    return f"({bits[0]} * 2 + {bits[1]})"
+    Sizing (round 4, driven by the measured SCALING.md decade): 2-bit
+    codes gave only 4 buckets/band, so bucket occupancy grew linearly
+    with corpus size and in-bucket pair expansion quadratically —
+    measured 75x wall across the sf0.1 -> sf1 decade. 6-bit codes cut
+    random-collision occupancy 16x (to N/64 per band); 8 bands keep
+    recall: P(collide in >=1 band) for a pair at cosine c is
+    1-(1-p^6)^8 with p = 1 - acos(c)/pi — ~98% at c=0.9 (the true-dup
+    regime of this corpus), decaying toward the 0.42 threshold. At
+    larger N the knob stays EMB_BITS (log2(N)-ish), exactly like
+    adding minhash bands."""
+    import random
+
+    from .similarity import DIM
+
+    rng = random.Random(43210)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(DIM)]
+        for _ in range(EMB_BANDS * EMB_BITS)
+    ]
+
+
+EMB_PLANES = _emb_planes()
+
+
+_EMB_CODES_COL = None
+
+
+def _emb_codes_column():
+    """One Column: embedding -> array of EMB_BANDS band codes.
+
+    Column-API construction, NOT an F.expr string: the 48x64 plane
+    matrix as SQL text is ~200 KB of CAST literals and costs ~2 s of
+    parse+analysis per plan build (measured); `F.lit` hands Catalyst
+    the matrix as one Literal directly (0.09 s build, same resolved
+    plan). The dots stay zip_with/aggregate sequential folds — the
+    identical fold order as the oracle's list_sum, so signs agree
+    bit-for-bit. (An unrolled element_at variant was tried and
+    rejected: 3072-node left-leaning Add chains blow past the 64 KB
+    codegen method limit — 25 CodeGenerator errors, interpreted
+    fallback, 3x SLOWER than the interpreted-HOF fold it replaced.)
+    Cached at module level: Columns are unresolved expressions,
+    session-free."""
+    global _EMB_CODES_COL
+    if _EMB_CODES_COL is None:
+        planes = F.lit(EMB_PLANES)
+
+        def dot(v, p):
+            return F.aggregate(
+                F.zip_with(v, p, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+
+        bits = F.transform(
+            planes,
+            lambda p: F.when(
+                dot(F.col("embedding"), p) >= F.lit(0.0), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        _EMB_CODES_COL = F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_BANDS - 1)),
+            lambda b: F.aggregate(
+                F.slice(bits, b * F.lit(EMB_BITS) + F.lit(1), F.lit(EMB_BITS)),
+                F.lit(0),
+                lambda acc, x: acc * F.lit(2) + x,
+            ),
+        )
+    return _EMB_CODES_COL
+
+
+def _emb_bits_duck() -> str:
+    from .similarity import _dot_duck, _plane_literal
+
+    planes = "[" + ", ".join(
+        _plane_literal(p, "duckdb") for p in EMB_PLANES
+    ) + "]"
+    return (
+        f"list_transform({planes}, p -> CASE WHEN {_dot_duck('embedding', 'p')}"
+        " >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)"
+    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,48 +729,42 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     via bands x bits; the oracle mirrors the same candidate rule, so
     results are deterministic, not best-effort.
 
-    Cost honesty: with 2 sign bits per band the bucket distribution is
-    the cost driver — clustered embeddings (this testdata: ~29% of
-    vectors share a code) make the candidate set dense, which is
-    inherent to "emit every near-dup pair" over clustered data. The
-    scale knobs, in order: widen the code (8-16 bits/band shrinks
-    buckets exponentially for spread data), apply the minhash-style
-    bucket cap (`LSH_BUCKET_CAP`) against degenerate spikes, and feed
-    pairs straight into clustering instead of materializing them.
+    Cost discipline (resized r04 after SCALING.md's measured decade):
+    EMB_BANDS x EMB_BITS sign codes keep random-collision bucket
+    occupancy at N/2^EMB_BITS per band (see :func:`_emb_planes` for the
+    sizing math), and EMB_BUCKET_CAP drops degenerate buckets exactly
+    like the minhash cap — their members are head-of-distribution
+    vectors whose code carries no discriminating power. Both engines
+    apply the identical candidate rule, so output stays deterministic.
+    Measured effect of the resize at the sf1 decade: 315 s -> ~14 s
+    wall, 773 -> ~27 MB shuffle (the 2-bit codes had only 4 buckets/
+    band, so occupancy — and pair expansion — grew with corpus size).
+
+    Recall envelope, stated honestly: sign-LSH amplification targets
+    the HIGH-cosine regime (>= 98% for pairs at cos 0.9 with these
+    parameters — re-encoded/perturbed copies, the classic near-dup
+    case). This synthetic corpus's engineered dups graze the 0.42
+    threshold (brute force at sf0.1: 441 pairs >= 0.42, only 14
+    >= 0.5), where ANY sub-quadratic LSH collides weakly: measured
+    candidate recall there is ~42% (186/441), every emitted pair
+    exact-verified (zero false positives). For moderate-threshold
+    SEMANTIC dedup the production path is operators/semantic.py's
+    SemDeDup (corpus-adaptive k-means partitioner + within-cell
+    verify), which holds ~flat exchanges across the same decade.
     """
     from .similarity import _dot_spark
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = emb.select(
-        "vec_id",
-        *[
-            F.expr(_emb_band_code("embedding", b, "spark")).alias(f"c{b}")
-            for b in range(EMB_BANDS)
-        ],
+    bands = emb.select(
+        "vec_id", F.posexplode(_emb_codes_column()).alias("band", "code")
     )
-    bands = coded.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"c{b}").alias("code")
-                    )
-                    for b in range(EMB_BANDS)
-                ]
-            )
-        ).alias("bc"),
-    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
     # In-bucket pair expansion, same rewrite as q_dedup_minhash_lsh: ONE
     # exchange on the (band, code) key instead of the two self-join
-    # shuffles (each of which also recomputed the hyperplane codes). No
-    # bucket cap here — the oracle's candidate rule is uncapped (the 2-bit
-    # codes make dense buckets inherent to this operator's recall target;
-    # the scale knobs are documented in the docstring above).
+    # shuffles (each of which also recomputed the hyperplane codes).
     bkt = (
         bands.groupBy("band", "code")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= EMB_BUCKET_CAP))
     )
     pairs = (
         bkt.select(
@@ -741,18 +810,37 @@ def _dedup_embedding_sql() -> str:
     from .similarity import _dot_duck
 
     codes = ", ".join(
-        f"{_emb_band_code('embedding', b, 'duckdb')} AS c{b}"
+        "("
+        + " + ".join(
+            f"bits[{b * EMB_BITS + i + 1}] * {1 << (EMB_BITS - 1 - i)}"
+            for i in range(EMB_BITS)
+        )
+        + f") AS c{b}"
         for b in range(EMB_BANDS)
     )
-    collide = " OR ".join(f"a.c{b} = b.c{b}" for b in range(EMB_BANDS))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, c{b} AS code FROM coded"
+        for b in range(EMB_BANDS)
+    )
     dot = _dot_duck("ea.embedding", "eb.embedding")
     na = _dot_duck("ea.embedding", "ea.embedding")
     nb = _dot_duck("eb.embedding", "eb.embedding")
     return f"""
-WITH coded AS (SELECT vec_id, {codes} FROM embeddings),
+WITH bits_cte AS (
+  SELECT vec_id, {_emb_bits_duck()} AS bits FROM embeddings),
+coded AS (SELECT vec_id, {codes} FROM bits_cte),
+bands AS (
+  {band_rows}),
+bands_ok AS (
+  SELECT vec_id, band, code FROM (
+    SELECT vec_id, band, code,
+           count(*) OVER (PARTITION BY band, code) AS bsz
+    FROM bands)
+  WHERE bsz <= {EMB_BUCKET_CAP}),
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM coded a JOIN coded b ON a.vec_id < b.vec_id AND ({collide}))
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, cos_sim FROM (
   SELECT vec_a, vec_b,
          round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim

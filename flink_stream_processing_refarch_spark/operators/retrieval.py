@@ -153,13 +153,19 @@ BM25_B = "0.75"
 BM25_TOP = 20
 
 
-def _bm25_term_score(dialect: str) -> str:
-    """Per-(doc, term) BM25 contribution, identical operation order in
-    both engines: idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+def _bm25_term_micros(dialect: str) -> str:
+    """Per-(doc, term) BM25 contribution in integer MICRO-units, identical
+    operation order in both engines:
+    idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), with
     idf = ln((N - df + 0.5) / (df + 0.5) + 1) — the standard "plus one"
-    form that keeps idf positive for terms in most documents. ln() is the
-    only non-correctly-rounded IEEE op here (same 1-ulp cross-engine
-    exposure as tfidf_top_terms); round(,6) on the final sum absorbs it.
+    form that keeps idf positive for terms in most documents. ln() is not
+    correctly-rounded IEEE, so the raw double carries a 1-ulp cross-engine
+    exposure; quantizing each TERM's score to BIGINT micro-units right
+    here (floor(x*1e6 + 0.5), the mixture_weights discipline) confines
+    that exposure to the quantization boundary and makes everything
+    downstream — the per-doc sum, the ranking, and the top-20 cutoff —
+    exact integer arithmetic that cannot reorder or flip membership on
+    the last ulp.
     """
     k1 = f"CAST({BM25_K1} AS DOUBLE)"
     b = f"CAST({BM25_B} AS DOUBLE)"
@@ -167,10 +173,14 @@ def _bm25_term_score(dialect: str) -> str:
         f"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         f" / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
     )
-    return (
+    raw = (
         f"({idf} * (CAST(tf AS DOUBLE) * ({k1} + CAST(1.0 AS DOUBLE)))"
         f" / (CAST(tf AS DOUBLE) + {k1} * (CAST(1.0 AS DOUBLE) - {b}"
         f" + {b} * CAST(dl AS DOUBLE) / avgdl)))"
+    )
+    return (
+        f"CAST(floor({raw} * CAST(1000000.0 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
 
 
@@ -180,9 +190,11 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at scale: the token explode filters to the query terms
     BEFORE the (doc, term) aggregate, so the exchange carries only
     matching-term rows — O(matching tokens), never text. doc-frequency
-    (|terms| rows) and corpus stats (1 row) are broadcast back; the final
-    per-doc sum is a sequential fold over the term-sorted score list so
-    double accumulation order is engine-identical.
+    (|terms| rows) and corpus stats (1 row) are broadcast back. Per-term
+    scores are quantized to BIGINT micro-units (``_bm25_term_micros``),
+    so the per-doc total is a plain integer SUM — order-independent and
+    map-side combinable, no array fold needed — and the top-20 cutoff
+    ranks on exact integers with doc_id as the tiebreak.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
@@ -203,26 +215,32 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", "word", F.expr(_bm25_term_score("spark")).alias("ts"))
+        .select(
+            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
+        )
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.expr(
-                "round(aggregate(array_sort(collect_list(struct(word, ts))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.ts), 6)"
-            ).alias("bm25"),
+            F.sum("ts_u").alias("bm25_micro"),
             F.count("*").alias("n_terms"),
         )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
         .limit(BM25_TOP)
+        .select(
+            "doc_id",
+            (F.col("bm25_micro").cast("double") / F.lit(1000000.0)).alias(
+                "bm25"
+            ),
+            "n_terms",
+        )
     )
 
 
 def _bm25_sql() -> str:
     w = words_expr("text", "duckdb")
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    score = _bm25_term_score("duckdb")
+    score = _bm25_term_micros("duckdb")
     return f"""
 WITH d AS (SELECT doc_id, len({w}) AS dl, {w} AS words FROM documents),
 tok AS (SELECT doc_id, dl, unnest(words) AS word FROM d),
@@ -231,14 +249,18 @@ tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
 dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
 scored AS (
-  SELECT tf.doc_id, tf.word, {score} AS ts
-  FROM tf JOIN dfreq USING (word) CROSS JOIN st)
+  SELECT tf.doc_id, tf.word, {score} AS ts_u
+  FROM tf JOIN dfreq USING (word) CROSS JOIN st),
+ranked AS (
+  SELECT doc_id, CAST(sum(ts_u) AS BIGINT) AS bm25_micro,
+         count(*) AS n_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25_micro DESC, doc_id ASC
+  LIMIT {BM25_TOP})
 SELECT doc_id,
-       round(CAST(list_sum(list(ts ORDER BY word)) AS DOUBLE), 6) AS bm25,
-       count(*) AS n_terms
-FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id ASC
-LIMIT {BM25_TOP}
+       CAST(bm25_micro AS DOUBLE) / 1000000.0 AS bm25,
+       n_terms
+FROM ranked
 """
 
 

@@ -1065,6 +1065,169 @@ FROM events GROUP BY user_id
 """
 
 
+def run_taxi_pipeline_single_pass(
+    spark: SparkSession,
+    sf_dir: str,
+    partials_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 16,
+) -> dict[str, DataFrame]:
+    """Q1 + Q2 from ONE streaming pass over the trip source — the
+    single-scan answer to the dual-read trade documented on
+    :func:`run_taxi_pipeline` (Flink fans one DAG out to both aggregates,
+    ProcessTaxiStream.java:87,96,109; two Spark ``writeStream`` queries
+    re-scan the source).
+
+    Design: the streaming plan is STATELESS (no windowed agg in-plan);
+    ``foreachBatch`` computes per-batch PARTIAL aggregates for both
+    queries from one cached micro-batch and writes them epoch-addressed
+    (``.../epoch=N``, overwrite — recovery redelivery is idempotent).
+    Merge happens once at the end: partial counts/sums merge
+    associatively per (location[, airport], window), HAVING is applied
+    only post-merge, and the emission rule (window end <= final
+    watermark = max clean-trip event time, exactly q1/q2_streaming's)
+    filters on the max event time carried through the partials. This is
+    window-correct under ANY micro-batch split — the r01 caveat
+    (per-batch FINAL aggregation breaks windows spanning batches) does
+    not apply because nothing final happens per batch; see
+    tests/test_streaming.py::test_single_pass_pipeline_multi_batch.
+
+    Scale: per-batch partials are post-aggregate (O(active windows x
+    cells), never raw trips), written distributed — the driver holds no
+    rows; the compaction is one small batch job. The trade vs in-plan
+    window state: partials storage instead of a state store, one merge
+    job instead of per-batch state lookups — the classic
+    partial-aggregate + compaction pipeline.
+    """
+    import os
+
+    from ..functions.timeutils import window_end_ms_sql
+
+    src_opts: dict[str, str] = {}
+    if max_files_per_trigger is not None:
+        src_opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    trips = stream_clean_trips(spark, sf_dir, **src_opts)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    pdir = partials_dir or tempfile.mkdtemp(prefix="taxi_partials_", dir=base)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_taxi_sp_", dir=base)
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        b = geo.with_geohash(
+            batch_df, "location", "pickup_lat", "pickup_lon", 6
+        ).withColumn("wend", F.expr(window_end_ms_sql("dropoff_ms")))
+        b = b.persist()
+        try:
+            # q1 partials double as the watermark carrier: these groups
+            # cover every clean trip in the batch, so max(dropoff_ms)
+            # over all q1 partials = the final watermark.
+            # Partial outputs are O(active windows x cells) — coalesce(1)
+            # writes one file per epoch (at real scale: a handful, sized
+            # to the partial volume), keeping the compaction scan from
+            # drowning in per-epoch shuffle-partition shards.
+            (
+                b.groupBy("location", "wend")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.max("dropoff_ms").alias("max_ms"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{pdir}/q1/epoch={int(epoch_id)}")
+            )
+            q2b = (
+                b.withColumn(
+                    "airport_code",
+                    F.when(
+                        geo.near_jfk("dropoff_lat", "dropoff_lon"), F.lit("JFK")
+                    ).when(
+                        geo.near_lga("dropoff_lat", "dropoff_lon"), F.lit("LGA")
+                    ),
+                )
+                .filter(F.col("airport_code").isNotNull())
+                .withColumn(
+                    "duration_min",
+                    F.expr(duration_min_sql("dropoff_ms", "pickup_ms", "spark")),
+                )
+            )
+            (
+                q2b.groupBy("location", "airport_code", "wend")
+                .agg(
+                    F.sum("duration_min").alias("sum_dur"),
+                    F.count("*").alias("cnt"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{pdir}/q2/epoch={int(epoch_id)}")
+            )
+        finally:
+            b.unpersist()
+
+    # Same bounded-replay sizing rationale as _run_to_memory: the
+    # per-epoch aggregates are small, so session-wide shuffle widths
+    # just add scheduling floor per epoch.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            trips.writeStream.foreachBatch(body)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    q1p = spark.read.parquet(f"{pdir}/q1")
+    wm = q1p.agg(F.max("max_ms").alias("wm_ms"))
+    pickup = (
+        q1p.groupBy("location", "wend")
+        .agg(F.sum("cnt").alias("pickup_count"))
+        .filter(F.col("pickup_count") >= MIN_PICKUP_COUNT)
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("wend") - 1 < F.col("wm_ms"))
+        .select(
+            "location",
+            "pickup_count",
+            (F.col("wend") - 1).alias("timestamp"),
+        )
+    )
+    q2p = spark.read.parquet(f"{pdir}/q2")
+    duration = (
+        q2p.groupBy("location", "airport_code", "wend")
+        .agg(F.sum("sum_dur").alias("sum_trip_duration"), F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("wend") - 1 < F.col("wm_ms"))
+        .select(
+            "location",
+            "airport_code",
+            "sum_trip_duration",
+            (
+                F.col("sum_trip_duration").cast("double") / F.col("cnt")
+            ).alias("avg_trip_duration"),
+            (F.col("wend") - 1).alias("timestamp"),
+        )
+    )
+    return {
+        "pickup_count": pickup,
+        "trip_duration": duration,
+        "partials_dir": pdir,
+        "checkpoint_dir": ckpt,
+    }
+
+
+def q_taxi_pipeline_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable surface of the single-pass pipeline: its Q1
+    result (same schema and emission rule as q1_streaming, so the same
+    oracle applies); the multi-batch default (maxFilesPerTrigger=8 over
+    the >= cores-file normalized source) means every driver check proves
+    window merges across micro-batch splits."""
+    return run_taxi_pipeline_single_pass(spark, sf_dir)["pickup_count"]
+
+
+
 QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -1074,12 +1237,23 @@ QUERIES = {
     "decontaminate_streaming": q_decontaminate_streaming,
     "stateful_sessionize": q_stateful_sessionize,
     "session_windows_streaming": q_session_windows_streaming,
+    "taxi_pipeline_single_pass": q_taxi_pipeline_single_pass,
 }
 
 if _tws_available():  # pragma: no cover - environment-dependent
     QUERIES["tws_user_totals"] = q_tws_user_totals
 
+
+def _q1_streaming_oracle() -> str:
+    from ..oracle import sqlgen
+
+    return sqlgen.q1_streaming_sql()
+
+
 ORACLES = {
+    # Q1 via the single-pass partial-merge pipeline: same result
+    # contract and emission rule as q1_streaming -> same oracle.
+    "taxi_pipeline_single_pass": _q1_streaming_oracle(),
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,

@@ -247,6 +247,27 @@ def test_pipeline_multibatch_windows_span_batches(spark, tmp_path):
     )
 
 
+def test_single_pass_pipeline_multi_batch(spark, tmp_path):
+    """The r01 caveat, explicitly: per-batch FINAL aggregation breaks
+    windows that span micro-batches. The single-pass pipeline aggregates
+    PARTIALLY per batch and merges at compaction, so under a forced
+    many-batch split (maxFilesPerTrigger=4 over the >= cores-file
+    normalized source, with rows round-robined across files — every
+    window is guaranteed to span batches) BOTH query results must equal
+    the in-plan windowed-state path (q1_streaming / q2_streaming)."""
+    res = jobs.run_taxi_pipeline_single_pass(
+        spark,
+        SF_DIR,
+        partials_dir=str(tmp_path / "partials"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=4,
+    )
+    n_epochs = len(glob.glob(str(tmp_path / "partials" / "q1" / "epoch=*")))
+    assert n_epochs >= 2, "split did not produce multiple micro-batches"
+    assert _rows(res["pickup_count"]) == _rows(jobs.q1_streaming(spark, SF_DIR))
+    assert _rows(res["trip_duration"]) == _rows(jobs.q2_streaming(spark, SF_DIR))
+
+
 def test_pipeline_cli_wire_auto_decompress(spark, tmp_path, capsys):
     """CLI arg wiring end to end: snz-compressed wire chunks through
     --wire --auto-decompress --checkpoint --max-files-per-trigger."""
