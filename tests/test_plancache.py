@@ -106,6 +106,58 @@ def test_cached_plan_refuses_stateful_builders():
         plancache.cached_plan("x", builder)
 
 
+def _write_events(path, n, us_layout):
+    """Tiny events table in either physical ts layout (the documented
+    round-over-round generator drift)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [1704067200000000000 + i * 60_000_000_000 for i in range(n)]
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us" if us_layout else "ns")),
+            "user_id": pa.array([i % 5 for i in range(n)], type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([float(i) for i in range(n)]),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{path}/events.parquet")
+
+
+def test_in_place_regeneration_invalidates_caches(spark, tmp_path):
+    """The layout-drift scenario end-to-end: regenerate events.parquet at
+    the SAME path with a different row count AND the other timestamp
+    layout; both the cached plan and the normalized materialization must
+    serve the new file (stamp-keyed caches), not the captured listing or
+    a stale declared schema."""
+    import shutil
+    import time
+
+    from flink_stream_processing_refarch_spark.schemas import load_table
+
+    sf = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
+    _write_events(sf, 40, us_layout=True)
+    q = entry.queries()
+    assert load_table(spark, sf, "events").count() == 40
+    first = q["time_rollup"](spark, sf)
+    n1 = first.count()
+
+    time.sleep(0.02)  # ensure a distinct mtime even on coarse clocks
+    _write_events(sf, 60, us_layout=False)  # drift: other layout, new rows
+    assert load_table(spark, sf, "events").count() == 60
+    second = q["time_rollup"](spark, sf)
+    assert second is not first  # stamp change -> fresh plan, not cache hit
+    assert second.count() != n1
+
+
 def test_cached_plan_still_recomputes_results(spark):
     """The cache memoizes the PLAN; collect on it must still produce the
     full result set (and equal a fresh uncached build)."""
