@@ -115,17 +115,23 @@ PRIORITY = [
     "session_windows",
     "time_rollup",
     "skew_salted_join",
-    "json_extract",
     "stream_static_join",
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
     "stateful_sessionize",
+    # -- NEW r04: transformWithStateInPandas, unblocked by the vendored
+    #    miniproto protobuf runtime (vendor/miniproto) — first-ever
+    #    driver-provable row for the Spark-4 arbitrary-state API --
+    "tws_user_totals",
     "session_windows_streaming",
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
-    # Rotated out r04 (r03-driver-green over plans unchanged this round):
+    # Rotated out r04 (r03-driver-green over plans unchanged this round;
+    # json_extract yields its slot to tws_user_totals — the changed
+    # events read path stays covered by seven other in-window consumers):
+    "json_extract",
     "lang_id",
     "cosine_topk",
     "ann_lsh",

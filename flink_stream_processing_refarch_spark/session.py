@@ -11,6 +11,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .vendorpath import ensure_protobuf
+
 
 def get_spark(
     app_name: str = "flink_stream_processing_refarch_spark",
@@ -25,6 +27,12 @@ def get_spark(
     produces tiny partitions locally; on a real cluster this is set to
     ~2-3x total cores instead).
     """
+    # Must run before the JVM spawns: exports the miniproto vendor dir on
+    # PYTHONPATH so Spark's python workers can import google.protobuf
+    # (transformWithStateInPandas state protocol). No-op when the real
+    # protobuf distribution is installed.
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)

@@ -968,16 +968,16 @@ _TWS_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value_cents BIGINT"
 
 def _tws_available() -> bool:
     """transformWithStateInPandas speaks a protobuf state protocol between
-    the JVM and a python driver worker; without google.protobuf installed
-    the worker crashes at init. Gate the query on the import so the
-    engine degrades to applyInPandasWithState (same capability, §2.7
-    'arbitrary stateful ops') in protobuf-less environments."""
-    try:
-        import google.protobuf  # noqa: F401
+    the JVM and a python driver worker; without google.protobuf the worker
+    crashes at init. ``ensure_protobuf`` first tries the real protobuf
+    distribution, then falls back to the vendored miniproto runtime
+    (``vendor/miniproto`` — a from-scratch pure-Python subset built for
+    exactly this protocol). Only if both are unavailable does the engine
+    degrade to applyInPandasWithState (same capability, §2.7 'arbitrary
+    stateful ops')."""
+    from ..vendorpath import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def _user_totals_processor():
@@ -1037,6 +1037,13 @@ def _user_totals_processor():
 
 
 def tws_user_totals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..vendorpath import ensure_protobuf_for_session
+
+    # Late-bind the vendored protobuf runtime into the live JVM's worker
+    # env too: the external driver may have built its session before
+    # importing this engine, in which case the os.environ export in
+    # ensure_protobuf() happened after the JVM captured its env.
+    ensure_protobuf_for_session(spark)
     ev = (
         _stream_events_ts(spark, sf_dir)
         .withWatermark("ts_t", "0 seconds")

@@ -87,21 +87,21 @@ def test_extended_streaming_matches_oracle(spark, duck, name):
 def test_tws_registration_tracks_protobuf_availability():
     """transformWithStateInPandas needs google.protobuf (its JVM<->python
     state protocol); the query must register exactly when that import
-    works, so the driver contract never exposes a query that crashes."""
-    assert ("tws_user_totals" in jobs.QUERIES) == jobs._tws_available()
-    assert ("tws_user_totals" in jobs.ORACLES) == jobs._tws_available()
-    if not jobs._tws_available():
-        # Make the gate REASON assert, not just the gate: it must be
-        # precisely the google.protobuf import (pip install is out of
-        # contract in this container), not some other rot hiding behind
-        # the same False.
-        with pytest.raises(ModuleNotFoundError, match="google"):
-            import google.protobuf  # noqa: F401
-        pytest.skip(
-            "tws_user_totals gated off: google.protobuf absent in this "
-            "environment (transformWithStateInPandas state protocol); "
-            "applyInPandasWithState covers §2.7 arbitrary stateful ops"
-        )
+    works, so the driver contract never exposes a query that crashes.
+
+    Since r04 the import is expected to succeed even without the protobuf
+    distribution: vendor/miniproto provides a from-scratch pure-Python
+    runtime subset and vendorpath.ensure_protobuf puts it on sys.path /
+    PYTHONPATH (real protobuf, when present, still wins — the vendor dir
+    is appended only after the plain import fails)."""
+    assert jobs._tws_available(), (
+        "google.protobuf should resolve via the real distribution or "
+        "the vendored miniproto runtime; if this fails the vendor tree "
+        "or vendorpath.py broke"
+    )
+    assert "tws_user_totals" in jobs.QUERIES
+    assert "tws_user_totals" in jobs.ORACLES
+    import google.protobuf  # noqa: F401  (must not raise after the gate)
 
 
 def test_stream_static_join_broadcasts_dims(spark, duck):
