@@ -37,6 +37,7 @@ from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import retrieval as retr_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import incremental as incr_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import semantic as semantic_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
@@ -81,6 +82,9 @@ PRIORITY = [
     "ngram_jaccard",
     "dedup_clusters",
     "dedup_embedding",
+    # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
+    #    probe of a corpus signature index + candidate-only verify) --
+    "dedup_incremental",
     # -- retrieval prep: bm25 cutoff made tie-robust r04 --
     "doc_chunks",
     "bm25_score",
@@ -106,7 +110,6 @@ PRIORITY = [
     "bigram_lm",
     "pii_scrub",
     "dup_provenance",
-    "sketch_rollup",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     "asof_join",
@@ -130,8 +133,11 @@ PRIORITY = [
     # ---- entries below are past the driver's 50-entry window ----
     # Rotated out r04 (r03-driver-green over plans unchanged this round;
     # json_extract yields its slot to tws_user_totals — the changed
-    # events read path stays covered by seven other in-window consumers):
+    # events read path stays covered by seven other in-window consumers —
+    # and sketch_rollup (r03-green, plan untouched r04) yields its slot
+    # to the new dedup_incremental:
     "json_extract",
+    "sketch_rollup",
     "lang_id",
     "cosine_topk",
     "ann_lsh",
@@ -206,6 +212,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(contam_ops.QUERIES)
     out.update(corpus_ops.QUERIES)
     out.update(dedup_ops.QUERIES)
+    out.update(incr_ops.QUERIES)
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
     out.update(sampling_ops.QUERIES)
@@ -265,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(contam_ops.ORACLES)
     out.update(corpus_ops.ORACLES)
     out.update(dedup_ops.ORACLES)
+    out.update(incr_ops.ORACLES)
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)
     out.update(sampling_ops.ORACLES)

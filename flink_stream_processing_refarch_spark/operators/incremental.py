@@ -1,0 +1,246 @@
+"""Incremental (delta-vs-corpus) deduplication.
+
+The production shape of dedup at 100 TB is not "re-dedupe the world":
+new data arrives as a DELTA (a crawl snapshot, a day of ingest) and is
+gated against the already-curated CORPUS. This operator implements that
+gate end-to-end on the engine's standing dedup machinery
+(reference parity note: the reference repo has no dedup surface at all —
+this extends the engine's §2.8 training-data family, same corpus
+conventions as operators/dedup.py):
+
+1. **exact vs corpus** — delta content-hash anti/flag-join against the
+   corpus hash set (`md5`, never the text).
+2. **exact within delta** — first occurrence per hash inside the delta
+   survives; later copies are marked (one hash-partitioned window).
+3. **near-dup vs corpus** — MinHash band signatures of the remaining
+   delta docs probe the corpus band-bucket index (same N_HASHES/N_BANDS/
+   LSH_BUCKET_CAP as the standing LSH pass), and candidates are verified
+   with the exact word-set Jaccard test; verification reads ONLY the
+   candidate base docs (broadcast-semi-join prune of the corpus text
+   scan — the at-scale shape: the corpus index relations are consulted,
+   the corpus text is touched only where a candidate demands it).
+
+Verdict per delta doc (precedence top-down):
+``exact_dup_corpus`` > ``exact_dup_delta`` > ``near_dup_corpus`` >
+``admitted``. Delta-internal NEAR-dups are deliberately left to the
+next full LSH pass (the gate's job is admission against the corpus;
+marking them here would duplicate dedup_minhash_lsh's role).
+
+100 TB posture: in production the two corpus-side relations derived
+here inline — the hash set and the band-signature index — are
+materialized once at ingest and maintained incrementally, so a delta
+run shuffles only O(|delta|) signature/hash rows plus the band-bucket
+probe; corpus text I/O is bounded by verified-candidate fan-in. The
+Jaccard acceptance test is integer-exact (2*|A∩B| >= |A∪B|), so the
+verdict column is bit-stable across engines.
+
+Test split (deterministic, oracle-shared): corpus = documents with
+``doc_id % 7 <> 3``; delta = the held-out documents (genuinely new)
+plus the same injected duplicates the standing dedup corpus uses
+(exact copies of every 10th doc, first-word-dropped near copies of
+every 20th — operators/dedup.py::corpus_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import words_expr
+from ..schemas import load_table, spread
+from .dedup import (
+    LSH_BUCKET_CAP,
+    N_BANDS,
+    N_HASHES,
+    _band_expr,
+    _minhash_cols,
+    _shingles,
+)
+
+
+def _drop_first_word(dialect: str) -> str:
+    w = words_expr("text", dialect)
+    if dialect == "spark":
+        return f"concat_ws(' ', slice({w}, 2, size({w}) - 1))"
+    return f"array_to_string(list_slice({w}, 2, len({w})), ' ')"
+
+
+def _parts_sql(dialect: str) -> tuple[str, str]:
+    """(base, delta) relation SQL over the ``documents`` view."""
+    base = "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3"
+    delta = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3"
+        " UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+        " WHERE doc_id % 10 = 0"
+        " UNION ALL "
+        f"SELECT doc_id + 2000000 AS doc_id, {_drop_first_word(dialect)} AS text"
+        " FROM documents WHERE doc_id % 20 = 0"
+    )
+    return base, delta
+
+
+def _with_sigs(df: DataFrame) -> DataFrame:
+    """Append mh0..mh{k-1} minhash columns (shared helpers from dedup.py)."""
+    df = df.withColumn("__shingles", F.expr(_shingles("spark")))
+    for j, e in enumerate(_minhash_cols("spark")):
+        df = df.withColumn(f"mh{j}", F.expr(e))
+    return df.drop("__shingles")
+
+
+def _band_rows(df: DataFrame, id_alias: str) -> DataFrame:
+    """Explode a signature frame into (id, band, bh) rows."""
+    return df.select(
+        F.col("doc_id").alias(id_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(_band_expr("spark", b)).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_alias, "e.band", "e.bh")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base_sql, delta_sql = _parts_sql("spark")
+    src = f"{sf_dir}/documents.parquet"
+    base = spread(spark.sql(base_sql), src_path=src)
+    delta = spread(spark.sql(delta_sql), src_path=src)
+
+    # exact vs corpus + first-occurrence within delta: one hash join on h
+    # (corpus side is hashes only) and one h-partitioned window — text
+    # never crosses either exchange at scale (spread() adds its local-
+    # starvation exchange only on single-split toy scans; see schemas.py).
+    dh = delta.select("doc_id", F.md5("text").alias("h"), "text")
+    base_hashes = base.select(F.md5("text").alias("h")).distinct()
+    flagged = (
+        dh.join(base_hashes.withColumn("__in_base", F.lit(1)), "h", "left")
+        .withColumn("__first_id", F.min("doc_id").over(Window.partitionBy("h")))
+    )
+    surv = flagged.filter(
+        F.col("__in_base").isNull() & (F.col("doc_id") == F.col("__first_id"))
+    ).select("doc_id", "text")
+
+    # corpus band-bucket index (production: a maintained table) with the
+    # standing degenerate-bucket cap; delta survivors probe it
+    base_bkt = (
+        _band_rows(_with_sigs(base), "base_id")
+        .groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("base_id")).alias("ids"))
+        .filter(F.size("ids") <= LSH_BUCKET_CAP)
+    )
+    cand = (
+        _band_rows(_with_sigs(surv), "delta_id")
+        .join(base_bkt, ["band", "bh"])
+        .select("delta_id", F.explode("ids").alias("base_id"))
+        .distinct()
+    )
+
+    # verify candidates only; the corpus text scan is pruned to candidate
+    # ids via a broadcast semi-join (ids-only broadcast)
+    cand_base_ids = cand.select(F.col("base_id").alias("doc_id")).distinct()
+    wset = f"array_distinct({words_expr('text', 'spark')})"
+    base_ws = (
+        base.join(F.broadcast(cand_base_ids), "doc_id", "semi")
+        .select(F.col("doc_id").alias("base_id"), F.expr(wset).alias("wb"))
+    )
+    delta_ws = surv.select(
+        F.col("doc_id").alias("delta_id"), F.expr(wset).alias("wa")
+    )
+    near = (
+        cand.join(delta_ws, "delta_id")
+        .join(base_ws, "base_id")
+        .filter(F.expr("2 * size(array_intersect(wa, wb)) >= size(array_union(wa, wb))"))
+        .select(F.col("delta_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+
+    return flagged.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN __in_base = 1 THEN 'exact_dup_corpus'"
+            " WHEN doc_id <> __first_id THEN 'exact_dup_delta'"
+            " WHEN __near = 1 THEN 'near_dup_corpus'"
+            " ELSE 'admitted' END"
+        ).alias("verdict"),
+    )
+
+
+def _incremental_sql() -> str:
+    d = "duckdb"
+    base, delta = _parts_sql(d)
+    mh = ", ".join(f"{e} AS mh{j}" for j, e in enumerate(_minhash_cols(d)))
+    base_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_expr(d, b)} AS bh FROM base_sigs"
+        for b in range(N_BANDS)
+    )
+    delta_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_expr(d, b)} AS bh FROM delta_sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS ({base}),
+delta AS ({delta}),
+base_hashes AS (SELECT DISTINCT md5(text) AS h FROM base),
+flagged AS (
+  SELECT d.doc_id, d.h,
+         CASE WHEN b.h IS NOT NULL THEN 1 END AS in_base,
+         min(d.doc_id) OVER (PARTITION BY d.h) AS first_id
+  FROM (SELECT doc_id, md5(text) AS h FROM delta) d
+  LEFT JOIN base_hashes b ON d.h = b.h
+),
+surv AS (
+  SELECT f.doc_id, dl.text FROM flagged f JOIN delta dl ON dl.doc_id = f.doc_id
+  WHERE f.in_base IS NULL AND f.doc_id = f.first_id
+),
+base_sigs AS (
+  SELECT doc_id, {mh}
+  FROM (SELECT doc_id, {_shingles(d)} AS __shingles FROM base)
+),
+delta_sigs AS (
+  SELECT doc_id, {mh}
+  FROM (SELECT doc_id, {_shingles(d)} AS __shingles FROM surv)
+),
+base_bands AS ({base_bands}),
+base_bkt AS (
+  SELECT band, bh, doc_id FROM (
+    SELECT band, bh, doc_id, count(*) OVER (PARTITION BY band, bh) AS bsz
+    FROM base_bands)
+  WHERE bsz <= {LSH_BUCKET_CAP}
+),
+delta_bands AS ({delta_bands}),
+cand AS (
+  SELECT DISTINCT s.doc_id AS delta_id, k.doc_id AS base_id
+  FROM delta_bands s JOIN base_bkt k ON s.band = k.band AND s.bh = k.bh
+),
+wsa AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM surv),
+wsb AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM base
+  WHERE doc_id IN (SELECT base_id FROM cand)
+),
+near AS (
+  SELECT DISTINCT c.delta_id AS doc_id
+  FROM cand c
+  JOIN wsa a ON a.doc_id = c.delta_id
+  JOIN wsb b ON b.doc_id = c.base_id
+  WHERE 2 * len(list_intersect(a.ws, b.ws))
+        >= len(list_distinct(list_concat(a.ws, b.ws)))
+)
+SELECT f.doc_id,
+       CASE WHEN f.in_base = 1 THEN 'exact_dup_corpus'
+            WHEN f.doc_id <> f.first_id THEN 'exact_dup_delta'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup_corpus'
+            ELSE 'admitted' END AS verdict
+FROM flagged f LEFT JOIN near n ON n.doc_id = f.doc_id
+"""
+
+
+QUERIES = {"dedup_incremental": q_dedup_incremental}
+ORACLES = {"dedup_incremental": _incremental_sql()}

@@ -9,6 +9,7 @@ from conftest import SF_DIR, assert_matches_oracle
 from flink_stream_processing_refarch_spark.operators import (
     contamination,
     dedup,
+    incremental,
     multimodal,
     similarity,
     text,
@@ -21,6 +22,8 @@ ALL = [
 ] + [
     ("dedup", name) for name in sorted(dedup.ORACLES)
 ] + [
+    ("incremental", name) for name in sorted(incremental.ORACLES)
+] + [
     ("similarity", name) for name in sorted(similarity.ORACLES)
 ] + [
     ("multimodal", name) for name in sorted(multimodal.ORACLES)
@@ -29,6 +32,7 @@ MODS = {
     "text": text,
     "contamination": contamination,
     "dedup": dedup,
+    "incremental": incremental,
     "similarity": similarity,
     "multimodal": multimodal,
 }
@@ -158,6 +162,50 @@ def test_vocab_stats_totals_tie_out(spark):
     assert sum(r.term_freq for r in vocab) == total_tokens
     for r in vocab:
         assert 1 <= r.doc_freq <= min(r.term_freq, n_docs)
+
+
+def test_incremental_gate_verdict_semantics(spark):
+    """The delta-vs-corpus gate: every delta doc gets exactly one verdict;
+    injected exact copies of corpus docs are flagged exact_dup_corpus;
+    copies whose original is delta-held-out (doc_id % 7 == 3, so NOT in
+    the corpus) must never be flagged against the corpus; and the
+    first-occurrence-per-hash rule keeps exactly one member of each
+    delta-internal hash group un-flagged."""
+    rows = {
+        r.doc_id: r.verdict
+        for r in incremental.q_dedup_incremental(spark, SF_DIR).collect()
+    }
+    n_docs = text.q_token_stats(spark, SF_DIR).count()
+    held_out = {i for i in range(n_docs) if i % 7 == 3}
+    exact_copies = {i for i in range(n_docs) if i % 10 == 0}
+    near_copies = {i for i in range(n_docs) if i % 20 == 0}
+    assert len(rows) == len(held_out) + len(exact_copies) + len(near_copies)
+    for i in exact_copies:
+        v = rows[i + 1000000]
+        if i in held_out:
+            # original lives in the DELTA, not the corpus: its copy is a
+            # delta-internal dup (the original has the smaller doc_id)
+            assert v == "exact_dup_delta", (i, v)
+        else:
+            assert v == "exact_dup_corpus", (i, v)
+    # held-out originals are new content: never exact dups of the corpus
+    for i in held_out:
+        assert rows[i] in ("admitted", "near_dup_corpus"), (i, rows[i])
+
+
+def test_incremental_gate_prunes_corpus_text_scan(spark):
+    """The Jaccard verify stage must read corpus text only for candidate
+    ids (broadcast semi-join prune) — the at-scale contract that delta
+    admission cost is bounded by candidate fan-in, not corpus size."""
+    plan = (
+        incremental.q_dedup_incremental(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi, BuildRight" in plan or "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_decode_real_is_stubbed():
