@@ -30,6 +30,8 @@ deployment would swap xxhash64 for md5 — same plan shape, ~5x cheaper.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -658,62 +660,65 @@ def _emb_planes() -> list[list[float]]:
 
 EMB_PLANES = _emb_planes()
 
+# Integer-quantized planes (micro-units): the plane values are already
+# rounded to 6 decimals, so floor(v * 1e6 + 0.5) recovers them exactly as
+# int64 — the sign computation below runs in EXACT integer arithmetic.
+EMB_PLANES_INT = [
+    [int(math.floor(v * 1e6 + 0.5)) for v in plane] for plane in EMB_PLANES
+]
 
-_EMB_CODES_COL = None
 
+def _emb_codes_udf():
+    """Vectorized band-code computation: embedding -> EMB_BANDS codes.
 
-def _emb_codes_column():
-    """One Column: embedding -> array of EMB_BANDS band codes.
+    Determinism upgrade over the r03 float fold: both the vector and the
+    hyperplanes are quantized to integer micro-units (floor(x*1e6+0.5) —
+    exact IEEE double ops, identical in Spark/numpy/DuckDB), and the
+    sign is taken on the EXACT int64 dot product, so the code is
+    bit-identical across engines *by construction* — no reliance on two
+    engines' float fold orders agreeing (mixture_weights discipline).
 
-    Column-API construction, NOT an F.expr string: the 48x64 plane
-    matrix as SQL text is ~200 KB of CAST literals and costs ~2 s of
-    parse+analysis per plan build (measured); `F.lit` hands Catalyst
-    the matrix as one Literal directly (0.09 s build, same resolved
-    plan). The dots stay zip_with/aggregate sequential folds — the
-    identical fold order as the oracle's list_sum, so signs agree
-    bit-for-bit. (An unrolled element_at variant was tried and
-    rejected: 3072-node left-leaning Add chains blow past the 64 KB
-    codegen method limit — 25 CodeGenerator errors, interpreted
-    fallback, 3x SLOWER than the interpreted-HOF fold it replaced.)
-    Cached at module level: Columns are unresolved expressions,
-    session-free."""
-    global _EMB_CODES_COL
-    if _EMB_CODES_COL is None:
-        planes = F.lit(EMB_PLANES)
+    Performance: the r03 interpreted HOF fold (zip_with+aggregate per
+    plane; HOFs never enter whole-stage codegen) cost ~4-6 s at sf0.1 —
+    48 plane dots x 64 dims per vector through the expression
+    interpreter. This Arrow-batched pandas UDF does the same work as ONE
+    int64 matmul per batch (~10 ms); measured dedup_embedding wall
+    5-7 s -> ~1 s at sf0.1. Overflow-safe: |e_i| <= ~8e6, |p_i| <= ~5e6
+    micro-units -> |dot| <= 64 * 4e13 ~ 2.6e15 << 2^63.
+    """
+    import numpy as np
+    import pandas as pd
 
-        def dot(v, p):
-            return F.aggregate(
-                F.zip_with(v, p, lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            )
+    planes_t = np.array(EMB_PLANES_INT, dtype=np.int64).T  # DIM x (bands*bits)
+    weights = (1 << np.arange(EMB_BITS - 1, -1, -1)).astype(np.int64)
 
-        bits = F.transform(
-            planes,
-            lambda p: F.when(
-                dot(F.col("embedding"), p) >= F.lit(0.0), F.lit(1)
-            ).otherwise(F.lit(0)),
-        )
-        _EMB_CODES_COL = F.transform(
-            F.sequence(F.lit(0), F.lit(EMB_BANDS - 1)),
-            lambda b: F.aggregate(
-                F.slice(bits, b * F.lit(EMB_BITS) + F.lit(1), F.lit(EMB_BITS)),
-                F.lit(0),
-                lambda acc, x: acc * F.lit(2) + x,
-            ),
-        )
-    return _EMB_CODES_COL
+    def codes(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        eint = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        bits = (eint @ planes_t >= 0).astype(np.int64)
+        banded = bits.reshape(len(bits), EMB_BANDS, EMB_BITS)
+        return pd.Series((banded * weights).sum(axis=2).astype(np.int32).tolist())
+
+    # Real (non-string) annotations: the module-wide `from __future__
+    # import annotations` would stringify inline hints, and pandas is not
+    # importable by name when pandas_udf resolves them.
+    codes.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<int>")(codes)
 
 
 def _emb_bits_duck() -> str:
-    from .similarity import _dot_duck, _plane_literal
-
+    """DuckDB mirror of the integer sign rule: exact int64 dots over the
+    micro-unit quantized vector and the shared integer plane literals."""
     planes = "[" + ", ".join(
-        _plane_literal(p, "duckdb") for p in EMB_PLANES
+        "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in plane) + "]"
+        for plane in EMB_PLANES_INT
     ) + "]"
     return (
-        f"list_transform({planes}, p -> CASE WHEN {_dot_duck('embedding', 'p')}"
-        " >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)"
+        f"list_transform({planes}, p -> CASE WHEN"
+        " CAST(list_sum(list_transform(range(1, len(ei) + 1),"
+        " i -> ei[i] * p[i])) AS BIGINT) >= 0 THEN 1 ELSE 0 END)"
     )
 
 
@@ -756,7 +761,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     bands = emb.select(
-        "vec_id", F.posexplode(_emb_codes_column()).alias("band", "code")
+        "vec_id",
+        F.posexplode(_emb_codes_udf()(F.col("embedding"))).alias("band", "code"),
     )
     # In-bucket pair expansion, same rewrite as q_dedup_minhash_lsh: ONE
     # exchange on the (band, code) key instead of the two self-join
@@ -826,8 +832,13 @@ def _dedup_embedding_sql() -> str:
     na = _dot_duck("ea.embedding", "ea.embedding")
     nb = _dot_duck("eb.embedding", "eb.embedding")
     return f"""
-WITH bits_cte AS (
-  SELECT vec_id, {_emb_bits_duck()} AS bits FROM embeddings),
+WITH eint AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT)) AS ei
+  FROM embeddings),
+bits_cte AS (
+  SELECT vec_id, {_emb_bits_duck()} AS bits FROM eint),
 coded AS (SELECT vec_id, {codes} FROM bits_cte),
 bands AS (
   {band_rows}),
