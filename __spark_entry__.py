@@ -38,8 +38,10 @@ from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops
 from flink_stream_processing_refarch_spark.operators import retrieval as retr_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sampling as sampling_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import incremental as incr_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import selection as sel_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import semantic as semantic_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import sketches as sketch_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark import plancache  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
@@ -88,6 +90,15 @@ PRIORITY = [
     # -- retrieval prep: bm25 cutoff made tie-robust r04 --
     "doc_chunks",
     "bm25_score",
+    # -- NEW r04: data-selection family (DSIR importance resampling,
+    #    bigram-LM perplexity scoring, split-leakage audit) and exact
+    #    integer sketches (count-min heavy hitters, mergeable quantile
+    #    histogram) --
+    "importance_resampling",
+    "lm_perplexity",
+    "split_leakage",
+    "heavy_hitters_cms",
+    "quantile_histogram",
     # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
     #    mixture weights); kept in-window r04: semantic_dedup carries the
     #    new stateful_build declaration --
@@ -99,16 +110,11 @@ PRIORITY = [
     "corpus_ingest_streaming",
     "decontaminate_streaming",
     "global_row_number",
-    "repetition_score",
-    "length_histogram",
-    "approx_distinct",
-    "approx_quantiles",
     "tfidf_top_terms",
     "mixture_weights",
     "sequence_packing",
     "bottomk_sample",
     "bigram_lm",
-    "pii_scrub",
     "dup_provenance",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
@@ -131,11 +137,16 @@ PRIORITY = [
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
-    # Rotated out r04 (r03-driver-green over plans unchanged this round;
-    # json_extract yields its slot to tws_user_totals — the changed
-    # events read path stays covered by seven other in-window consumers —
-    # and sketch_rollup (r03-green, plan untouched r04) yields its slot
-    # to the new dedup_incremental:
+    # Rotated out r04 (every entry here is r03-driver-green over a plan
+    # unchanged this round; the full registry is still self-checked into
+    # SELFCHECK_r04.md). Slots ceded to: taxi_pipeline_single_pass,
+    # dedup_incremental, tws_user_totals, minhash_signatures, simhash,
+    # and the five new selection/sketch queries.
+    "repetition_score",
+    "length_histogram",
+    "approx_distinct",
+    "approx_quantiles",
+    "pii_scrub",
     "json_extract",
     "sketch_rollup",
     "lang_id",
@@ -216,7 +227,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sim_ops.QUERIES)
     out.update(mm_ops.QUERIES)
     out.update(sampling_ops.QUERIES)
+    out.update(sel_ops.QUERIES)
     out.update(semantic_ops.QUERIES)
+    out.update(sketch_ops.QUERIES)
     out.update(retr_ops.QUERIES)
     # Batch queries go through the per-session plan cache (prepared-
     # statement layer, see plancache.py): repeated identical queries pay
@@ -276,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(sim_ops.ORACLES)
     out.update(mm_ops.ORACLES)
     out.update(sampling_ops.ORACLES)
+    out.update(sel_ops.ORACLES)
     out.update(semantic_ops.ORACLES)
+    out.update(sketch_ops.ORACLES)
     out.update(retr_ops.ORACLES)
     return _ordered(out)

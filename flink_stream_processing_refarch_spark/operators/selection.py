@@ -1,0 +1,328 @@
+"""Data-selection operators for training-corpus curation:
+hashed-n-gram importance resampling (DSIR-style), bigram-LM document
+scoring (perplexity-filter plumbing), and a train/test split-leakage
+audit.
+
+These implement public recipes — importance resampling per Xie et al.
+2023 ("Data Selection for Language Models via Importance Resampling",
+hashed-feature variant), LM-likelihood quality filtering per the
+CCNet/KenLM practice (Wenzek et al. 2020), and the shingle-overlap
+decontamination audit — as Spark-first declarative plans over the same
+``documents`` table as the rest of the LLM-pipeline family. The
+reference engine has no counterpart (its queries are the two taxi
+windows, flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136).
+
+Determinism discipline (shared with bm25/mixture_weights): every
+transcendental (ln) is evaluated on an argument built from EXACT
+integer counts via exact double casts — both engines see the identical
+double — and is quantized to integer micro-units via floor(x*1e6+0.5)
+BEFORE any cross-row summation, so scores accumulate as exact BIGINTs
+and rankings/cutoffs cannot depend on float fold order.
+
+Scale posture:
+  - importance_resampling: the feature table is FEAT_BUCKETS rows
+    (broadcast); word->bucket hashing is narrow at the scan; the only
+    wide exchange carries (doc_id, bigint) for the map-combinable
+    per-doc sum. Document text never crosses a shuffle.
+  - lm_perplexity: the LM table is O(|vocab|^2) aggregated rows keyed
+    by the 128-bit gram hash; doc scoring joins (doc_id, gram-hash)
+    against it — token text stays out of the exchanges; the per-doc
+    sum is map-combinable.
+  - split_leakage: both split sides are large, so this is the
+    SHUFFLE-join regime (unlike decontaminate's broadcast-probe):
+    each side hash-partitions on the 128-bit shingle hash and the
+    exchange carries (hash, doc_id) pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import words_expr
+from ..schemas import load_table, spread
+from .contamination import _shingles
+from .sampling import TRAIN_GATE_HEX
+
+FEAT_BUCKETS = 256       # hashed n-gram feature space (2 md5 hex chars)
+DSIR_TARGETS = ("src0", "src1")  # the "target domain" sources
+DSIR_K = 50              # docs resampled from the pool
+
+LM_SCORE_MOD = 4         # doc subset reported by lm_perplexity (bounds output)
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling (DSIR-lite): score pool docs by how target-like
+# their hashed word distribution is.
+# ---------------------------------------------------------------------------
+
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``DSIR_K`` pool documents by hashed-unigram importance weight
+    log p_target(doc) - log p_raw(doc) = sum over words of
+    lambda(bucket(word)), with add-1-smoothed bucket distributions
+    estimated from the target sources vs the whole corpus.
+
+    lambda_b = ln( ((tc_b+1)/(T+B)) / ((sc_b+1)/(S+B)) ), quantized to
+    micro-units per bucket; a doc's weight is the exact BIGINT sum over
+    its word occurrences. Ranking is (weight desc, doc_id) so the
+    cutoff is tie-robust."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(
+        docs.select("doc_id", "source", "text"),
+        src_path=f"{sf_dir}/documents.parquet",
+    )
+    wb = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(words_expr("text", "spark"))).alias("w"),
+    ).select("doc_id", "source", F.substring(F.md5("w"), 1, 2).alias("b"))
+    is_target = F.col("source").isin(*DSIR_TARGETS)
+    counts = wb.groupBy("b").agg(
+        F.count("*").alias("sc"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("tc"),
+    )
+    tot = counts.agg(
+        F.sum("sc").alias("s_tot"), F.sum("tc").alias("t_tot")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            "CAST(floor(ln((CAST(tc + 1 AS DOUBLE)"
+            f" * CAST(s_tot + {FEAT_BUCKETS} AS DOUBLE))"
+            " / (CAST(sc + 1 AS DOUBLE)"
+            f" * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE)))"
+            " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("lam_q"),
+    )
+    return (
+        wb.filter(~is_target)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("lam_q").alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )
+
+
+def _importance_resampling_sql() -> str:
+    w = words_expr("text", "duckdb")
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGETS)
+    return f"""
+WITH wb AS (
+  SELECT doc_id, source, substr(md5(w), 1, 2) AS b
+  FROM (SELECT doc_id, source, unnest({w}) AS w FROM documents)),
+counts AS (
+  SELECT b, count(*) AS sc,
+         CAST(sum(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS tc
+  FROM wb GROUP BY b),
+tot AS (SELECT CAST(sum(sc) AS BIGINT) AS s_tot,
+               CAST(sum(tc) AS BIGINT) AS t_tot FROM counts),
+lam AS (
+  SELECT b,
+         CAST(floor(ln((CAST(tc + 1 AS DOUBLE)
+             * CAST(s_tot + {FEAT_BUCKETS} AS DOUBLE))
+           / (CAST(sc + 1 AS DOUBLE)
+             * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE)))
+           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS lam_q
+  FROM counts CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(lam_q) AS BIGINT) AS weight_micro
+FROM wb JOIN lam USING (b)
+WHERE source NOT IN ({tgt})
+GROUP BY doc_id
+ORDER BY weight_micro DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring (perplexity-filter plumbing)
+# ---------------------------------------------------------------------------
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log likelihood under an
+    add-1-smoothed LM trained on the corpus itself — the quality signal
+    perplexity filters threshold on (low per-token NLL = fluent under
+    the corpus distribution, high = outlier/noise).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V); per-bigram
+    -ln P = ln((c1 + V) / (c2 + 1)) is quantized to micro-units at the
+    V^2-bounded LM relation, then summed exactly per doc. The LM table
+    is keyed by the gram's md5 so doc scoring joins on 128-bit hashes —
+    token text never crosses the scoring exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(
+        docs.select("doc_id", "text"), src_path=f"{sf_dir}/documents.parquet"
+    ).select(
+        "doc_id", F.expr(words_expr("text", "spark")).alias("W")
+    )
+    grams = (
+        base.filter(F.size("W") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(W) - 1), i -> "
+                    "struct(element_at(W, CAST(i AS INT)) AS w1, "
+                    "concat(element_at(W, CAST(i AS INT)), ' ', "
+                    "element_at(W, CAST(i + 1 AS INT))) AS g))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", F.md5("p.g").alias("gh"))
+    )
+    vocab = base.select(F.explode("W").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    cnt2 = grams.groupBy("w1", "gh").agg(F.count("*").alias("c2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    rate = (
+        cnt2.join(cnt1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gh",
+            F.expr(
+                "CAST(floor(ln(CAST(c1 + v AS DOUBLE)"
+                " / CAST(c2 + 1 AS DOUBLE))"
+                " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("nll_q"),
+        )
+    )
+    return (
+        grams.join(rate, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nll_q").alias("nll_micro"),
+        )
+        .filter(F.col("doc_id") % LM_SCORE_MOD == 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro",
+            F.expr(
+                "round(CAST(nll_micro AS DOUBLE)"
+                " / CAST(n_bigrams AS DOUBLE) / 1000000.0, 6)"
+            ).alias("per_token_nll"),
+        )
+    )
+
+
+def _lm_perplexity_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH base AS (SELECT doc_id, {w} AS W FROM documents),
+grams AS (
+  SELECT doc_id, W[i] AS w1, md5(W[i] || ' ' || W[i + 1]) AS gh
+  FROM (SELECT doc_id, W, unnest(range(1, len(W))) AS i
+        FROM base WHERE len(W) >= 2)),
+vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(W) AS w FROM base)),
+cnt2 AS (SELECT w1, gh, count(*) AS c2 FROM grams GROUP BY w1, gh),
+cnt1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1),
+rate AS (
+  SELECT gh,
+         CAST(floor(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE))
+           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS nll_q
+  FROM cnt2 JOIN cnt1 USING (w1) CROSS JOIN vocab)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(nll_q) AS BIGINT) AS nll_micro,
+       round(CAST(sum(nll_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 6) AS per_token_nll
+FROM grams JOIN rate USING (gh)
+GROUP BY doc_id
+HAVING doc_id % {LM_SCORE_MOD} = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/test split-leakage audit
+# ---------------------------------------------------------------------------
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every TEST-split document (split_train_test's md5 gate),
+    count its word shingles that also occur in ANY train document, and
+    how many distinct train documents share them — the integrity audit
+    run after splitting, before training.
+
+    Unlike decontaminate (small eval side -> broadcast probe), BOTH
+    sides here are unbounded fractions of the corpus, so this is the
+    shuffle-join regime: each side hash-partitions on md5(shingle) and
+    the exchange carries (hash, doc_id) pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(
+        docs.select("doc_id", "text"), src_path=f"{sf_dir}/documents.parquet"
+    ).select("doc_id", F.expr(_shingles("spark")).alias("sh"))
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    te = base.filter(gate >= TRAIN_GATE_HEX).select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n_shingles"),
+        F.explode("sh").alias("g"),
+    ).select("doc_id", "n_shingles", F.md5("g").alias("gh"))
+    tr = (
+        base.filter(gate < TRAIN_GATE_HEX)
+        .select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g"))
+        .select("train_doc", F.md5("g").alias("gh"))
+    )
+    return (
+        te.join(tr, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_shingles").alias("n_shingles"),
+            F.countDistinct("gh").alias("n_leaked"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+        .withColumn(
+            "leak_ratio",
+            F.expr(
+                "round(CAST(n_leaked AS DOUBLE)"
+                " / CAST(n_shingles AS DOUBLE), 6)"
+            ),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingles('duckdb')} AS sh FROM documents),
+te AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, md5(g) AS gh
+  FROM (SELECT doc_id, sh, unnest(sh) AS g FROM base
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              >= '{TRAIN_GATE_HEX}')),
+tr AS (
+  SELECT doc_id AS train_doc, md5(g) AS gh
+  FROM (SELECT doc_id, unnest(sh) AS g FROM base
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < '{TRAIN_GATE_HEX}'))
+SELECT te.doc_id,
+       min(n_shingles) AS n_shingles,
+       CAST(count(DISTINCT gh) AS BIGINT) AS n_leaked,
+       CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_docs,
+       round(CAST(count(DISTINCT gh) AS DOUBLE)
+             / CAST(min(n_shingles) AS DOUBLE), 6) AS leak_ratio
+FROM te JOIN tr USING (gh)
+GROUP BY te.doc_id
+"""
+
+
+QUERIES = {
+    "importance_resampling": q_importance_resampling,
+    "lm_perplexity": q_lm_perplexity,
+    "split_leakage": q_split_leakage,
+}
+
+ORACLES = {
+    "importance_resampling": _importance_resampling_sql(),
+    "lm_perplexity": _lm_perplexity_sql(),
+    "split_leakage": _split_leakage_sql(),
+}
