@@ -45,7 +45,7 @@ from flink_stream_processing_refarch_spark.operators import sketches as sketch_o
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark import plancache  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
-from flink_stream_processing_refarch_spark.plans import relational, subqueries, taxi  # noqa: E402
+from flink_stream_processing_refarch_spark.plans import funnels, relational, subqueries, taxi  # noqa: E402
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
@@ -98,7 +98,15 @@ PRIORITY = [
     "lm_perplexity",
     "split_leakage",
     "heavy_hitters_cms",
+    "heavy_hitters_streaming",
     "quantile_histogram",
+    # -- NEW r04: product-quantization ANN (sample-trained codebooks,
+    #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) --
+    "ann_pq",
+    # -- NEW r04: event-stream product analytics (ordered funnel,
+    #    retention cohorts — the reference domain's next two queries) --
+    "funnel_completion",
+    "retention_cohorts",
     # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
     #    mixture weights); kept in-window r04: semantic_dedup carries the
     #    new stateful_build declaration --
@@ -112,10 +120,6 @@ PRIORITY = [
     "global_row_number",
     "tfidf_top_terms",
     "mixture_weights",
-    "sequence_packing",
-    "bottomk_sample",
-    "bigram_lm",
-    "dup_provenance",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     "asof_join",
@@ -147,6 +151,10 @@ PRIORITY = [
     "approx_distinct",
     "approx_quantiles",
     "pii_scrub",
+    "dup_provenance",
+    "bigram_lm",
+    "sequence_packing",
+    "bottomk_sample",
     "json_extract",
     "sketch_rollup",
     "lang_id",
@@ -219,6 +227,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_jobs.QUERIES)
     out.update(relational.QUERIES)
     out.update(subqueries.QUERIES)
+    out.update(funnels.QUERIES)
     out.update(text_ops.QUERIES)
     out.update(contam_ops.QUERIES)
     out.update(corpus_ops.QUERIES)
@@ -281,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming_jobs.ORACLES)
     out.update(relational.ORACLES)
     out.update(subqueries.ORACLES)
+    out.update(funnels.ORACLES)
     out.update(text_ops.ORACLES)
     out.update(contam_ops.ORACLES)
     out.update(corpus_ops.ORACLES)

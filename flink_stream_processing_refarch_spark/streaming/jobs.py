@@ -1234,6 +1234,45 @@ def q_taxi_pipeline_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_taxi_pipeline_single_pass(spark, sf_dir)["pickup_count"]
 
 
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (the incremental build of the batch
+# heavy_hitters_cms sketch)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running CMS cell counts over the event stream: each micro-batch's
+    cell increments merge into the persistent (r, bkt) counters — the
+    cell-addition mergeability the batch operator claims, exercised as
+    an actual incremental computation. Streaming state is the sketch
+    itself: CMS_D x CMS_W rows, BOUNDED regardless of stream length or
+    key cardinality (the whole point of sketching the stream instead of
+    keeping per-key counts)."""
+    from ..operators.sketches import cms_salted
+
+    ev = stream_events(spark, sf_dir, maxFilesPerTrigger=8)
+    return (
+        cms_salted(ev.select("user_id"))
+        .groupBy("r", "bkt")
+        .agg(F.count("*").alias("cell_n"))
+    )
+
+
+def q_heavy_hitters_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the streaming CMS build (complete mode — the
+    final sketch snapshot is the result), then the same broadcast-probe
+    top-k report as the batch twin. End state over the bounded stream
+    equals the batch sketch exactly, so the batch oracle applies
+    verbatim; the multi-batch source split (maxFilesPerTrigger) means
+    every driver check proves sketch merges across micro-batches."""
+    from ..operators.sketches import cms_topk_report
+    from ..schemas import load_table
+
+    cells = _run_to_memory(
+        heavy_hitters_stream_df(spark, sf_dir), output_mode="complete"
+    )
+    return cms_topk_report(cells, load_table(spark, sf_dir, "events"))
+
 
 QUERIES = {
     "stream_static_join": q_stream_static_join,
@@ -1245,6 +1284,7 @@ QUERIES = {
     "stateful_sessionize": q_stateful_sessionize,
     "session_windows_streaming": q_session_windows_streaming,
     "taxi_pipeline_single_pass": q_taxi_pipeline_single_pass,
+    "heavy_hitters_streaming": q_heavy_hitters_streaming,
 }
 
 if _tws_available():  # pragma: no cover - environment-dependent
@@ -1272,6 +1312,17 @@ ORACLES = {
     # rule the custom operator implements -> same oracle
     "session_windows_streaming": STATEFUL_SESSIONIZE_SQL,
 }
+
+
+def _heavy_hitters_streaming_oracle() -> str:
+    # The bounded stream's final sketch equals the batch sketch (cell
+    # addition is associative), so the batch CMS oracle applies verbatim.
+    from ..operators.sketches import _heavy_hitters_cms_sql
+
+    return _heavy_hitters_cms_sql()
+
+
+ORACLES["heavy_hitters_streaming"] = _heavy_hitters_streaming_oracle()
 
 if _tws_available():  # pragma: no cover - environment-dependent
     ORACLES["tws_user_totals"] = TWS_USER_TOTALS_SQL

@@ -119,6 +119,34 @@ def test_ann_cosines_are_valid(spark):
         assert -1.000001 <= r.cos_sim <= 1.000001
 
 
+def test_ann_pq_codes_and_rerank(spark):
+    """PQ codes live in [0, PQ_K); ADC distances are non-negative ints;
+    the exact re-rank emits descending cosines; and the PQ_CAND->TOP_K
+    pipeline recovers a decent share of the true exact top-k (ADC is an
+    approximation of squared L2, so demand overlap, not equality)."""
+    from flink_stream_processing_refarch_spark.schemas import load_table
+
+    books = similarity._pq_books_int(spark, SF_DIR)
+    coded = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(
+            similarity._pq_codes_udf(books)("embedding").alias("codes")
+        )
+        .collect()
+    )
+    for r in coded:
+        assert len(r.codes) == similarity.PQ_SUBS
+        assert all(0 <= c < similarity.PQ_K for c in r.codes)
+    rows = similarity.q_ann_pq(spark, SF_DIR).collect()
+    assert rows
+    cosines = [r.cos_sim for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r.adc_dist >= 0 for r in rows)
+    exact = {r.vec_id for r in similarity.q_cosine_topk(spark, SF_DIR).collect()}
+    got = {r.vec_id for r in rows}
+    assert len(exact & got) >= len(exact) // 3
+
+
 def test_decontaminate_flags_only_training_docs(spark):
     """Eval-split docs are never flagged; ratios are exact-int quotients
     in (0, 1]; matched count never exceeds the doc's shingle count."""

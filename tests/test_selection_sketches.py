@@ -66,6 +66,18 @@ def test_cms_sketch_merges_by_cell_addition(spark):
     assert merged == whole
 
 
+def test_streaming_cms_equals_batch_sketch(spark):
+    """The incremental (multi-micro-batch) sketch build must land on
+    exactly the batch sketch — cell addition is associative."""
+    from flink_stream_processing_refarch_spark.streaming import jobs
+
+    batch = {tuple(r) for r in sketches.q_heavy_hitters_cms(spark, SF_DIR).collect()}
+    stream = {
+        tuple(r) for r in jobs.q_heavy_hitters_streaming(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
 def test_quantile_histogram_bounds_hold(spark, duck):
     rows = sketches.q_quantile_histogram(spark, SF_DIR).collect()
     assert {r["pct"] for r in rows} == set(sketches.QH_PCTS)
