@@ -97,6 +97,7 @@ PRIORITY = [
     "importance_resampling",
     "lm_perplexity",
     "split_leakage",
+    "source_drift",
     "heavy_hitters_cms",
     "heavy_hitters_streaming",
     "quantile_histogram",
@@ -119,7 +120,6 @@ PRIORITY = [
     "decontaminate_streaming",
     "global_row_number",
     "tfidf_top_terms",
-    "mixture_weights",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     "asof_join",
@@ -155,6 +155,7 @@ PRIORITY = [
     "bigram_lm",
     "sequence_packing",
     "bottomk_sample",
+    "mixture_weights",
     "json_extract",
     "sketch_rollup",
     "lang_id",

@@ -141,6 +141,109 @@ LIMIT {DSIR_K}
 
 
 # ---------------------------------------------------------------------------
+# Per-source distribution drift (KL divergence vs the corpus)
+# ---------------------------------------------------------------------------
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over the hashed-unigram feature space — the
+    monitoring signal a corpus pipeline watches per ingest source/shard:
+    a source whose token distribution drifts from the corpus (format
+    change, spam burst, wrong language) spikes its divergence.
+
+    Same feature space as importance_resampling (md5 buckets, add-1
+    smoothing); the per-bucket term p_b * ln(p_b/q_b) is computed on
+    exact-integer-derived doubles and quantized to NANO-units (terms are
+    O(1e-3)) before the cross-bucket sum, so totals are exact BIGINTs.
+    Shape: two map-combinable aggregates to O(sources x buckets) and
+    O(buckets) rows, a broadcast join between them, and a final
+    |sources|-row aggregate — nothing scales with corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(
+        docs.select("source", "text"), src_path=f"{sf_dir}/documents.parquet"
+    )
+    wb = base.select(
+        "source", F.explode(F.expr(words_expr("text", "spark"))).alias("w")
+    ).select("source", F.substring(F.md5("w"), 1, 2).alias("b"))
+    per_src = wb.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    corpus = wb.groupBy("b").agg(F.count("*").alias("c_b"))
+    corpus_tot = corpus.agg(F.sum("c_b").alias("n_tot"))
+    # KL is only a true (>= 0) divergence over the COMPLETE bucket
+    # domain — summing observed buckets only truncates the negative
+    # tail. Materialize all FEAT_BUCKETS buckets per source (bounded:
+    # |sources| x 256 rows) with zero counts where absent.
+    buckets = spark.range(FEAT_BUCKETS).select(
+        F.format_string("%02x", F.col("id").cast("int")).alias("b")
+    )
+    grid = src_tot.crossJoin(F.broadcast(buckets))
+    joined = (
+        grid.join(per_src, ["source", "b"], "left")
+        .join(F.broadcast(corpus), "b", "left")
+        .fillna(0, subset=["c_sb", "c_b"])
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    term = (
+        "CAST(floor("
+        " (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))"
+        " * ln((CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))"
+        "      / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE)))"
+        " * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    ).format(B=FEAT_BUCKETS)
+    return (
+        joined.select("source", "n_s", F.expr(term).alias("t_nano"))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.sum("t_nano").alias("kl_nano"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "kl_nano",
+            F.expr("round(CAST(kl_nano AS DOUBLE) / 1000000000.0, 6)").alias(
+                "kl"
+            ),
+        )
+    )
+
+
+def _source_drift_sql() -> str:
+    w = words_expr("text", "duckdb")
+    B = FEAT_BUCKETS
+    return f"""
+WITH wb AS (
+  SELECT source, substr(md5(w), 1, 2) AS b
+  FROM (SELECT source, unnest({w}) AS w FROM documents)),
+per_src AS (SELECT source, b, count(*) AS c_sb FROM wb GROUP BY source, b),
+src_tot AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
+            FROM per_src GROUP BY source),
+corpus AS (SELECT b, count(*) AS c_b FROM wb GROUP BY b),
+corpus_tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_tot FROM corpus),
+buckets AS (SELECT printf('%02x', CAST(i AS INT)) AS b
+            FROM range(0, {B}) r(i)),
+grid AS (
+  SELECT source, n_s, b,
+         coalesce(c_sb, 0) AS c_sb, coalesce(c_b, 0) AS c_b
+  FROM src_tot CROSS JOIN buckets
+  LEFT JOIN per_src USING (source, b)
+  LEFT JOIN corpus USING (b)),
+terms AS (
+  SELECT source, n_s,
+         CAST(floor(
+           (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))
+           * ln((CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))
+                / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE)))
+           * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS t_nano
+  FROM grid CROSS JOIN corpus_tot)
+SELECT source, min(n_s) AS n_tokens,
+       CAST(sum(t_nano) AS BIGINT) AS kl_nano,
+       round(CAST(sum(t_nano) AS DOUBLE) / 1000000000.0, 6) AS kl
+FROM terms GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM document scoring (perplexity-filter plumbing)
 # ---------------------------------------------------------------------------
 
@@ -319,10 +422,12 @@ QUERIES = {
     "importance_resampling": q_importance_resampling,
     "lm_perplexity": q_lm_perplexity,
     "split_leakage": q_split_leakage,
+    "source_drift": q_source_drift,
 }
 
 ORACLES = {
     "importance_resampling": _importance_resampling_sql(),
     "lm_perplexity": _lm_perplexity_sql(),
     "split_leakage": _split_leakage_sql(),
+    "source_drift": _source_drift_sql(),
 }

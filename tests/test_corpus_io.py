@@ -1,0 +1,75 @@
+"""Partitioned corpus writer: layout, manifest integrity, and dynamic
+partition-overwrite idempotency (operators/corpus_io.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from flink_stream_processing_refarch_spark.operators import corpus_io
+from flink_stream_processing_refarch_spark.schemas import load_table
+
+
+def test_write_layout_manifest_and_dynamic_overwrite(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    expect = {
+        f"source={r['source']}": r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        m = corpus_io.write_partitioned_corpus(docs, out)
+        # manifest mirrors the committed files
+        assert m["partitions"] == expect
+        assert m["total_rows"] == sum(expect.values())
+        assert corpus_io.verify_manifest(spark, out)
+        # hive-style partition dirs exist, one per source
+        dirs = {d for d in os.listdir(out) if d.startswith("source=")}
+        assert dirs == set(expect)
+        # read-back round trip preserves rows and partition column
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        assert set(back.columns) == set(docs.columns)
+
+        # dynamic overwrite: rewriting ONE source's docs (with one row
+        # dropped) must replace only that partition and leave the rest
+        # byte-untouched
+        src = sorted(expect)[0].split("=", 1)[1]
+        one = docs.filter(F.col("source") == src)
+        drop_id = one.agg(F.min("doc_id")).collect()[0][0]
+        other_dir = os.path.join(out, sorted(expect)[1])
+        before = {
+            f: os.path.getmtime(os.path.join(other_dir, f))
+            for f in os.listdir(other_dir)
+        }
+        m2 = corpus_io.write_partitioned_corpus(
+            one.filter(F.col("doc_id") != drop_id), out
+        )
+        assert m2["partitions"][f"source={src}"] == expect[f"source={src}"] - 1
+        for k, v in expect.items():
+            if k != f"source={src}":
+                assert m2["partitions"][k] == v
+        after = {
+            f: os.path.getmtime(os.path.join(other_dir, f))
+            for f in os.listdir(other_dir)
+        }
+        assert before == after  # untouched partition files not rewritten
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_max_records_per_file_bounds_file_sizes(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        corpus_io.write_partitioned_corpus(docs, out, max_records_per_file=1)
+        # with a 1-record cap, every partition dir holds >= its row count
+        # of parquet files
+        src_dir = next(
+            os.path.join(out, d)
+            for d in os.listdir(out)
+            if d.startswith("source=")
+        )
+        files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        n_rows = spark.read.parquet(src_dir).count()
+        assert len(files) >= n_rows > 0

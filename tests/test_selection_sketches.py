@@ -122,6 +122,21 @@ def test_lm_perplexity_counts_bigrams_exactly(spark, duck):
         assert r["per_token_nll"] > 0
 
 
+def test_source_drift_is_nonnegative_with_full_token_mass(spark, duck):
+    """Gibbs' inequality: KL(source || corpus) >= 0 (up to the nano-unit
+    quantization grain per bucket); token totals partition the corpus."""
+    rows = selection.q_source_drift(spark, SF_DIR).collect()
+    assert rows
+    total = duck.execute(
+        "SELECT sum(len(string_split(text, ' '))) FROM documents"
+    ).fetchone()[0]
+    grain = 256  # <= 0.5 nano-units per bucket of floor() rounding
+    for r in rows:
+        assert r["kl_nano"] >= -grain
+        assert r["kl"] >= -1e-6
+    assert sum(r["n_tokens"] for r in rows) == total
+
+
 def test_split_leakage_only_reports_test_docs(spark, duck):
     rows = selection.q_split_leakage(spark, SF_DIR).collect()
     assert rows
