@@ -70,6 +70,72 @@ def _manifest_from_files(
     }
 
 
+def upsert_corpus(
+    delta: DataFrame,
+    out_dir: str,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    partition_cols: tuple[str, ...] = ("source",),
+) -> dict:
+    """Merge a delta batch into an existing partitioned corpus:
+    delta rows REPLACE existing rows with the same key, new keys are
+    appended — the batch upsert that keeps a living corpus current
+    (the write-side complement of the delta-vs-corpus admission gate,
+    ``operators/incremental.py``).
+
+    Scale shape: only the partitions PRESENT IN THE DELTA are read
+    (partition-pruned scan — the bounded partition list is the one
+    driver-side collect) and only those partitions are rewritten
+    (dynamic overwrite); untouched partitions are never opened. The
+    merge itself is one co-partitioned window on the key: delta rows
+    win via a deterministic priority column, never a driver-side diff.
+
+    Constraint (documented, standard for partition-scoped upserts): a
+    key's partition-column value is assumed stable — provenance columns
+    like ``source`` don't change for an existing doc. Moving a key
+    across partitions requires rewriting both partitions explicitly.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = delta.sparkSession
+    touched = [
+        tuple(r[c] for c in partition_cols)
+        for r in delta.select(*partition_cols).distinct().collect()
+    ]
+    pred = None
+    for vals in touched:
+        clause = None
+        for c, v in zip(partition_cols, vals):
+            eq = F.col(c) == F.lit(v)
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+    existing = spark.read.parquet(out_dir).filter(pred)
+    merged = (
+        delta.withColumn("_pri", F.lit(0))
+        .unionByName(existing.withColumn("_pri", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+                    "_pri"
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(out_dir)
+    )
+    manifest = _manifest_from_files(spark, out_dir, partition_cols)
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
 def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     """True iff the manifest on disk matches a fresh read-back — the
     consumer-side integrity check before a corpus is used."""

@@ -59,6 +59,54 @@ def test_write_layout_manifest_and_dynamic_overwrite(spark):
         assert corpus_io.verify_manifest(spark, out)
 
 
+def test_upsert_replaces_updates_appends_and_prunes(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        corpus_io.write_partitioned_corpus(docs, out)
+        srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+        src = srcs[0]
+        victim = (
+            docs.filter(F.col("source") == src).agg(F.min("doc_id")).collect()
+        )[0][0]
+        new_id = 90_000_000
+        delta = docs.filter(F.col("doc_id") == victim).select(
+            F.col("doc_id"),
+            F.lit("updated text").alias("text"),
+            "lang",
+            "source",
+            F.lit(12).alias("n_chars"),
+        ).unionByName(
+            docs.filter(F.col("doc_id") == victim).select(
+                F.lit(new_id).alias("doc_id"),
+                F.lit("brand new doc").alias("text"),
+                "lang",
+                "source",
+                F.lit(13).alias("n_chars"),
+            )
+        )
+        other_dir = os.path.join(out, f"source={srcs[1]}")
+        before = {
+            f: os.path.getmtime(os.path.join(other_dir, f))
+            for f in os.listdir(other_dir)
+        }
+        m = corpus_io.upsert_corpus(delta, out)
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count() + 1  # one append, one replace
+        assert (
+            back.filter(F.col("doc_id") == victim).collect()[0]["text"]
+            == "updated text"
+        )
+        assert back.filter(F.col("doc_id") == new_id).count() == 1
+        # untouched partitions were never rewritten
+        after = {
+            f: os.path.getmtime(os.path.join(other_dir, f))
+            for f in os.listdir(other_dir)
+        }
+        assert before == after
+        assert m["total_rows"] == docs.count() + 1
+        assert corpus_io.verify_manifest(spark, out)
+
+
 def test_max_records_per_file_bounds_file_sizes(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
