@@ -197,3 +197,84 @@ def test_incremental_session_merge_equals_batch(ts, n_splits):
     shuffled = list(ts)
     random.Random(42).shuffle(shuffled)
     assert _merge_sessions([], shuffled) == expected
+
+
+# ---------------------------------------------------------------------------
+# 5. Cross-engine integer sign codes: for ANY float32 vector, the Spark
+#    (Arrow/numpy int64 matmul) band codes equal the DuckDB (list-fold
+#    integer) codes bit-for-bit — the by-construction determinism claim
+#    of the quantized embedding-LSH coding, fuzzed off the testdata.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0,
+                max_value=8.0,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_embedding_codes_cross_engine_bit_identical(spark, vecs):
+    import duckdb as ddb
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_stream_processing_refarch_spark.operators import dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], schema
+    )
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in sdf.select(
+            "vec_id", dedup._emb_codes_udf()(F.col("embedding")).alias("codes")
+        ).collect()
+    }
+    con = ddb.connect()
+    con.register(
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        ),
+    )
+    bits = dedup._emb_bits_duck()
+    rows = con.execute(
+        f"""
+        WITH eint AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT)) AS ei
+          FROM embeddings)
+        SELECT vec_id,
+               list_transform(range(0, {dedup.EMB_BANDS}), b ->
+                 CAST(bits[b * {dedup.EMB_BITS} + 1] AS INT) * 32
+                 + bits[b * {dedup.EMB_BITS} + 2] * 16
+                 + bits[b * {dedup.EMB_BITS} + 3] * 8
+                 + bits[b * {dedup.EMB_BITS} + 4] * 4
+                 + bits[b * {dedup.EMB_BITS} + 5] * 2
+                 + bits[b * {dedup.EMB_BITS} + 6]) AS codes
+        FROM (SELECT vec_id, {bits} AS bits FROM eint)
+        """
+    ).fetchall()
+    expect = {vid: list(codes) for vid, codes in rows}
+    assert got == expect
