@@ -74,8 +74,9 @@ PRIORITY = [
     # -- never driver-proven under their own names before r04 --
     "minhash_signatures",
     "simhash",
-    # -- LLM-data-pipeline: text analysis --
+    # -- LLM-data-pipeline: text analysis (token_count_bpe NEW r04) --
     "training_mix",
+    "token_count_bpe",
     # -- LLM-data-pipeline: dedup family (stateful_build declared r04) --
     "dedup_exact",
     "dedup_survivors",
@@ -102,8 +103,10 @@ PRIORITY = [
     "heavy_hitters_streaming",
     "quantile_histogram",
     # -- NEW r04: product-quantization ANN (sample-trained codebooks,
-    #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) --
+    #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) and
+    #    multi-probe LSH (Hamming-1 bucket fan-out recall knob) --
     "ann_pq",
+    "ann_lsh_multiprobe",
     # -- NEW r04: event-stream product analytics (ordered funnel,
     #    retention cohorts — the reference domain's next two queries) --
     "funnel_completion",
@@ -118,8 +121,6 @@ PRIORITY = [
     "corpus_build",
     "corpus_ingest_streaming",
     "decontaminate_streaming",
-    "global_row_number",
-    "tfidf_top_terms",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     "asof_join",
@@ -151,6 +152,8 @@ PRIORITY = [
     "approx_distinct",
     "approx_quantiles",
     "pii_scrub",
+    "tfidf_top_terms",
+    "global_row_number",
     "dup_provenance",
     "bigram_lm",
     "sequence_packing",

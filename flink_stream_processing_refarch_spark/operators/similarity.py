@@ -170,6 +170,73 @@ LIMIT {TOP_K}
 """
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of :func:`q_ann_lsh`: scan the query's bucket
+    PLUS every Hamming-1 neighbor bucket (one sign bit flipped — the
+    buckets a near-neighbor most likely fell into when one hyperplane
+    disagreed). N_PLANES+1 of the 2^N_PLANES buckets are probed, so the
+    candidate scan grows from ~1/256 to ~9/256 of the data for a large
+    recall gain — the standard recall/cost knob (Lv et al. 2007,
+    multi-probe LSH) without re-hashing or extra tables. Same
+    partition-pruned shape as single-probe: bucket is the cluster key,
+    the probe set is a 9-element broadcast array."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr("embedding", "spark"))
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(N_PLANES)
+            ],
+        ).alias("probes"),
+    )
+    dot = _dot_spark("embedding", "qe")
+    na = _dot_spark("embedding", "embedding")
+    nq = _dot_spark("qe", "qe")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.expr("array_contains(probes, bucket)"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr(f"round({dot} / (sqrt({na}) * sqrt({nq})), 6)").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ann_lsh_multiprobe_sql() -> str:
+    bucket = _bucket_expr("embedding", "duckdb")
+    qbucket = _bucket_expr("qe", "duckdb")
+    probes = "[qbucket, " + ", ".join(
+        f"xor(qbucket, {1 << p})" for p in range(N_PLANES)
+    ) + "]"
+    dot = _dot_duck("e.embedding", "q.qe")
+    na = _dot_duck("e.embedding", "e.embedding")
+    nq = _dot_duck("q.qe", "q.qe")
+    return f"""
+WITH q0 AS (SELECT qe, {qbucket} AS qbucket
+            FROM (SELECT embedding AS qe FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID})),
+q AS (SELECT qe, {probes} AS probes FROM q0)
+SELECT vec_id, bucket, cos_sim FROM (
+  SELECT e.vec_id, {bucket} AS bucket,
+         round({dot} / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim,
+         q.probes
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+WHERE list_contains(probes, bucket)
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed approximate nearest neighbour
 # ---------------------------------------------------------------------------
@@ -567,6 +634,7 @@ FROM m
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "embedding_norms": q_embedding_norms,
@@ -576,6 +644,7 @@ QUERIES = {
 ORACLES = {
     "cosine_topk": _cosine_topk_sql(),
     "ann_lsh": _ann_lsh_sql(),
+    "ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
     "ann_ivf": _ann_ivf_sql(),
     "ann_pq": _ann_pq_sql(),
     "embedding_norms": _embedding_norms_sql(),

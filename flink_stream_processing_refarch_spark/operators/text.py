@@ -85,6 +85,50 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer, RE2-safe subset (no lookaround, so the
+# identical pattern runs in Java regex and RE2): letter runs, 1-3-digit
+# groups (the GPT-4-style digit split), and non-alphanumeric runs.
+# Whitespace is a separator, not a token.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting next to the whitespace count — the
+    budget estimator for tokenizer-measured corpora (SURVEY §2.8's
+    'whitespace + BPE-ish regex' pair). Pure regex column expressions:
+    scan-speed, no UDF, no shuffle; at 100 TB this runs inside the
+    ingest projection like the quality features."""
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.expr(e["n_words"]).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.expr(
+            f"round(CAST(length(text) AS DOUBLE) / greatest("
+            f"CAST(size(regexp_extract_all(text, '{BPE_SPLIT_RE}', 0))"
+            f" AS DOUBLE), CAST(1.0 AS DOUBLE)), 6)"
+        ).alias("chars_per_token"),
+    )
+
+
+def _token_count_bpe_sql() -> str:
+    e = _exprs("duckdb")
+    return f"""
+SELECT doc_id,
+       {e['n_words']} AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS BIGINT)
+         AS n_bpe_tokens,
+       round(CAST(length(text) AS DOUBLE) / greatest(
+         CAST(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS DOUBLE),
+         CAST(1.0 AS DOUBLE)), 6) AS chars_per_token
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------
@@ -458,6 +502,7 @@ GROUP BY word
 
 QUERIES = {
     "token_stats": q_token_stats,
+    "token_count_bpe": q_token_count_bpe,
     "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
     "repetition_score": q_repetition_score,
@@ -470,6 +515,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": _token_stats_sql(),
+    "token_count_bpe": _token_count_bpe_sql(),
     "vocab_stats": VOCAB_STATS_SQL,
     "quality_score": _quality_score_sql(),
     "repetition_score": _repetition_score_sql(),

@@ -119,6 +119,16 @@ def test_ann_cosines_are_valid(spark):
         assert -1.000001 <= r.cos_sim <= 1.000001
 
 
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe scans a strict superset of the single-probe bucket,
+    so its top-k recall vs the exact answer can never be worse."""
+    exact = {r.vec_id for r in similarity.q_cosine_topk(spark, SF_DIR).collect()}
+    single = {r.vec_id for r in similarity.q_ann_lsh(spark, SF_DIR).collect()}
+    multi = {r.vec_id for r in similarity.q_ann_lsh_multiprobe(spark, SF_DIR).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
+
+
 def test_ann_pq_codes_and_rerank(spark):
     """PQ codes live in [0, PQ_K); ADC distances are non-negative ints;
     the exact re-rank emits descending cosines; and the PQ_CAND->TOP_K
