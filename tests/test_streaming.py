@@ -268,6 +268,35 @@ def test_single_pass_pipeline_multi_batch(spark, tmp_path):
     assert _rows(res["trip_duration"]) == _rows(jobs.q2_streaming(spark, SF_DIR))
 
 
+def test_single_pass_partials_redelivery_idempotent(spark, tmp_path):
+    """Recovery redelivery: re-running the bounded stream against the
+    SAME partials directory (fresh checkpoint -> every epoch is
+    redelivered and overwritten) must leave the partials store and both
+    merged results exactly as after the first run — the epoch-overwrite
+    idempotency the partial writer claims."""
+    pdir = str(tmp_path / "partials")
+    r1 = jobs.run_taxi_pipeline_single_pass(
+        spark,
+        SF_DIR,
+        partials_dir=pdir,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        max_files_per_trigger=4,
+    )
+    q1_first = _rows(r1["pickup_count"])
+    q2_first = _rows(r1["trip_duration"])
+    epochs_first = sorted(glob.glob(pdir + "/q1/epoch=*"))
+    r2 = jobs.run_taxi_pipeline_single_pass(
+        spark,
+        SF_DIR,
+        partials_dir=pdir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh -> full redelivery
+        max_files_per_trigger=4,
+    )
+    assert sorted(glob.glob(pdir + "/q1/epoch=*")) == epochs_first
+    assert _rows(r2["pickup_count"]) == q1_first
+    assert _rows(r2["trip_duration"]) == q2_first
+
+
 def test_pipeline_cli_wire_auto_decompress(spark, tmp_path, capsys):
     """CLI arg wiring end to end: snz-compressed wire chunks through
     --wire --auto-decompress --checkpoint --max-files-per-trigger."""
