@@ -40,7 +40,9 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = os.environ.get("SCALE_OUT_DIR", "/dev/shm/graft_sf1")
-REPLICAS = 10
+# 10 replicas = sf1 (the default decade); SCALE_REPLICAS=100 with
+# SCALE_OUT_DIR=/dev/shm/graft_sf10 builds the second decade.
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
 ID_OFFSET = 10_000_000
 
 
