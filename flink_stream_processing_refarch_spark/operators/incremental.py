@@ -54,6 +54,7 @@ from .dedup import (
     N_HASHES,
     _band_expr,
     _minhash_cols,
+    _sh_md5,
     _shingles,
 )
 
@@ -83,9 +84,10 @@ def _parts_sql(dialect: str) -> tuple[str, str]:
 def _with_sigs(df: DataFrame) -> DataFrame:
     """Append mh0..mh{k-1} minhash columns (shared helpers from dedup.py)."""
     df = df.withColumn("__shingles", F.expr(_shingles("spark")))
+    df = df.withColumn("__sh_md5", F.expr(_sh_md5("spark")))
     for j, e in enumerate(_minhash_cols("spark")):
         df = df.withColumn(f"mh{j}", F.expr(e))
-    return df.drop("__shingles")
+    return df.drop("__shingles", "__sh_md5")
 
 
 def _band_rows(df: DataFrame, id_alias: str) -> DataFrame:
@@ -202,11 +204,13 @@ surv AS (
 ),
 base_sigs AS (
   SELECT doc_id, {mh}
-  FROM (SELECT doc_id, {_shingles(d)} AS __shingles FROM base)
+  FROM (SELECT doc_id, {_sh_md5(d)} AS __sh_md5
+        FROM (SELECT doc_id, {_shingles(d)} AS __shingles FROM base))
 ),
 delta_sigs AS (
   SELECT doc_id, {mh}
-  FROM (SELECT doc_id, {_shingles(d)} AS __shingles FROM surv)
+  FROM (SELECT doc_id, {_sh_md5(d)} AS __sh_md5
+        FROM (SELECT doc_id, {_shingles(d)} AS __shingles FROM surv))
 ),
 base_bands AS ({base_bands}),
 base_bkt AS (
