@@ -115,7 +115,8 @@ PRIORITY = [
     #    mixture weights); kept in-window r04: semantic_dedup carries the
     #    new stateful_build declaration --
     "semantic_dedup",
-    "passage_dedup",
+    # -- NEW r04: weighted-interleave curriculum schedule --
+    "curriculum_order",
     "decontaminate",
     "vocab_stats",
     "corpus_build",
@@ -154,6 +155,7 @@ PRIORITY = [
     "pii_scrub",
     "tfidf_top_terms",
     "global_row_number",
+    "passage_dedup",
     "dup_provenance",
     "bigram_lm",
     "sequence_packing",

@@ -558,7 +558,103 @@ FROM weighted CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Curriculum ordering (weighted source interleave, easy-first)
+# ---------------------------------------------------------------------------
+
+CURR_K = 200  # schedule prefix emitted (bounds output)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``CURR_K`` positions of a training curriculum: within
+    each source docs are ordered easy-first (ascending token count, the
+    standard length-based curriculum proxy), and sources are interleaved
+    proportionally to their temperature-scaled mixture weights — source
+    s's k-th doc is scheduled at interleave key k*1e9/wq_s, so a source
+    with twice the weight appears twice as often in any schedule prefix.
+
+    Determinism: the key is exact integer division of exact integers
+    (wq is mixture_weights' micro-unit sqrt weight), ties break on
+    (source, rank). Scale shape: per-source ranking is a window on the
+    source partition key; the schedule prefix is a TakeOrdered (no
+    global sort); the final position numbering is a window over the
+    CURR_K-row result only — the same bounded-window discipline as
+    quantile_histogram."""
+    from .text import _exprs
+
+    e = _exprs("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.expr(e["n_words"]).alias("n_words")
+    )
+    src = scored.groupBy("source").agg(F.sum("n_words").alias("n_tokens"))
+    wq = (
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    weights = src.select("source", F.expr(wq).alias("wq"))
+    ranked = scored.withColumn(
+        "src_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("n_words", "doc_id")
+        ),
+    )
+    prefix = (
+        ranked.join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            "src_rank",
+            F.expr(
+                "CAST(src_rank AS BIGINT) * CAST(1000000000 AS BIGINT)"
+                " DIV wq"
+            ).alias("ikey"),
+        )
+        .orderBy("ikey", "source", "src_rank")
+        .limit(CURR_K)
+    )
+    return prefix.withColumn(
+        "schedule_pos",
+        F.row_number().over(Window.orderBy("ikey", "source", "src_rank")),
+    )
+
+
+def _curriculum_order_sql() -> str:
+    from .text import _exprs
+
+    e = _exprs("duckdb")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {e['n_words']} AS n_words FROM documents),
+src AS (SELECT source, CAST(sum(n_words) AS BIGINT) AS n_tokens
+        FROM scored GROUP BY source),
+weights AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+              * CAST(1000000.0 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq
+  FROM src),
+ranked AS (
+  SELECT doc_id, source, n_words,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_words, doc_id) AS src_rank
+  FROM scored),
+prefix AS (
+  SELECT doc_id, source, n_words, CAST(src_rank AS BIGINT) AS src_rank,
+         CAST(src_rank AS BIGINT) * 1000000000 // wq AS ikey
+  FROM ranked JOIN weights USING (source)
+  ORDER BY ikey, source, src_rank
+  LIMIT {CURR_K})
+SELECT doc_id, source, n_words, src_rank, ikey,
+       CAST(row_number() OVER (ORDER BY ikey, source, src_rank) AS BIGINT)
+         AS schedule_pos
+FROM prefix
+"""
+
+
 QUERIES = {
+    "curriculum_order": q_curriculum_order,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_weights": q_mixture_weights,
     "sequence_packing": q_sequence_packing,
@@ -570,6 +666,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curriculum_order": _curriculum_order_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "mixture_weights": _mixture_weights_sql(),
     "sequence_packing": _sequence_packing_sql(),

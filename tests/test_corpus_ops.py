@@ -176,3 +176,21 @@ def test_mixture_weights_form_a_distribution(spark):
             big["weight"] / small["weight"]
             < big["n_tokens"] / small["n_tokens"]
         )
+
+
+def test_curriculum_prefix_is_weighted_and_easy_first(spark):
+    """Every source's prefix picks its easiest docs in order (src_rank
+    contiguous from 1, n_words non-decreasing along it), and schedule
+    positions are dense 1..CURR_K."""
+    rows = corpus.q_curriculum_order(spark, SF_DIR).collect()
+    assert sorted(r["schedule_pos"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for docs in by_src.values():
+        docs.sort(key=lambda r: r["src_rank"])
+        assert [r["src_rank"] for r in docs] == list(range(1, len(docs) + 1))
+        words = [r["n_words"] for r in docs]
+        assert words == sorted(words)
