@@ -102,6 +102,9 @@ def upsert_corpus(
         tuple(r[c] for c in partition_cols)
         for r in delta.select(*partition_cols).distinct().collect()
     ]
+    if not touched:  # empty delta: nothing to merge, manifest unchanged
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            return json.load(f)
     pred = None
     for vals in touched:
         clause = None

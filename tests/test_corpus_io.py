@@ -107,6 +107,15 @@ def test_upsert_replaces_updates_appends_and_prunes(spark):
         assert corpus_io.verify_manifest(spark, out)
 
 
+def test_upsert_empty_delta_is_a_noop(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        m1 = corpus_io.upsert_corpus(docs.filter(F.lit(False)), out)
+        assert m1 == m0
+        assert corpus_io.verify_manifest(spark, out)
+
+
 def test_max_records_per_file_bounds_file_sizes(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
