@@ -75,6 +75,7 @@ def upsert_corpus(
     out_dir: str,
     key_cols: tuple[str, ...] = ("doc_id",),
     partition_cols: tuple[str, ...] = ("source",),
+    max_records_per_file: int = 100_000,
 ) -> dict:
     """Merge a delta batch into an existing partitioned corpus:
     delta rows REPLACE existing rows with the same key, new keys are
@@ -109,7 +110,10 @@ def upsert_corpus(
     for vals in touched:
         clause = None
         for c, v in zip(partition_cols, vals):
-            eq = F.col(c) == F.lit(v)
+            # null-safe: a NULL partition value must still select its
+            # partition's existing rows, or the dynamic overwrite would
+            # replace that partition with delta-only content
+            eq = F.col(c).eqNullSafe(F.lit(v))
             clause = eq if clause is None else (clause & eq)
         pred = clause if pred is None else (pred | clause)
     existing = spark.read.parquet(out_dir).filter(pred)
@@ -130,6 +134,7 @@ def upsert_corpus(
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )

@@ -164,9 +164,19 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = base.select(
         "source", F.explode(F.expr(words_expr("text", "spark"))).alias("w")
     ).select("source", F.substring(F.md5("w"), 1, 2).alias("b"))
-    per_src = wb.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
+    # ONE corpus scan: per_src is the bounded (sources x 256)-row base
+    # every downstream relation derives from; checkpoint it so the four
+    # consumers (src totals, corpus bucket counts, grand total, grid
+    # join) don't each re-run the tokenize+md5 scan — measured 4
+    # FileScans -> 1 (the same working-set pattern as semantic_dedup's
+    # quantized vectors).
+    per_src = (
+        wb.groupBy("source", "b")
+        .agg(F.count("*").alias("c_sb"))
+        .localCheckpoint(eager=False)
+    )
     src_tot = per_src.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
-    corpus = wb.groupBy("b").agg(F.count("*").alias("c_b"))
+    corpus = per_src.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
     corpus_tot = corpus.agg(F.sum("c_b").alias("n_tot"))
     # KL is only a true (>= 0) divergence over the COMPLETE bucket
     # domain — summing observed buckets only truncates the negative
@@ -207,6 +217,11 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Checkpoints the per_src working set during plan construction — the
+# plan cache must re-run the builder per call (plancache.py).
+q_source_drift.stateful_build = True
+
+
 def _source_drift_sql() -> str:
     w = words_expr("text", "duckdb")
     B = FEAT_BUCKETS
@@ -217,7 +232,8 @@ WITH wb AS (
 per_src AS (SELECT source, b, count(*) AS c_sb FROM wb GROUP BY source, b),
 src_tot AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
             FROM per_src GROUP BY source),
-corpus AS (SELECT b, count(*) AS c_b FROM wb GROUP BY b),
+corpus AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_b
+           FROM per_src GROUP BY b),
 corpus_tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_tot FROM corpus),
 buckets AS (SELECT printf('%02x', CAST(i AS INT)) AS b
             FROM range(0, {B}) r(i)),
