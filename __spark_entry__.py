@@ -75,7 +75,6 @@ PRIORITY = [
     "minhash_signatures",
     "simhash",
     # -- LLM-data-pipeline: text analysis (token_count_bpe NEW r04) --
-    "training_mix",
     "token_count_bpe",
     # -- LLM-data-pipeline: dedup family (stateful_build declared r04) --
     "dedup_exact",
@@ -102,6 +101,7 @@ PRIORITY = [
     "heavy_hitters_cms",
     "heavy_hitters_streaming",
     "quantile_histogram",
+    "quantile_histogram_streaming",
     # -- NEW r04: product-quantization ANN (sample-trained codebooks,
     #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) and
     #    multi-probe LSH (Hamming-1 bucket fan-out recall knob) --
@@ -156,6 +156,7 @@ PRIORITY = [
     "tfidf_top_terms",
     "global_row_number",
     "passage_dedup",
+    "training_mix",
     "dup_provenance",
     "bigram_lm",
     "sequence_packing",

@@ -1274,6 +1274,152 @@ def q_heavy_hitters_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_topk_report(cells, load_table(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# Streaming mergeable quantile histogram (events.value, cents-exact)
+# ---------------------------------------------------------------------------
+
+QH_EV_BIN_CENTS = 800  # histogram bin width over value in cents ($8)
+QH_EV_PCTS = (50, 90, 99)
+
+
+def quantile_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running fixed-bin histogram of event value (quantized to exact
+    cents) over the stream — the quantile counterpart of the streaming
+    CMS: per-micro-batch bin increments merge into the persistent
+    counters, and state is BOUNDED by the bin count regardless of
+    stream length."""
+    ev = stream_events(spark, sf_dir, maxFilesPerTrigger=8)
+    cents = F.expr(
+        "CAST(floor(value * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT)"
+    )
+    return (
+        ev.select(cents.alias("cents"))
+        .groupBy(F.expr(f"cents DIV {QH_EV_BIN_CENTS}").alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_quantile_histogram_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global p50/p90/p99 of event value estimated from the
+    STREAM-MERGED histogram snapshot (complete mode), exact value
+    alongside from the batch table — same estimate/threshold integer
+    rules as the batch quantile_histogram, same in-row error-bound
+    invariant. The multi-batch source split means every driver check
+    proves histogram merges across micro-batches."""
+    from pyspark.sql import Window
+
+    from ..schemas import load_table
+
+    merged = _run_to_memory(
+        quantile_stream_df(spark, sf_dir), output_mode="complete"
+    )
+    cum = merged.select(
+        "bin",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+    )
+    total = merged.agg(F.sum("n").alias("total"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QH_EV_PCTS])).alias("pct")
+    )
+    thr = pcts.crossJoin(F.broadcast(total)).select(
+        "pct",
+        F.floor((F.col("total") * F.col("pct") + F.lit(99)) / F.lit(100))
+        .cast("long")
+        .alias("thr"),
+    )
+    est = (
+        thr.join(F.broadcast(cum), F.col("cum") >= F.col("thr"))
+        .groupBy("pct")
+        .agg(F.min("thr").alias("thr"), F.min("bin").alias("bin"))
+        .select(
+            "pct",
+            "thr",
+            ((F.col("bin") + 1) * QH_EV_BIN_CENTS).alias("est_hi_cents"),
+        )
+    )
+    vcum = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "CAST(floor(value * CAST(100.0 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "cents",
+            F.sum("n").over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("cum"),
+        )
+    )
+    return (
+        est.join(F.broadcast(vcum), F.col("cum") >= F.col("thr"))
+        .groupBy("pct")
+        .agg(
+            F.min("thr").alias("thr"),
+            F.min("est_hi_cents").alias("est_hi_cents"),
+            F.min("cents").alias("exact_cents"),
+        )
+        .select(
+            "pct",
+            "thr",
+            "est_hi_cents",
+            "exact_cents",
+            (
+                (F.col("est_hi_cents") - F.col("exact_cents") >= 0)
+                & (
+                    F.col("est_hi_cents") - F.col("exact_cents")
+                    <= QH_EV_BIN_CENTS
+                )
+            ).alias("bound_ok"),
+        )
+    )
+
+
+QUANTILE_HISTOGRAM_STREAMING_SQL = f"""
+WITH cents_t AS (
+  SELECT CAST(floor(value * CAST(100.0 AS DOUBLE)
+    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents FROM events),
+merged AS (
+  SELECT cents // {QH_EV_BIN_CENTS} AS bin, count(*) AS n
+  FROM cents_t GROUP BY 1),
+cum AS (
+  SELECT bin, CAST(sum(n) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM merged),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM merged),
+thr AS (
+  SELECT pct, CAST(floor((total * pct + 99) / 100) AS BIGINT) AS thr
+  FROM (SELECT unnest([{", ".join(str(p) for p in QH_EV_PCTS)}]) AS pct)
+  CROSS JOIN total),
+est AS (
+  SELECT pct, min(thr) AS thr,
+         (min(bin) + 1) * {QH_EV_BIN_CENTS} AS est_hi_cents
+  FROM thr JOIN cum ON cum >= thr GROUP BY pct),
+vcum AS (
+  SELECT cents, CAST(sum(n) OVER (ORDER BY cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM (SELECT cents, count(*) AS n FROM cents_t GROUP BY cents)),
+ex AS (
+  SELECT pct, min(thr) AS thr, min(est_hi_cents) AS est_hi_cents,
+         min(cents) AS exact_cents
+  FROM est JOIN vcum ON cum >= thr GROUP BY pct)
+SELECT pct, thr, est_hi_cents, CAST(exact_cents AS BIGINT) AS exact_cents,
+       est_hi_cents - exact_cents >= 0
+         AND est_hi_cents - exact_cents <= {QH_EV_BIN_CENTS} AS bound_ok
+FROM ex
+"""
+
+
 QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -1285,6 +1431,7 @@ QUERIES = {
     "session_windows_streaming": q_session_windows_streaming,
     "taxi_pipeline_single_pass": q_taxi_pipeline_single_pass,
     "heavy_hitters_streaming": q_heavy_hitters_streaming,
+    "quantile_histogram_streaming": q_quantile_histogram_streaming,
 }
 
 if _tws_available():  # pragma: no cover - environment-dependent
@@ -1323,6 +1470,9 @@ def _heavy_hitters_streaming_oracle() -> str:
 
 
 ORACLES["heavy_hitters_streaming"] = _heavy_hitters_streaming_oracle()
+# The bounded stream's final histogram equals the batch histogram (bin
+# addition is associative), so one epoch-independent SQL is the oracle.
+ORACLES["quantile_histogram_streaming"] = QUANTILE_HISTOGRAM_STREAMING_SQL
 
 if _tws_available():  # pragma: no cover - environment-dependent
     ORACLES["tws_user_totals"] = TWS_USER_TOTALS_SQL

@@ -78,6 +78,18 @@ def test_streaming_cms_equals_batch_sketch(spark):
     assert stream == batch
 
 
+def test_streaming_quantile_histogram_bounds_hold(spark):
+    """The stream-merged histogram's quantile estimates obey the same
+    within-bin error bound as the batch sketch."""
+    from flink_stream_processing_refarch_spark.streaming import jobs
+
+    rows = jobs.q_quantile_histogram_streaming(spark, SF_DIR).collect()
+    assert {r["pct"] for r in rows} == set(jobs.QH_EV_PCTS)
+    for r in rows:
+        assert r["bound_ok"]
+        assert 0 <= r["est_hi_cents"] - r["exact_cents"] <= jobs.QH_EV_BIN_CENTS
+
+
 def test_quantile_histogram_bounds_hold(spark, duck):
     rows = sketches.q_quantile_histogram(spark, SF_DIR).collect()
     assert {r["pct"] for r in rows} == set(sketches.QH_PCTS)
