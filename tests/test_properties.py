@@ -278,3 +278,94 @@ def test_embedding_codes_cross_engine_bit_identical(spark, vecs):
     ).fetchall()
     expect = {vid: list(codes) for vid, codes in rows}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# 6. Same contract for the PQ encoder: for ANY float32 vector, the Spark
+#    (numpy int64 broadcast) subspace codes equal the DuckDB
+#    (list-fold integer argmin) codes bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0,
+                max_value=8.0,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_pq_codes_cross_engine_bit_identical(spark, vecs):
+    import duckdb as ddb
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from flink_stream_processing_refarch_spark.operators import similarity as sim
+
+    # fixed books from the session testdata sample: both engines must
+    # agree for ARBITRARY input vectors against the same codebook
+    books = sim._pq_books_int(spark, SF_DIR)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], schema)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in sdf.select(
+            "vec_id", sim._pq_codes_udf(books)("embedding").alias("codes")
+        ).collect()
+    }
+    con = ddb.connect()
+    con.register(
+        "vecs",
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        ),
+    )
+    bk = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for cent in sub for v in cent) + "]"
+            for sub in books
+        )
+        + "]"
+    )
+    # flat books[s+1] holds K*D ints: centroid k dim d at [k*D + d + 1]
+    sd, k = sim.PQ_SUB_DIM, sim.PQ_K
+    sub_d2 = (
+        f"list_sum(list_transform(range(1, {sd} + 1), d -> "
+        f"(ei[s * {sd} + d] - bk[s + 1][(kk - 1) * {sd} + d])"
+        f" * (ei[s * {sd} + d] - bk[s + 1][(kk - 1) * {sd} + d])))"
+    )
+    dists = f"list_transform(range(1, {k} + 1), kk -> {sub_d2})"
+    code_s = f"list_indexof({dists}, list_aggregate({dists}, 'min')) - 1"
+    rows = con.execute(
+        f"""
+        WITH eint AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT)) AS ei
+          FROM vecs),
+        b AS (SELECT {bk} AS bk)
+        SELECT vec_id,
+               list_transform(range(0, {sim.PQ_SUBS}), s -> {code_s}) AS codes
+        FROM eint CROSS JOIN b
+        """
+    ).fetchall()
+    expect = {vid: list(codes) for vid, codes in rows}
+    assert got == expect
