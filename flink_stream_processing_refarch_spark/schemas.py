@@ -209,7 +209,28 @@ def _scan_splits_estimate(spark, src_path: str) -> int:
     return _SPLIT_EST_CACHE[key]
 
 
-#: (sf_dir, events stamp, parallelism) -> materialized normalized dir
+#: Target source bytes per materialized file. Sizes the normalized-events
+#: layout to the DATA, not to defaultParallelism: at sf0.1 (~2 MB) this
+#: yields ~8 files, enough parallel splits for the CPU-bound headline map
+#: work while trivial scans stop paying a 32-task scheduling floor per
+#: stage (the r04 regression cluster: time_rollup & co. 2-3x). Override
+#: via SPARK_GRAFT_NORM_EVENTS_FILES for tuning experiments.
+NORM_EVENTS_BYTES_PER_FILE = 256 * 1024
+
+
+def _norm_events_file_count(src_bytes: int, par: int) -> int:
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_NORM_EVENTS_FILES", "")
+    if env.strip():
+        return max(1, int(env))
+    if src_bytes < 0:
+        return par
+    return max(2, min(par, math.ceil(src_bytes / NORM_EVENTS_BYTES_PER_FILE)))
+
+
+#: (sf_dir, events stamp, parallelism, nfiles) -> materialized dir
 _NORM_EVENTS_CACHE: dict = {}
 _NORM_EVENTS_DIRS: list = []  # every dir we created, for atexit cleanup
 
@@ -229,11 +250,19 @@ def normalized_events_path(spark, sf_dir: str) -> str | None:
     layout between rounds (NANOS vs MICROS — see normalize_event_ts).
     This is the engine's bronze->silver ingest step: materialize the
     table ONCE per (sf_dir, file stamp) with ``ts`` already normalized
-    to BIGINT epoch-nanos and the rows split across ``defaultParallelism``
-    files, so every subsequent read — batch plan builds, per-run bench
-    executions, and each streaming replay — scans an already-normalized,
-    well-split dataset instead of re-paying the layout shim and a serial
-    single-file scan per run.
+    to BIGINT epoch-nanos and the rows split across a DATA-SIZED file
+    count (:func:`_norm_events_file_count` — ~256 KB/file, capped at
+    ``defaultParallelism``, floor 2), so every subsequent read — batch
+    plan builds, per-run bench executions, and each streaming replay —
+    scans an already-normalized, well-split dataset instead of re-paying
+    the layout shim and a serial single-file scan per run. Sizing files
+    to the data rather than to the core count matters measurably: the
+    r04 layout (32 files at sf0.1, ~64 KB each) made every trivial
+    events scan pay a 32-task scheduling floor per stage (time_rollup &
+    co. regressed 2-3x) and even slowed the CPU-heavy headline; the
+    8-file layout at sf0.1 was the measured optimum for BOTH (headline
+    1.44 -> 1.13 s, cheap scans back to their pre-materialization walls
+    — tools/tune_norm_files.py is the harness).
 
     GATED like :func:`spread`: only the starved-scan local case (source
     splits < cores — the single-row-group testdata files, which Spark
@@ -259,14 +288,15 @@ def normalized_events_path(spark, sf_dir: str) -> str | None:
     if _scan_splits_estimate(spark, src) >= par:
         return None  # at-scale shape: read the source directly
     stamp = table_stamp(src)
-    key = (sf_dir, stamp, par)
+    nfiles = _norm_events_file_count(stamp[0], par)
+    key = (sf_dir, stamp, par, nfiles)
     path = _NORM_EVENTS_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix="events_norm_", dir=base)
     df = load_table(spark, sf_dir, "events", materialize=False)
-    df.repartition(par).write.mode("overwrite").parquet(out)
+    df.repartition(nfiles).write.mode("overwrite").parquet(out)
     if not _NORM_EVENTS_DIRS:
         atexit.register(_cleanup_norm_dirs)
     _NORM_EVENTS_DIRS.append(out)

@@ -74,6 +74,27 @@ def _events_schema(spark: SparkSession, src: str) -> T.StructType:
     return _EVENTS_SCHEMA_CACHE[key]
 
 
+def half_source_files(spark: SparkSession, sf_dir: str) -> int:
+    """``maxFilesPerTrigger`` value that guarantees a MULTI-batch split
+    of the bounded local events source: half its parquet file count
+    (floor 1). The normalized materialization is data-sized (2 files at
+    sf0.01, 8 at sf0.1 — schemas._norm_events_file_count), so a fixed
+    constant either degenerates to one micro-batch at small SF (no
+    cross-batch merge exercised) or forces needless many-batch overhead
+    at large SF; half-the-files always yields ~2 batches. Local-replay
+    concern only — a real stream (Kinesis) is unbounded and batches by
+    arrival."""
+    import glob as _glob
+
+    from ..schemas import normalized_events_path
+
+    norm = normalized_events_path(spark, sf_dir)
+    if norm is None:
+        return 1  # direct single-file source: 1 file per trigger
+    n = len(_glob.glob(f"{norm}/*.parquet"))
+    return max(1, n // 2)
+
+
 def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
     """File-based streaming source over the events table (the local stand-
     in for the Kinesis consumer, S1; swap format('kinesis') in prod).
@@ -1077,7 +1098,7 @@ def run_taxi_pipeline_single_pass(
     sf_dir: str,
     partials_dir: str | None = None,
     checkpoint_dir: str | None = None,
-    max_files_per_trigger: int | None = 16,
+    max_files_per_trigger: int | str | None = "auto",
 ) -> dict[str, DataFrame]:
     """Q1 + Q2 from ONE streaming pass over the trip source — the
     single-scan answer to the dual-read trade documented on
@@ -1111,6 +1132,8 @@ def run_taxi_pipeline_single_pass(
     from ..functions.timeutils import window_end_ms_sql
 
     src_opts: dict[str, str] = {}
+    if max_files_per_trigger == "auto":
+        max_files_per_trigger = half_source_files(spark, sf_dir)
     if max_files_per_trigger is not None:
         src_opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
     trips = stream_clean_trips(spark, sf_dir, **src_opts)
@@ -1228,9 +1251,10 @@ def run_taxi_pipeline_single_pass(
 def q_taxi_pipeline_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable surface of the single-pass pipeline: its Q1
     result (same schema and emission rule as q1_streaming, so the same
-    oracle applies); the multi-batch default (maxFilesPerTrigger=8 over
-    the >= cores-file normalized source) means every driver check proves
-    window merges across micro-batch splits."""
+    oracle applies); the adaptive multi-batch default (maxFilesPerTrigger
+    = half the normalized source's file count, :func:`half_source_files`)
+    means every driver check — at any SF — proves window merges across
+    micro-batch splits."""
     return run_taxi_pipeline_single_pass(spark, sf_dir)["pickup_count"]
 
 
@@ -1250,7 +1274,9 @@ def heavy_hitters_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping per-key counts)."""
     from ..operators.sketches import cms_salted
 
-    ev = stream_events(spark, sf_dir, maxFilesPerTrigger=8)
+    ev = stream_events(
+        spark, sf_dir, maxFilesPerTrigger=half_source_files(spark, sf_dir)
+    )
     return (
         cms_salted(ev.select("user_id"))
         .groupBy("r", "bkt")
@@ -1288,7 +1314,9 @@ def quantile_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS: per-micro-batch bin increments merge into the persistent
     counters, and state is BOUNDED by the bin count regardless of
     stream length."""
-    ev = stream_events(spark, sf_dir, maxFilesPerTrigger=8)
+    ev = stream_events(
+        spark, sf_dir, maxFilesPerTrigger=half_source_files(spark, sf_dir)
+    )
     cents = F.expr(
         "CAST(floor(value * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         " AS BIGINT)"

@@ -251,7 +251,7 @@ def test_single_pass_pipeline_multi_batch(spark, tmp_path):
     """The r01 caveat, explicitly: per-batch FINAL aggregation breaks
     windows that span micro-batches. The single-pass pipeline aggregates
     PARTIALLY per batch and merges at compaction, so under a forced
-    many-batch split (maxFilesPerTrigger=4 over the >= cores-file
+    many-batch split (maxFilesPerTrigger=1 over the multi-file
     normalized source, with rows round-robined across files — every
     window is guaranteed to span batches) BOTH query results must equal
     the in-plan windowed-state path (q1_streaming / q2_streaming)."""
@@ -260,7 +260,7 @@ def test_single_pass_pipeline_multi_batch(spark, tmp_path):
         SF_DIR,
         partials_dir=str(tmp_path / "partials"),
         checkpoint_dir=str(tmp_path / "ckpt"),
-        max_files_per_trigger=4,
+        max_files_per_trigger=1,
     )
     n_epochs = len(glob.glob(str(tmp_path / "partials" / "q1" / "epoch=*")))
     assert n_epochs >= 2, "split did not produce multiple micro-batches"
