@@ -418,6 +418,56 @@ def _pq_codes_udf(books_int: list[list[list[int]]]):
     return F.pandas_udf("array<int>")(codes)
 
 
+#: (sf_dir, embeddings stamp) -> materialized (vec_id, codes) sidecar dir
+_PQ_CODES_CACHE: dict = {}
+_PQ_CODES_DIRS: list = []
+
+
+def _cleanup_pq_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for d in _PQ_CODES_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def pq_codes_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest-time PQ encode: materialize the ``(vec_id, codes)`` sidecar
+    ONCE per (sf_dir, embeddings stamp) and serve every query's ADC scan
+    from it. This is what makes PQ pay at 100 TB: the expensive part —
+    the Arrow-batched encode of every full-precision vector — happens
+    once when vectors land (here: first use per table stamp; in a real
+    deployment: the ingest job), and each of the millions of subsequent
+    queries scans 8 small ints per vector instead of re-encoding the
+    table and dragging the fat ``embedding`` column through the
+    candidate stage. Stamp-keyed like the normalized-events
+    materialization, so an in-place regeneration of the embeddings table
+    re-encodes (with freshly re-trained codebooks) instead of serving
+    stale codes."""
+    import atexit
+    import os
+    import tempfile
+
+    from ..schemas import table_stamp
+
+    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"))
+    path = _PQ_CODES_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="pq_codes_", dir=base)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books_int = _pq_books_int(spark, sf_dir)
+    emb.select(
+        "vec_id",
+        _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
+    ).write.mode("overwrite").parquet(out)
+    if not _PQ_CODES_DIRS:
+        atexit.register(_cleanup_pq_dirs)
+    _PQ_CODES_DIRS.append(out)
+    _PQ_CODES_CACHE[key] = out
+    return out
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization: vectors are stored as PQ_SUBS
     4-bit codes (64 float dims -> 8 codes — the 16-32x memory/bandwidth
@@ -426,20 +476,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance from each query subvector to the coded centroid), takes
     the PQ_CAND best, and re-ranks just those exactly by cosine.
 
-    Scale shape: codes are computed once at ingest (narrow Arrow-batched
-    projection, stored alongside the table); the ADC scan touches 8
-    small ints per vector + a broadcast query row — no full-precision
-    vector I/O until the PQ_CAND re-rank. Codebooks are trained on a
-    bounded deterministic sample (:func:`_pq_books_int`) and both the
-    code assignment and the ADC are exact integer arithmetic mirrored
-    by the oracle, so the result is deterministic, not best-effort."""
+    Scale shape: codes ARE computed once at ingest — the stamp-keyed
+    ``(vec_id, codes)`` sidecar (:func:`pq_codes_path`) — so the ADC
+    candidate stage scans a 2-column codes relation (8 small ints per
+    vector + a broadcast query row); the full-precision ``embedding``
+    column is read only by the PQ_CAND-row broadcast join that re-ranks
+    the candidates exactly. Codebooks are trained on a bounded
+    deterministic sample (:func:`_pq_books_int`) and both the code
+    assignment and the ADC are exact integer arithmetic mirrored by the
+    oracle, so the result is deterministic, not best-effort."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books_int = _pq_books_int(spark, sf_dir)
-    coded = emb.select(
-        "vec_id",
-        "embedding",
-        _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
-    )
+    coded = spark.read.parquet(pq_codes_path(spark, sf_dir))
+    books_int = _pq_books_int(spark, sf_dir)  # memoized per stamp
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"),
         F.transform(
@@ -481,18 +529,26 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, d: a + _diff(s, d) * _diff(s, d),
         ),
     )
+    # Candidate stage: 2-col codes relation x broadcast 1-row query —
+    # no full-precision vectors anywhere in this TakeOrdered.
     cand = (
         coded.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", "embedding", "qe", adc.alias("adc_dist"))
+        .crossJoin(F.broadcast(qv.select("q_int")))
+        .select("vec_id", adc.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(PQ_CAND)
     )
+    # Exact re-rank: the PQ_CAND-row candidate list broadcasts against a
+    # column-pruned (vec_id, embedding) scan — the only point the fat
+    # vector column is read, and only PQ_CAND rows survive the join.
     dot = _dot_spark("embedding", "qe")
     na = _dot_spark("embedding", "embedding")
     nq = _dot_spark("qe", "qe")
     return (
-        cand.select(
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv.select("qe")))
+        .select(
             "vec_id",
             "adc_dist",
             F.expr(f"round({dot} / (sqrt({na}) * sqrt({nq})), 6)").alias(
@@ -504,8 +560,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Collects the PQ_K-row training sample during plan construction — the
-# plan cache must re-run the builder per call (plancache.py).
+# Collects the PQ_K-row training sample and materializes the codes
+# sidecar during plan construction — the plan cache must re-run the
+# builder per call (plancache.py).
 q_ann_pq.stateful_build = True
 
 
