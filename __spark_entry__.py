@@ -33,6 +33,7 @@ sys.path.insert(0, "/root/repo")
 
 from flink_stream_processing_refarch_spark.operators import contamination as contam_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import corpus as corpus_ops  # noqa: E402
+from flink_stream_processing_refarch_spark.operators import corpus_io as corpus_io_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import dedup as dedup_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import multimodal as mm_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import retrieval as retr_ops  # noqa: E402
@@ -71,8 +72,13 @@ PRIORITY = [
     #    partial aggregates, merge-at-compaction; driver-checks the Q1
     #    result across a forced multi-batch split) --
     "taxi_pipeline_single_pass",
-    # -- never driver-proven under their own names before r04 --
-    "minhash_signatures",
+    # -- NEW r05: oracle-paired write path (write_partitioned_corpus ->
+    #    upsert_corpus -> committed-files read-back vs DuckDB computing
+    #    the same delta-wins merge) — closes the last pytest-only
+    #    verification asymmetry --
+    "corpus_upsert_roundtrip",
+    # -- driver-proven r04 under its own name; kept in-window (strict
+    #    plan prefix queries stay near their containing query) --
     "simhash",
     # -- LLM-data-pipeline: text analysis (token_count_bpe NEW r04) --
     "token_count_bpe",
@@ -143,11 +149,12 @@ PRIORITY = [
     "stream_stream_left_join",
     "streaming_dedup",
     # ---- entries below are past the driver's 50-entry window ----
-    # Rotated out r04 (every entry here is r03-driver-green over a plan
-    # unchanged this round; the full registry is still self-checked into
-    # SELFCHECK_r04.md). Slots ceded to: taxi_pipeline_single_pass,
-    # dedup_incremental, tws_user_totals, minhash_signatures, simhash,
-    # and the five new selection/sketch queries.
+    # Rotated out r04/r05 (every entry here is driver-green from an
+    # earlier round over a plan unchanged since; the full registry is
+    # still self-checked into SELFCHECK_r{N}.md each round).
+    # r05: minhash_signatures (driver-green r04, plan unchanged) ceded
+    # its slot to the new corpus_upsert_roundtrip.
+    "minhash_signatures",
     "repetition_score",
     "length_histogram",
     "approx_distinct",
@@ -238,6 +245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text_ops.QUERIES)
     out.update(contam_ops.QUERIES)
     out.update(corpus_ops.QUERIES)
+    out.update(corpus_io_ops.QUERIES)
     out.update(dedup_ops.QUERIES)
     out.update(incr_ops.QUERIES)
     out.update(sim_ops.QUERIES)
@@ -301,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_ops.ORACLES)
     out.update(contam_ops.ORACLES)
     out.update(corpus_ops.ORACLES)
+    out.update(corpus_io_ops.ORACLES)
     out.update(dedup_ops.ORACLES)
     out.update(incr_ops.ORACLES)
     out.update(sim_ops.ORACLES)

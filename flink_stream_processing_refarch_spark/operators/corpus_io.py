@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_corpus_manifest.json"
 
+#: Spark's on-disk directory name for a NULL partition value. Manifest
+#: keys must use the same token or null-keyed partitions stop matching
+#: the physical layout (the upsert predicate itself is null-safe via
+#: eqNullSafe; this is only about key RENDERING).
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pkey(partition_cols: tuple[str, ...], row) -> str:
+    return "/".join(
+        f"{c}={HIVE_NULL if row[c] is None else row[c]}"
+        for c in partition_cols
+    )
+
 
 def write_partitioned_corpus(
     df: DataFrame,
@@ -55,14 +68,20 @@ def write_partitioned_corpus(
 
 
 def _manifest_from_files(
-    spark: SparkSession, out_dir: str, partition_cols: tuple[str, ...]
+    spark: SparkSession,
+    out_dir: str,
+    partition_cols: tuple[str, ...],
+    pred=None,
 ) -> dict:
+    """Per-partition row counts from the committed files. With ``pred``
+    (a partition-column predicate) the read-back is PARTITION-PRUNED —
+    only the matching partition directories are opened; upsert uses this
+    so a delta merge never re-scans the whole corpus."""
     back = spark.read.parquet(out_dir)
+    if pred is not None:
+        back = back.filter(pred)
     rows = back.groupBy(*partition_cols).count().collect()
-    parts = {
-        "/".join(f"{c}={r[c]}" for c in partition_cols): r["count"]
-        for r in rows
-    }
+    parts = {_pkey(partition_cols, r): r["count"] for r in rows}
     return {
         "partition_cols": list(partition_cols),
         "partitions": parts,
@@ -94,18 +113,35 @@ def upsert_corpus(
     key's partition-column value is assumed stable — provenance columns
     like ``source`` don't change for an existing doc. Moving a key
     across partitions requires rewriting both partitions explicitly.
+
+    Write safety: the merged frame is ``localCheckpoint``-ed BEFORE the
+    overwrite, so the write never reads from the path it is replacing
+    (the read-then-overwrite-same-path pattern works on Spark 4.x but is
+    version-sensitive and would otherwise race a mid-write failure
+    against its own input; a metastore-backed deployment would stage to
+    a temp location and swap instead). After the write, the touched
+    partitions' read-back counts are CHECKED against the pre-write
+    plan's expected counts — a partial commit raises instead of being
+    blessed into the manifest.
+
+    Manifest refresh is INCREMENTAL: only the touched partitions are
+    read back (partition-pruned scan) and their counts merged into the
+    prior manifest — at 100 TB a delta merge costs O(delta partitions),
+    never a whole-corpus scan. ``verify_manifest`` remains the full-scan
+    consumer-side audit, where a full scan is the point.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     spark = delta.sparkSession
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        prior = json.load(f)
     touched = [
         tuple(r[c] for c in partition_cols)
         for r in delta.select(*partition_cols).distinct().collect()
     ]
     if not touched:  # empty delta: nothing to merge, manifest unchanged
-        with open(os.path.join(out_dir, MANIFEST)) as f:
-            return json.load(f)
+        return prior
     pred = None
     for vals in touched:
         clause = None
@@ -130,7 +166,11 @@ def upsert_corpus(
         )
         .filter(F.col("_rn") == 1)
         .drop("_pri", "_rn")
-    )
+    ).localCheckpoint(eager=True)  # stable input, decoupled from out_dir
+    expected = {
+        _pkey(partition_cols, r): r["count"]
+        for r in merged.groupBy(*partition_cols).count().collect()
+    }
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -138,7 +178,21 @@ def upsert_corpus(
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )
-    manifest = _manifest_from_files(spark, out_dir, partition_cols)
+    back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
+    if back["partitions"] != expected:
+        raise RuntimeError(
+            "upsert_corpus: post-write read-back does not match the "
+            f"pre-write plan (expected {expected}, found "
+            f"{back['partitions']}) — partial commit, manifest NOT "
+            "updated"
+        )
+    parts = dict(prior["partitions"])
+    parts.update(back["partitions"])
+    manifest = {
+        "partition_cols": list(partition_cols),
+        "partitions": parts,
+        "total_rows": sum(parts.values()),
+    }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
     return manifest
@@ -156,3 +210,97 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
         fresh["partitions"] == manifest["partitions"]
         and fresh["total_rows"] == manifest["total_rows"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired write-path roundtrip
+# ---------------------------------------------------------------------------
+
+_RT_DIRS: list = []
+
+
+def _cleanup_rt_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for d in _RT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_corpus_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the WRITE path — the one surface that
+    was previously pytest-only: build a partitioned corpus from
+    ``documents``, upsert a deterministic delta (every 7th doc's text
+    updated, a new doc appended per 50th), then read the COMMITTED FILES
+    back and return ``(doc_id, source, h)``. The DuckDB oracle computes
+    the identical delta-wins merge relationally from the same inputs, so
+    the driver's hash compare certifies the bytes that actually went
+    through ``write_partitioned_corpus`` -> ``upsert_corpus`` (dynamic
+    partition overwrite, null-safe pruning predicate, checkpointed merge,
+    post-write count check, incremental manifest) — not a plan that
+    mimics them."""
+    import atexit
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="corpus_rt_", dir=base)
+    if not _RT_DIRS:
+        atexit.register(_cleanup_rt_dirs)
+    _RT_DIRS.append(out)
+    write_partitioned_corpus(docs, out)
+    delta = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPD: "), F.col("text")).alias("text"),
+            "source",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.lit("NEW: "), F.col("text")).alias("text"),
+                "source",
+            )
+        )
+    )
+    upsert_corpus(delta, out)
+    return spark.read.parquet(out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+# Writes and reads real files during plan construction — the plan cache
+# must re-run the builder per call (plancache.py).
+q_corpus_upsert_roundtrip.stateful_build = True
+
+
+def _corpus_upsert_roundtrip_sql() -> str:
+    return """
+WITH delta AS (
+  SELECT doc_id, 'UPD: ' || text AS text, source
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, 'NEW: ' || text AS text, source
+  FROM documents WHERE doc_id % 50 = 0),
+merged AS (
+  SELECT doc_id, text, source FROM delta
+  UNION ALL
+  SELECT doc_id, text, source FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM delta))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h FROM merged
+"""
+
+
+QUERIES = {
+    "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
+}
+
+ORACLES = {
+    "corpus_upsert_roundtrip": _corpus_upsert_roundtrip_sql(),
+}

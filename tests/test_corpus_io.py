@@ -130,3 +130,77 @@ def test_max_records_per_file_bounds_file_sizes(spark):
         files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
         n_rows = spark.read.parquet(src_dir).count()
         assert len(files) >= n_rows > 0
+
+
+def test_upsert_manifest_is_incremental(spark):
+    """The manifest refresh reads back ONLY the touched partitions:
+    an (artificially wrong) untouched-partition count in the prior
+    manifest SURVIVES an upsert verbatim — proof the refresh merged the
+    prior manifest instead of rebuilding from a full-corpus scan —
+    and the untouched partition's files are byte-identical."""
+    import json
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        srcs = sorted(k.split("=", 1)[1] for k in m0["partitions"])
+        touched_src, untouched_src = srcs[0], srcs[1]
+        # poison the untouched partition's manifest count
+        mpath = os.path.join(out, corpus_io.MANIFEST)
+        with open(mpath) as f:
+            poisoned = json.load(f)
+        poisoned["partitions"][f"source={untouched_src}"] = 123456789
+        with open(mpath, "w") as f:
+            json.dump(poisoned, f)
+        untouched_dir = os.path.join(out, f"source={untouched_src}")
+        before = {
+            f: (os.path.getsize(os.path.join(untouched_dir, f)),
+                os.path.getmtime(os.path.join(untouched_dir, f)))
+            for f in os.listdir(untouched_dir)
+        }
+        delta = docs.filter(F.col("source") == touched_src).limit(1).select(
+            "doc_id", F.lit("x").alias("text"), "lang", "source",
+            F.lit(1).alias("n_chars"),
+        )
+        m1 = corpus_io.upsert_corpus(delta, out)
+        # untouched partition: count carried from the PRIOR manifest
+        # (poison survives => no full rescan), files untouched
+        assert m1["partitions"][f"source={untouched_src}"] == 123456789
+        after = {
+            f: (os.path.getsize(os.path.join(untouched_dir, f)),
+                os.path.getmtime(os.path.join(untouched_dir, f)))
+            for f in os.listdir(untouched_dir)
+        }
+        assert before == after
+        # touched partition: count from the actual read-back
+        assert (
+            m1["partitions"][f"source={touched_src}"]
+            == m0["partitions"][f"source={touched_src}"]
+        )
+
+
+def test_null_partition_value_manifest_key_matches_layout(spark):
+    """A NULL partition value lands in source=__HIVE_DEFAULT_PARTITION__
+    on disk; the manifest key must use the same token (ADVICE r04)."""
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    nulled = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        m = corpus_io.write_partitioned_corpus(nulled, out)
+        null_key = f"source={corpus_io.HIVE_NULL}"
+        assert null_key in m["partitions"]
+        # the key names a real directory of the layout
+        assert os.path.isdir(os.path.join(out, null_key))
+        assert corpus_io.verify_manifest(spark, out)
+        # upsert into the null partition keeps key/layout agreement
+        delta = nulled.filter(F.col("source").isNull()).limit(1).select(
+            "doc_id", F.lit("upd").alias("text"), "lang", "source",
+            F.lit(3).alias("n_chars"),
+        )
+        m2 = corpus_io.upsert_corpus(delta, out)
+        assert null_key in m2["partitions"]
+        assert corpus_io.verify_manifest(spark, out)
