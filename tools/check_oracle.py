@@ -69,9 +69,16 @@ def rows_equal(a, b) -> bool:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    queries = entry.queries()
+    # A selector that matches nothing must be a HARD error: a mistyped
+    # query name (or flag) would otherwise print "PASS (0 failures)"
+    # over zero queries and masquerade as a green transcript.
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("check_oracle")
     con = duck_con(sf_dir)
-    queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in queries.items():
