@@ -588,9 +588,13 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.expr(e["n_words"]).alias("n_words")
     )
     src = scored.groupBy("source").agg(F.sum("n_words").alias("n_tokens"))
+    # greatest(.., 1): a source whose docs all tokenize to zero words
+    # would give wq=0, where Spark DIV yields NULL but DuckDB's integer
+    # // raises division-by-zero — clamp in BOTH engines (ADVICE r04)
     wq = (
-        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)"
-        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        "greatest(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))"
+        " * CAST(1000000.0 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT))"
     )
     weights = src.select("source", F.expr(wq).alias("wq"))
     ranked = scored.withColumn(
@@ -631,9 +635,9 @@ src AS (SELECT source, CAST(sum(n_words) AS BIGINT) AS n_tokens
         FROM scored GROUP BY source),
 weights AS (
   SELECT source,
-         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+         greatest(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
               * CAST(1000000.0 AS DOUBLE)
-              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq
+              + CAST(0.5 AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT)) AS wq
   FROM src),
 ranked AS (
   SELECT doc_id, source, n_words,

@@ -52,6 +52,52 @@ LM_SCORE_MOD = 4         # doc subset reported by lm_perplexity (bounds output)
 
 
 # ---------------------------------------------------------------------------
+# Shared ln-quantization expressions. ONE string serves both engines
+# (ANSI ln/floor/CAST), so the Spark plan and the DuckDB oracle cannot
+# drift — and tests/test_properties.py fuzzes each of these cross-engine
+# over random integer inputs, the same bit-identity regime as the
+# PQ/embedding codes. Residual assumption (documented, ADVICE r04):
+# both engines' libm ln() agreeing to the last ulp whenever the product
+# lands within ~1e-6 of a floor(x*1e6+0.5) boundary; the fuzz makes
+# that assumption measured rather than asserted.
+# ---------------------------------------------------------------------------
+
+def lam_q_expr() -> str:
+    """DSIR per-bucket log-ratio, micro-unit quantized. Columns:
+    tc, sc, s_tot, t_tot (exact BIGINT counts)."""
+    return (
+        "CAST(floor(ln((CAST(tc + 1 AS DOUBLE)"
+        f" * CAST(s_tot + {FEAT_BUCKETS} AS DOUBLE))"
+        " / (CAST(sc + 1 AS DOUBLE)"
+        f" * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE)))"
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def kl_term_expr() -> str:
+    """Per-bucket KL term p*ln(p/q), nano-unit quantized. Columns:
+    c_sb, n_s, c_b, n_tot (exact BIGINT counts)."""
+    return (
+        "CAST(floor("
+        " (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))"
+        " * ln((CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))"
+        "      / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE)))"
+        " * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    ).format(B=FEAT_BUCKETS)
+
+
+def nll_q_expr() -> str:
+    """Bigram-LM negative log-likelihood, micro-unit quantized.
+    Columns: c1, c2, v (exact BIGINT counts)."""
+    return (
+        "CAST(floor(ln(CAST(c1 + v AS DOUBLE)"
+        " / CAST(c2 + 1 AS DOUBLE))"
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Importance resampling (DSIR-lite): score pool docs by how target-like
 # their hashed word distribution is.
 # ---------------------------------------------------------------------------
@@ -85,14 +131,7 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sc").alias("s_tot"), F.sum("tc").alias("t_tot")
     )
     lam = counts.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.expr(
-            "CAST(floor(ln((CAST(tc + 1 AS DOUBLE)"
-            f" * CAST(s_tot + {FEAT_BUCKETS} AS DOUBLE))"
-            " / (CAST(sc + 1 AS DOUBLE)"
-            f" * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE)))"
-            " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-        ).alias("lam_q"),
+        "b", F.expr(lam_q_expr()).alias("lam_q")
     )
     return (
         wb.filter(~is_target)
@@ -122,13 +161,7 @@ counts AS (
 tot AS (SELECT CAST(sum(sc) AS BIGINT) AS s_tot,
                CAST(sum(tc) AS BIGINT) AS t_tot FROM counts),
 lam AS (
-  SELECT b,
-         CAST(floor(ln((CAST(tc + 1 AS DOUBLE)
-             * CAST(s_tot + {FEAT_BUCKETS} AS DOUBLE))
-           / (CAST(sc + 1 AS DOUBLE)
-             * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE)))
-           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
-           AS lam_q
+  SELECT b, {lam_q_expr()} AS lam_q
   FROM counts CROSS JOIN tot)
 SELECT doc_id, count(*) AS n_words,
        CAST(sum(lam_q) AS BIGINT) AS weight_micro
@@ -192,15 +225,8 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["c_sb", "c_b"])
         .crossJoin(F.broadcast(corpus_tot))
     )
-    term = (
-        "CAST(floor("
-        " (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))"
-        " * ln((CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))"
-        "      / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE)))"
-        " * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    ).format(B=FEAT_BUCKETS)
     return (
-        joined.select("source", "n_s", F.expr(term).alias("t_nano"))
+        joined.select("source", "n_s", F.expr(kl_term_expr()).alias("t_nano"))
         .groupBy("source")
         .agg(
             F.min("n_s").alias("n_tokens"),
@@ -244,13 +270,7 @@ grid AS (
   LEFT JOIN per_src USING (source, b)
   LEFT JOIN corpus USING (b)),
 terms AS (
-  SELECT source, n_s,
-         CAST(floor(
-           (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))
-           * ln((CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))
-                / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE)))
-           * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
-           AS t_nano
+  SELECT source, n_s, {kl_term_expr()} AS t_nano
   FROM grid CROSS JOIN corpus_tot)
 SELECT source, min(n_s) AS n_tokens,
        CAST(sum(t_nano) AS BIGINT) AS kl_nano,
@@ -303,15 +323,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = (
         cnt2.join(cnt1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "gh",
-            F.expr(
-                "CAST(floor(ln(CAST(c1 + v AS DOUBLE)"
-                " / CAST(c2 + 1 AS DOUBLE))"
-                " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-                " AS BIGINT)"
-            ).alias("nll_q"),
-        )
+        .select("gh", F.expr(nll_q_expr()).alias("nll_q"))
     )
     return (
         grams.join(rate, "gh")
@@ -347,10 +359,7 @@ vocab AS (
 cnt2 AS (SELECT w1, gh, count(*) AS c2 FROM grams GROUP BY w1, gh),
 cnt1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1),
 rate AS (
-  SELECT gh,
-         CAST(floor(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE))
-           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
-           AS nll_q
+  SELECT gh, {nll_q_expr()} AS nll_q
   FROM cnt2 JOIN cnt1 USING (w1) CROSS JOIN vocab)
 SELECT doc_id, count(*) AS n_bigrams,
        CAST(sum(nll_q) AS BIGINT) AS nll_micro,

@@ -369,3 +369,59 @@ def test_pq_codes_cross_engine_bit_identical(spark, vecs):
     ).fetchall()
     expect = {vid: list(codes) for vid, codes in rows}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# 7. Cross-engine ln-quantization bit-identity: for ANY exact integer
+#    counts, each shared ln-quantized expression (DSIR lambda, KL term,
+#    bigram-LM NLL — operators/selection.py) evaluates to the SAME
+#    BIGINT in Spark (JVM Math.log) and DuckDB (libm log). Extends the
+#    PQ/embedding-code fuzz regime to the transcendental-quantized
+#    operators (ADVICE r04): the residual "both libms agree to the last
+#    ulp near a floor boundary" assumption becomes measured.
+# ---------------------------------------------------------------------------
+
+
+_counts = st.integers(min_value=0, max_value=10**9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_counts, _counts, _counts, _counts),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_ln_quantized_exprs_cross_engine_bit_identical(spark, rows):
+    import duckdb as ddb
+    import pyarrow as pa
+
+    from flink_stream_processing_refarch_spark.operators import selection
+
+    cases = [
+        # (expr, column names the expr consumes, mapped from the tuple,
+        #  per-column floor enforcing the operator's domain — for nll,
+        #  v >= 1: the vocab is nonempty whenever the LM relation has a
+        #  row, and ln(0) diverges by design (Spark NULL, DuckDB raise))
+        (selection.lam_q_expr(), ("tc", "sc", "s_tot", "t_tot"), (0, 0, 0, 0)),
+        (selection.kl_term_expr(), ("c_sb", "n_s", "c_b", "n_tot"), (0, 0, 0, 0)),
+        (selection.nll_q_expr(), ("c1", "c2", "v", "unused"), (0, 0, 1, 0)),
+    ]
+    for expr, cols, lo in cases:
+        data = {
+            c: [max(lo[i], int(r[i])) for r in rows]
+            for i, c in enumerate(cols)
+        }
+        sdf = spark.createDataFrame(
+            list(zip(*[data[c] for c in cols])), schema=list(cols)
+        )
+        from pyspark.sql import functions as F
+
+        got = [r[0] for r in sdf.select(F.expr(expr)).collect()]
+        con = ddb.connect()
+        con.register(
+            "t", pa.table({c: pa.array(data[c], type=pa.int64()) for c in cols})
+        )
+        expect = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+        assert got == expect, expr
