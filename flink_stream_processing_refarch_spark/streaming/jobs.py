@@ -313,6 +313,12 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the bounded replay is done and the result lives in the memory
+        # sink — the throwaway checkpoint would otherwise accumulate in
+        # /dev/shm (hundreds observed across a test session)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -407,9 +413,19 @@ def stream_stream_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit eagerly (no watermark wait), so on a bounded replay the output
     equals the batch interval join exactly.
     """
+    return stream_stream_join_from_events(
+        _stream_events_ts(spark, sf_dir), _stream_events_ts(spark, sf_dir)
+    )
+
+
+def stream_stream_join_from_events(
+    views_ev: DataFrame, purchases_ev: DataFrame
+) -> DataFrame:
+    """The interval join over any pair of ts_t-enriched events streams
+    (two readers over the same files in the bounded replay; two
+    topics/shards in production)."""
     views = (
-        _stream_events_ts(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        views_ev.filter(F.col("event_type") == "view")
         .select(
             "user_id",
             F.col("event_id").alias("view_id"),
@@ -418,8 +434,7 @@ def stream_stream_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "0 seconds")
     )
     purchases = (
-        _stream_events_ts(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        purchases_ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),
@@ -551,21 +566,34 @@ def streaming_dedup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the key columns are emitted: which physical row 'wins' within a
     key is arrival-order-dependent, the key set itself is deterministic.
     """
-    ev = (
-        _stream_events_ts(spark, sf_dir)
-        .withWatermark("ts_t", "0 seconds")
-        .select(
-            "user_id",
-            "event_type",
-            (F.unix_millis("ts_t") - F.unix_millis("ts_t") % 60000).alias(
-                "minute_ms"
-            ),
-            "ts_t",
-        )
+    return streaming_dedup_from_events(_stream_events_ts(spark, sf_dir))
+
+
+def streaming_dedup_from_events(ev_ts: DataFrame) -> DataFrame:
+    """The dedup transformation over any ts_t-enriched events stream
+    (source-agnostic, same split as :func:`corpus_ingest_from_stream`).
+
+    ``dropDuplicatesWithinWatermark``, not plain ``dropDuplicates``: the
+    plain form never evicts (its state is the full key history — the r05
+    streaming scale harness measured exactly that: 10x-input-sized state,
+    zero removals, SCALING_STREAMING.md), while the within-watermark form
+    drops a key's state once the watermark passes its event time, which
+    is the bounded-by-lateness-horizon behavior the operator claims. On
+    the bounded single-batch replay the two agree exactly (nothing is
+    late when the watermark only advances at the end), so the oracle is
+    unchanged; on a time-ordered production stream this is the
+    difference between O(rate x horizon) and O(history) state."""
+    ev = ev_ts.withWatermark("ts_t", "0 seconds").select(
+        "user_id",
+        "event_type",
+        (F.unix_millis("ts_t") - F.unix_millis("ts_t") % 60000).alias(
+            "minute_ms"
+        ),
+        "ts_t",
     )
-    return ev.dropDuplicates(["user_id", "event_type", "minute_ms"]).select(
-        "user_id", "event_type", "minute_ms"
-    )
+    return ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute_ms"]
+    ).select("user_id", "event_type", "minute_ms")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,7 +987,13 @@ def session_windows_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     this over the custom operator wherever plain per-session aggregates
     suffice; reach for applyInPandasWithState only when the per-session
     logic needs arbitrary state/output."""
-    ev = _stream_events_ts(spark, sf_dir).withWatermark("ts_t", "0 seconds")
+    return session_windows_from_events(_stream_events_ts(spark, sf_dir))
+
+
+def session_windows_from_events(ev_ts: DataFrame) -> DataFrame:
+    """The session-window aggregation over any ts_t-enriched events
+    stream (source-agnostic)."""
+    ev = ev_ts.withWatermark("ts_t", "0 seconds")
     return (
         ev.groupBy(
             F.session_window("ts_t", f"{SESSION_GAP_MIN} minutes").alias("w"),
@@ -1272,11 +1306,17 @@ def heavy_hitters_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself: CMS_D x CMS_W rows, BOUNDED regardless of stream length or
     key cardinality (the whole point of sketching the stream instead of
     keeping per-key counts)."""
-    from ..operators.sketches import cms_salted
-
     ev = stream_events(
         spark, sf_dir, maxFilesPerTrigger=half_source_files(spark, sf_dir)
     )
+    return heavy_hitters_from_events(ev)
+
+
+def heavy_hitters_from_events(ev: DataFrame) -> DataFrame:
+    """The CMS cell aggregation over any raw events stream
+    (source-agnostic)."""
+    from ..operators.sketches import cms_salted
+
     return (
         cms_salted(ev.select("user_id"))
         .groupBy("r", "bkt")
@@ -1317,6 +1357,12 @@ def quantile_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(
         spark, sf_dir, maxFilesPerTrigger=half_source_files(spark, sf_dir)
     )
+    return quantile_hist_from_events(ev)
+
+
+def quantile_hist_from_events(ev: DataFrame) -> DataFrame:
+    """The fixed-bin histogram aggregation over any raw events stream
+    (source-agnostic)."""
     cents = F.expr(
         "CAST(floor(value * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         " AS BIGINT)"
