@@ -50,18 +50,19 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r04 rotation: (a) minhash_signatures + simhash — the last two entries
-# never driver-proven under their own names — take window slots; (b) the
-# events read path changed this round (layout-stamped normalized
-# materialization, schemas.normalized_events_path), so every batch/
-# streaming query that consumes the events table sits in the window:
-# q1/q2 + streaming twins (slots 1-4), the stateful/stream-join block,
-# and the eight event-consuming relational entries rotated back IN
-# (asof_join, running_totals, sliding_window_counts, session_windows,
-# time_rollup, skew_salted_join, json_extract, stream_static_join). Ten
-# r03-driver-green entries whose plans are unchanged this round rotate
-# out (ann/embedding/multimodal/retrieval-prep block); the full registry
-# is still self-checked into SELFCHECK_r04.md.
+# r05 rotation: every query whose plan changed this round holds a
+# window slot — the events consumers (normalized materialization now
+# data-sized, maxFilesPerTrigger adaptive: q1/q2 + streaming twins,
+# single-pass pipeline, the stateful/stream-join block, the
+# event-consuming relational entries), streaming_dedup (plain
+# dropDuplicates -> dropDuplicatesWithinWatermark, the r05 bounded-state
+# fix), heavy_hitters/quantile streaming (adaptive trigger), ann_pq
+# (ingest-time codes sidecar + PQ_K/PQ_CAND recall retune + ADC LUT),
+# curriculum_order (wq zero-guard, oracle changed in lockstep), the
+# ln-quantized selection trio (shared-expression refactor), and the NEW
+# corpus_upsert_roundtrip (write-path oracle pairing). One rotation out:
+# minhash_signatures (driver-green r04, plan unchanged). Full registry
+# still self-checked into SELFCHECK_r05.md.
 PRIORITY = [
     # -- flagship taxi (batch + streaming twins; events path changed r04) --
     "q1_pickup_count",

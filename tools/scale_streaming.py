@@ -10,9 +10,11 @@ builds the stream shape the claims are about: a LONGER stream at
 CONSTANT rate and constant key population — K time-shifted replicas of
 the driver's sf0.1 events (ts += k * 32 days, event_id offset per
 replica, user_id/value untouched), one part file per replica, processed
-in time order (maxFilesPerTrigger sized to ~8-10 micro-batches at every
-scale). A 10x longer stream then must show FLAT max state for every
-bounded-state operator; growth would mean state leaks with history.
+in time order — one replica per micro-batch for the watermark-bounded
+operators (constant per-batch event-time span at every scale), ~8-10
+batches for the complete-mode sketches. A 10x longer stream then must
+show FLAT max state for every bounded-state operator; growth would
+mean state leaks with history.
 
 Measured per query at sf1 (1M events) and sf10 (10M): input rows, max
 state rows across micro-batches (the peak the state store must hold),
@@ -26,7 +28,10 @@ corpus_ingest_streaming runs over the batch-decade corpora
 source is documents, not events; its two state operators are reported
 separately — the running-totals agg state must stay |sources|-flat; the
 dropDuplicates state is documented input-sized in the bounded demo
-(the dropDuplicatesWithinWatermark swap note in its docstring).
+(the dropDuplicatesWithinWatermark swap note in its docstring), and on
+THIS corpus its flat reading is additionally a data artifact (the
+word-suffixed replicas fail the stopword quality gate — see the
+honesty caveat in the output md).
 
 Run: python tools/scale_streaming.py   (writes SCALING_STREAMING.md)
 """
@@ -260,6 +265,21 @@ def write_md(results: dict) -> None:
                 f"| {factor}x | {op1['removed']:,} / {op10['removed']:,} "
                 f"| {s1['wall']}s -> {s10['wall']}s |"
             )
+    lines += [
+        "",
+        "Notes: 'input rows' sums numInputRows over the progress events",
+        "Spark retains (last ~100); runs with >100 micro-batches",
+        "under-report input slightly — peak state and evictions are",
+        "unaffected at the peak. Complete-mode sketches never evict by",
+        "design: their state IS the bounded result. HONESTY CAVEAT on",
+        "corpus_ingest's dedupe row: the scale corpus suffixes every",
+        "word per replica (_rk), so replicas k>0 have zero stopwords and",
+        "the quality gate keeps only replica 0's 4,239 docs (verified) —",
+        "its flat dedupe state reflects that data artifact, NOT",
+        "eviction; the docstring's dropDuplicatesWithinWatermark swap",
+        "note remains the production answer for that operator's dedup",
+        "state. The |sources| agg row (20, flat) is valid evidence.",
+    ]
     with open("/root/repo/SCALING_STREAMING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING_STREAMING.md")
