@@ -46,7 +46,7 @@ from flink_stream_processing_refarch_spark.operators import sketches as sketch_o
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
 from flink_stream_processing_refarch_spark import plancache  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
-from flink_stream_processing_refarch_spark.plans import funnels, relational, subqueries, taxi  # noqa: E402
+from flink_stream_processing_refarch_spark.plans import funnels, relational, subqueries, taxi, tpch_deep  # noqa: E402
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
@@ -78,14 +78,15 @@ PRIORITY = [
     #    the same delta-wins merge) — closes the last pytest-only
     #    verification asymmetry --
     "corpus_upsert_roundtrip",
-    # -- driver-proven r04 under its own name; kept in-window (strict
-    #    plan prefix queries stay near their containing query) --
-    "simhash",
-    # -- LLM-data-pipeline: text analysis (token_count_bpe NEW r04) --
-    "token_count_bpe",
-    # -- LLM-data-pipeline: dedup family (stateful_build declared r04) --
-    "dedup_exact",
-    "dedup_survivors",
+    # -- NEW r05: deep TPC-H-style join trees (Q8/Q10/Q4/Q3 analogues —
+    #    multi-relation broadcast-dim compositions, conditional agg,
+    #    fact-fact semi-join, wide-group top-k) --
+    "market_share",
+    "returned_customers",
+    "order_priority",
+    "unshipped_revenue",
+    # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
+    #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ngram_jaccard",
@@ -153,9 +154,15 @@ PRIORITY = [
     # Rotated out r04/r05 (every entry here is driver-green from an
     # earlier round over a plan unchanged since; the full registry is
     # still self-checked into SELFCHECK_r{N}.md each round).
-    # r05: minhash_signatures (driver-green r04, plan unchanged) ceded
-    # its slot to the new corpus_upsert_roundtrip.
+    # r05: five driver-green-r04, plan-unchanged entries ceded slots to
+    # the new corpus_upsert_roundtrip and the four tpch_deep queries:
+    # minhash_signatures, simhash, token_count_bpe, dedup_exact,
+    # dedup_survivors.
     "minhash_signatures",
+    "simhash",
+    "token_count_bpe",
+    "dedup_exact",
+    "dedup_survivors",
     "repetition_score",
     "length_histogram",
     "approx_distinct",
@@ -241,6 +248,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(streaming_jobs.QUERIES)
     out.update(relational.QUERIES)
+    out.update(tpch_deep.QUERIES)
     out.update(subqueries.QUERIES)
     out.update(funnels.QUERIES)
     out.update(text_ops.QUERIES)
@@ -305,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(streaming_jobs.ORACLES)
     out.update(relational.ORACLES)
+    out.update(tpch_deep.ORACLES)
     out.update(subqueries.ORACLES)
     out.update(funnels.ORACLES)
     out.update(text_ops.ORACLES)

@@ -1,0 +1,266 @@
+"""Deep TPC-H-style join trees (Q3/Q4/Q8/Q10 analogues over the
+driver's TPC-H-ish testdata).
+
+The §2.7 relational suite covers each operator class in isolation;
+these four queries exercise the COMPOSITIONS a warehouse actually runs
+— 4-7-relation join trees with selective dimension filters, conditional
+aggregation, semi-join counting, and top-k over a wide grouped fact.
+The reference engine has no counterpart (its queries are the two taxi
+windows, flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136);
+these extend the exposed-Spark surface the way pricing_summary /
+revenue_by_nation (plans/relational.py) do.
+
+Scale posture shared by all four: every dimension (region, nation,
+customer, supplier, part) broadcasts — the only shuffle pairs are
+fact-fact (lineitem ⋈ orders) plus the final aggregation exchange, so
+the plans keep one fact-table partitioning end-to-end and Catalyst is
+free to reorder the dimension joins. Money aggregates go through
+row-level integer cents before any cross-row sum (the repo-wide
+determinism rule, plans/relational.py:14), so DuckDB hash-parity holds
+at any scale; ratios are computed from the exact cent sums and rounded
+once at emission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .relational import CENTS, _cents
+
+REV = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+
+# Q8 knobs
+MS_REGION = "ASIA"
+MS_TYPE = "PROMO"
+MS_NATION = "NATION_2"
+MS_Y0, MS_Y1 = "1996-01-01", "1998-01-01"
+
+# Q10 knobs
+RC_D0, RC_D1 = "1996-01-01", "1996-07-01"
+RC_TOP = 20
+
+# Q4 knobs
+OP_D0, OP_D1 = "1996-01-01", "1996-04-01"
+
+# Q3 knobs
+UR_SEGMENT = "BUILDING"
+UR_DATE = "1997-03-15"
+UR_TOP = 10
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analogue: within MS_REGION customers buying MS_TYPE parts
+    over two order-years, the per-year share of revenue supplied by
+    MS_NATION — the deepest join tree in the registry (lineitem ⋈
+    orders ⋈ customer ⋈ nation ⋈ region on the demand side, ⋈ part and
+    ⋈ supplier ⋈ nation on the supply side; nation plays two roles).
+    Share = exact cents ratio, rounded once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(MS_Y0)) & (F.col("o_orderdate") < _ts(MS_Y1))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == MS_REGION)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == MS_TYPE)
+    supp = load_table(spark, sf_dir, "supplier")
+    # demand side: customers of the target region
+    cust_r = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    # supply side: supplier -> nation name (second nation role)
+    supp_n = supp.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_r), orders.o_custkey == cust_r.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _cents(REV).alias("rev_cents"),
+            "supp_nation",
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == MS_NATION, F.col("rev_cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_rev_cents"),
+        F.sum("rev_cents").alias("total_rev_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev_cents",
+        "total_rev_cents",
+        F.expr(
+            "round(CAST(nation_rev_cents AS DOUBLE)"
+            " / CAST(total_rev_cents AS DOUBLE), 6)"
+        ).alias("mkt_share"),
+    )
+
+
+MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = '{MS_NATION}'
+                THEN {CENTS.format(x=REV)} ELSE 0 END) AS BIGINT)
+         AS nation_rev_cents,
+       CAST(sum({CENTS.format(x=REV)}) AS BIGINT) AS total_rev_cents,
+       round(CAST(sum(CASE WHEN sn.n_name = '{MS_NATION}'
+                  THEN {CENTS.format(x=REV)} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({CENTS.format(x=REV)}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{MS_TYPE}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{MS_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{MS_Y0} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{MS_Y1} 00:00:00'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 analogue: customers ranked by revenue they returned
+    (l_returnflag = 'R') in a six-month order window, top RC_TOP with
+    their nation. Fact-fact shuffle join + broadcast dims + TakeOrdered
+    (no global sort); ties broken on c_custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(RC_D0)) & (F.col("o_orderdate") < _ts(RC_D1))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .withColumn("rev_cents", _cents(REV))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("rev_cents").alias("returned_rev_cents"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("returned_rev_cents"), F.asc("c_custkey"))
+        .limit(RC_TOP)
+    )
+
+
+RETURNED_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({CENTS.format(x=REV)}) AS BIGINT) AS returned_rev_cents,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{RC_D0} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{RC_D1} 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY returned_rev_cents DESC, c_custkey ASC
+LIMIT {RC_TOP}
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analogue: orders placed in one quarter that have at least one
+    LATE line (l_shipdate > o_orderdate + 30 days), counted per
+    priority. The late-line check is a LEFT SEMI join (existence, no
+    fan-out) between the two fact tables — the composition the
+    standalone semi_join entry doesn't cover."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(OP_D0)) & (F.col("o_orderdate") < _ts(OP_D1))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{OP_D0} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{OP_D1} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analogue: top UR_TOP orders of one market segment by revenue
+    from lines still unshipped at UR_DATE. Wide grouped fact (group key
+    = orderkey + date + priority) then TakeOrdered; customer filter
+    broadcasts into the fact join."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == UR_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts(UR_DATE)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts(UR_DATE)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rev_cents", _cents(REV))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+        .orderBy(F.desc("rev_cents"), F.asc("l_orderkey"))
+        .limit(UR_TOP)
+    )
+
+
+UNSHIPPED_REVENUE_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum({CENTS.format(x=REV)}) AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{UR_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{UR_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{UR_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY rev_cents DESC, l_orderkey ASC
+LIMIT {UR_TOP}
+"""
+
+
+QUERIES = {
+    "market_share": q_market_share,
+    "returned_customers": q_returned_customers,
+    "order_priority": q_order_priority,
+    "unshipped_revenue": q_unshipped_revenue,
+}
+
+ORACLES = {
+    "market_share": MARKET_SHARE_SQL,
+    "returned_customers": RETURNED_CUSTOMERS_SQL,
+    "order_priority": ORDER_PRIORITY_SQL,
+    "unshipped_revenue": UNSHIPPED_REVENUE_SQL,
+}

@@ -1,0 +1,52 @@
+"""Oracle parity + plan shape for the deep TPC-H-style join trees
+(plans/tpch_deep.py)."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR, assert_matches_oracle
+
+from flink_stream_processing_refarch_spark.plans import tpch_deep
+
+
+@pytest.mark.parametrize("name", sorted(tpch_deep.ORACLES))
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(
+        spark, duck, tpch_deep.QUERIES[name], tpch_deep.ORACLES[name]
+    )
+
+
+def test_market_share_dims_broadcast(spark):
+    """The 7-relation tree must broadcast every dimension: the only
+    shuffle pair allowed is lineitem ⋈ orders (+ the agg exchange)."""
+    plan = (
+        tpch_deep.q_market_share(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    # one fact-fact join may shuffle; no nested-loop anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_priority_uses_semi_join(spark):
+    plan = (
+        tpch_deep.q_order_priority(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_unshipped_revenue_filters_pushed(spark):
+    """Both fact filters must reach the parquet scans."""
+    plan = (
+        tpch_deep.q_unshipped_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
