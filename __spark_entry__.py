@@ -60,9 +60,13 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # (ingest-time codes sidecar + PQ_K/PQ_CAND recall retune + ADC LUT),
 # curriculum_order (wq zero-guard, oracle changed in lockstep), the
 # ln-quantized selection trio (shared-expression refactor), and the NEW
-# corpus_upsert_roundtrip (write-path oracle pairing). One rotation out:
-# minhash_signatures (driver-green r04, plan unchanged). Full registry
-# still self-checked into SELFCHECK_r05.md.
+# corpus_upsert_roundtrip (write-path oracle pairing), the four NEW
+# tpch_deep join-tree queries, and the NEW pq_ingest_streaming (codes
+# sidecar built as an incremental stream). Rotated out: six
+# driver-green-r04 entries over unchanged plans (minhash_signatures,
+# simhash, token_count_bpe, dedup_exact, dedup_survivors,
+# ngram_jaccard). Full registry still self-checked into
+# SELFCHECK_r05.md.
 PRIORITY = [
     # -- flagship taxi (batch + streaming twins; events path changed r04) --
     "q1_pickup_count",
@@ -89,7 +93,6 @@ PRIORITY = [
     #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ngram_jaccard",
     "dedup_clusters",
     "dedup_embedding",
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
@@ -114,6 +117,9 @@ PRIORITY = [
     #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) and
     #    multi-probe LSH (Hamming-1 bucket fan-out recall knob) --
     "ann_pq",
+    # -- NEW r05: the ingest-time PQ encode as an actual incremental
+    #    stream (exactly-once parquet sink; shared codes-CTE oracle) --
+    "pq_ingest_streaming",
     "ann_lsh_multiprobe",
     # -- NEW r04: event-stream product analytics (ordered funnel,
     #    retention cohorts — the reference domain's next two queries) --
@@ -154,15 +160,16 @@ PRIORITY = [
     # Rotated out r04/r05 (every entry here is driver-green from an
     # earlier round over a plan unchanged since; the full registry is
     # still self-checked into SELFCHECK_r{N}.md each round).
-    # r05: five driver-green-r04, plan-unchanged entries ceded slots to
-    # the new corpus_upsert_roundtrip and the four tpch_deep queries:
-    # minhash_signatures, simhash, token_count_bpe, dedup_exact,
-    # dedup_survivors.
+    # r05: six driver-green-r04, plan-unchanged entries ceded slots to
+    # the new corpus_upsert_roundtrip, pq_ingest_streaming, and the
+    # four tpch_deep queries: minhash_signatures, simhash,
+    # token_count_bpe, dedup_exact, dedup_survivors, ngram_jaccard.
     "minhash_signatures",
     "simhash",
     "token_count_bpe",
     "dedup_exact",
     "dedup_survivors",
+    "ngram_jaccard",
     "repetition_score",
     "length_histogram",
     "approx_distinct",

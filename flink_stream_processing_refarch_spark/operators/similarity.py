@@ -584,7 +584,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ann_pq.stateful_build = True
 
 
-def _ann_pq_sql() -> str:
+def pq_codes_cte_sql() -> str:
+    """The eint + books_cte + coded CTE prefix — DuckDB computing the
+    identical quantization, codebook (k-lowest-vec_id sample), and code
+    assignment the Spark builders produce. Shared by the ann_pq oracle
+    and the streaming-ingest oracle (streaming/jobs.py) so the two
+    cannot drift."""
     # bk = the K seed vectors' quantized components in vec_id order;
     # centroid k of subspace s is bk[k][s*SD + 1 .. s*SD + SD] — the
     # identical codebook the Spark builder collects.
@@ -598,6 +603,20 @@ def _ann_pq_sql() -> str:
         f"list_indexof({dists}, list_aggregate({dists}, 'min')) - 1"
     )
     codes = f"list_transform(range(0, {PQ_SUBS}), s -> {code_s})"
+    return f"""eint AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT)) AS ei
+  FROM embeddings),
+books_cte AS (
+  SELECT list(ei ORDER BY vec_id) AS bk
+  FROM (SELECT vec_id, ei FROM eint ORDER BY vec_id LIMIT {PQ_K})),
+coded AS (
+  SELECT vec_id, embedding, {codes} AS codes
+  FROM eint CROSS JOIN books_cte)"""
+
+
+def _ann_pq_sql() -> str:
     adc_sub = (
         "list_sum(list_transform(range(1, {sd} + 1), d -> "
         "(qi[s * {sd} + d] - bk[codes[s + 1] + 1][s * {sd} + d])"
@@ -611,17 +630,7 @@ def _ann_pq_sql() -> str:
     na = _dot_duck("c.embedding", "c.embedding")
     nq = _dot_duck("q.qe", "q.qe")
     return f"""
-WITH eint AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
-           * 1000000.0 + 0.5) AS BIGINT)) AS ei
-  FROM embeddings),
-books_cte AS (
-  SELECT list(ei ORDER BY vec_id) AS bk
-  FROM (SELECT vec_id, ei FROM eint ORDER BY vec_id LIMIT {PQ_K})),
-coded AS (
-  SELECT vec_id, embedding, {codes} AS codes
-  FROM eint CROSS JOIN books_cte),
+WITH {pq_codes_cte_sql()},
 q AS (
   SELECT embedding AS qe, ei AS qi FROM eint WHERE vec_id = {QUERY_VEC_ID}),
 cand AS (

@@ -1494,7 +1494,120 @@ FROM ex
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming PQ ingest: the vector-side twin of corpus_ingest_streaming —
+# codes computed AS VECTORS ARRIVE, landing in the same sidecar shape
+# ann_pq's batch materializer produces (operators/similarity.py).
+# ---------------------------------------------------------------------------
+
+#: (sf_dir, embeddings stamp) -> multi-file split copy for replay
+_EMB_SPLIT_CACHE: dict = {}
+_EMB_SPLIT_DIRS: list = []
+
+
+def _cleanup_emb_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for d in _EMB_SPLIT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _emb_split_path(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stamp-keyed multi-file copy of the embeddings table — the local
+    stand-in for a vector landing zone where shards arrive over time
+    (the single-file testdata cannot exercise a multi-batch replay)."""
+    import atexit
+    import os
+
+    from ..schemas import load_table, table_stamp
+
+    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"), n_files)
+    path = _EMB_SPLIT_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="emb_split_", dir=base)
+    load_table(spark, sf_dir, "embeddings").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out)
+    if not _EMB_SPLIT_DIRS:
+        atexit.register(_cleanup_emb_dirs)
+    _EMB_SPLIT_DIRS.append(out)
+    _EMB_SPLIT_CACHE[key] = out
+    return out
+
+
+def q_pq_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of ann_pq's codes sidecar: embeddings stream in
+    (multi-batch file replay — two shards per trigger), each micro-batch
+    is PQ-encoded by the same Arrow-batched coder the batch materializer
+    uses, and the exactly-once parquet file sink appends to the sidecar.
+    End state equals the batch sidecar exactly (per-row encode against a
+    fixed codebook is batch-split-invariant), so the oracle is the
+    shared codes CTE (operators/similarity.pq_codes_cte_sql) — the
+    literal "codes are computed once, at ingest" design ann_pq's scale
+    story rests on, exercised as an actual incremental pipeline.
+
+    Codes are emitted '|'-joined (driver canonicalizer cannot hash
+    array columns, same rule as dup_provenance)."""
+    from ..operators.similarity import _pq_books_int, _pq_codes_udf
+
+    split = _emb_split_path(spark, sf_dir)
+    books_int = _pq_books_int(spark, sf_dir)  # bounded training sample
+    schema = spark.read.parquet(split).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(split)
+    )
+    coded = ev.select(
+        "vec_id",
+        _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
+    )
+    base = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="pq_sidecar_stream_", dir=base)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pq_ingest_", dir=base)
+    import shutil
+
+    try:
+        q = (
+            coded.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    _EMB_SPLIT_DIRS.append(out)  # sidecar cleaned up with the split dirs
+    return spark.read.parquet(out).select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), "|"
+        ).alias("codes_str"),
+    )
+
+
+# trains the codebook + runs a bounded stream during plan construction
+q_pq_ingest_streaming.stateful_build = True
+
+
+def _pq_ingest_streaming_sql() -> str:
+    from ..operators.similarity import pq_codes_cte_sql
+
+    return f"""
+WITH {pq_codes_cte_sql()}
+SELECT vec_id,
+       array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), '|')
+         AS codes_str
+FROM coded
+"""
+
+
 QUERIES = {
+    "pq_ingest_streaming": q_pq_ingest_streaming,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
     "stream_stream_left_join": q_stream_stream_left_join,
@@ -1547,6 +1660,7 @@ ORACLES["heavy_hitters_streaming"] = _heavy_hitters_streaming_oracle()
 # The bounded stream's final histogram equals the batch histogram (bin
 # addition is associative), so one epoch-independent SQL is the oracle.
 ORACLES["quantile_histogram_streaming"] = QUANTILE_HISTOGRAM_STREAMING_SQL
+ORACLES["pq_ingest_streaming"] = _pq_ingest_streaming_sql()
 
 if _tws_available():  # pragma: no cover - environment-dependent
     ORACLES["tws_user_totals"] = TWS_USER_TOTALS_SQL
