@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from flink_stream_processing_refarch_spark.operators import bpe as bpe_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import contamination as contam_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import corpus as corpus_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import corpus_io as corpus_io_ops  # noqa: E402
@@ -98,8 +99,10 @@ PRIORITY = [
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
     #    probe of a corpus signature index + candidate-only verify) --
     "dedup_incremental",
+    # -- NEW r05: BPE merge training (tokenizer induction on the
+    #    bounded vocab relation; oracle unrolls all rounds) --
+    "bpe_train",
     # -- retrieval prep: bm25 cutoff made tie-robust r04 --
-    "doc_chunks",
     "bm25_score",
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
@@ -170,6 +173,7 @@ PRIORITY = [
     "dedup_exact",
     "dedup_survivors",
     "ngram_jaccard",
+    "doc_chunks",
     "repetition_score",
     "length_histogram",
     "approx_distinct",
@@ -259,6 +263,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(subqueries.QUERIES)
     out.update(funnels.QUERIES)
     out.update(text_ops.QUERIES)
+    out.update(bpe_ops.QUERIES)
     out.update(contam_ops.QUERIES)
     out.update(corpus_ops.QUERIES)
     out.update(corpus_io_ops.QUERIES)
@@ -324,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(subqueries.ORACLES)
     out.update(funnels.ORACLES)
     out.update(text_ops.ORACLES)
+    out.update(bpe_ops.ORACLES)
     out.update(contam_ops.ORACLES)
     out.update(corpus_ops.ORACLES)
     out.update(corpus_io_ops.ORACLES)

@@ -1,0 +1,147 @@
+"""BPE merge training: learn the first ``BPE_MERGES`` byte-pair-encoding
+merges from the corpus — tokenizer induction, the step that sits in
+front of every token-counting / sequence-packing operator in this
+family (operators/text.py counts with a FIXED pre-tokenizer; this
+operator is where such a tokenizer comes FROM; Sennrich et al. 2016).
+
+Algorithm (the classic one, and the reason it scales): BPE statistics
+live on the VOCABULARY, not the corpus — one corpus scan builds the
+bounded ``(word, freq)`` relation, and every merge round runs on that
+relation alone: explode adjacent symbol pairs weighted by word
+frequency, pick the most frequent pair (ties lexicographic — the
+determinism rule), apply the merge to every word's symbol sequence with
+a greedy left-to-right fold. At 100 TB the corpus scan is the only big
+job; the M rounds touch |vocab| rows each.
+
+Cross-engine determinism: frequencies are exact BIGINT sums; the greedy
+fold is the same CASE-based accumulator in Spark (``aggregate`` HOF)
+and DuckDB (``list_reduce`` over singleton lists — DuckDB list slicing
+is end-inclusive, hence ``acc[:-2]`` to drop the last element); the
+chosen pair per round is an ORDER BY (freq DESC, pair ASC) LIMIT 1 in
+both engines. The oracle unrolls the M rounds as CTE layers computing
+the identical argmax relationally, so the driver hash-check covers the
+whole training loop, not just the first round.
+
+The reference has no counterpart (its queries are the two taxi windows,
+flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import words_expr
+from ..schemas import load_table
+
+BPE_MERGES = 8  # merge rounds learned (bounded output: one row each)
+
+#: greedy left-to-right merge of adjacent pair (a, b) -> a||b over a
+#: symbol array; the merged token cannot cascade within the same pass
+#: (its value differs from ``a`` for any non-empty ``b``)
+_SPARK_FOLD = (
+    "aggregate(slice(s, 2, size(s)-1), array(element_at(s,1)), "
+    "(acc, x) -> CASE WHEN element_at(acc,-1)='{a}' AND x='{b}' "
+    "THEN concat(slice(acc, 1, size(acc)-1), array('{m}')) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+_PAIRS = (
+    "explode(transform(sequence(1, size(s)-1), "
+    "i -> struct(element_at(s, CAST(i AS INT)) AS a, "
+    "element_at(s, CAST(i+1 AS INT)) AS b)))"
+)
+
+
+def _sql_quote(tok: str) -> str:
+    return tok.replace("'", "''")
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (round, lhs, rhs, pair_freq) for the
+    first BPE_MERGES merges over the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(words_expr("text", "spark"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("s", F.expr("filter(split(word, ''), x -> x != '')"))
+        # the rounds iterate on this relation; checkpoint so each round
+        # starts from materialized rows instead of re-running the scan
+        # and every prior round's fold (bounded: |vocab| rows)
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rnd in range(1, BPE_MERGES + 1):
+        best = (
+            # size >= 2: Spark's sequence(1, 0) counts DOWN, so a
+            # fully-merged single-symbol word would explode [1, 0]
+            vocab.filter(F.size("s") >= 2)
+            .select("freq", F.expr(_PAIRS).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged before M rounds
+            break
+        a, b, pf = best[0]["a"], best[0]["b"], best[0]["pf"]
+        merges.append((rnd, a, b, int(pf)))
+        fold = _SPARK_FOLD.format(
+            a=_sql_quote(a), b=_sql_quote(b), m=_sql_quote(a + b)
+        )
+        vocab = vocab.withColumn("s", F.expr(fold)).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round BIGINT, lhs STRING, rhs STRING, pair_freq BIGINT"
+    )
+
+
+# per-round argmax collects + checkpoints during plan construction
+q_bpe_train.stateful_build = True
+
+
+def _bpe_train_sql() -> str:
+    w = words_expr("text", "duckdb")
+    parts = [
+        f"""w AS (SELECT unnest({w}) AS word FROM documents),
+v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_filter(string_split(word, ''), x -> x != '') AS s
+  FROM w WHERE length(word) > 0 GROUP BY word)"""
+    ]
+    selects = []
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS pf
+  FROM (SELECT freq,
+          unnest(list_transform(range(1, len(s)), i -> [s[i], s[i+1]])) AS p
+        FROM {prev})
+  GROUP BY 1, 2),
+b{r} AS (SELECT a, b, pf FROM p{r} ORDER BY pf DESC, a, b LIMIT 1),
+v{r} AS (
+  SELECT word, freq,
+         list_reduce(list_transform(s, x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b
+                       THEN list_append(acc[:-2], b{r}.a || b{r}.b)
+                       ELSE list_concat(acc, x) END) AS s
+  FROM {prev} CROSS JOIN b{r})"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, a AS lhs, b AS rhs, pf AS pair_freq FROM b{r}"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL ".join(selects)
+    return f"WITH {body}\nSELECT CAST(round AS BIGINT) AS round, lhs, rhs, pair_freq FROM ({union})\n"
+
+
+QUERIES = {
+    "bpe_train": q_bpe_train,
+}
+
+ORACLES = {
+    "bpe_train": _bpe_train_sql(),
+}
