@@ -100,10 +100,11 @@ PRIORITY = [
     #    probe of a corpus signature index + candidate-only verify) --
     "dedup_incremental",
     # -- NEW r05: BPE merge training (tokenizer induction on the
-    #    bounded vocab relation; oracle unrolls all rounds) --
+    #    bounded vocab relation; oracle unrolls all rounds) and its
+    #    apply side (tokenize-by-vocab-lookup token counts) --
     "bpe_train",
-    # -- retrieval prep: bm25 cutoff made tie-robust r04 --
-    "bm25_score",
+    "bpe_token_count",
+
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
     #    integer sketches (count-min heavy hitters, mergeable quantile
@@ -174,6 +175,7 @@ PRIORITY = [
     "dedup_survivors",
     "ngram_jaccard",
     "doc_chunks",
+    "bm25_score",
     "repetition_score",
     "length_histogram",
     "approx_distinct",

@@ -57,9 +57,19 @@ def _sql_quote(tok: str) -> str:
     return tok.replace("'", "''")
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned merge table: (round, lhs, rhs, pair_freq) for the
-    first BPE_MERGES merges over the documents corpus."""
+#: (sf_dir, documents stamp) -> (merges list, final vocab DataFrame)
+_TRAIN_CACHE: dict = {}
+
+
+def _train(spark: SparkSession, sf_dir: str):
+    """Run the merge-training loop once per (sf_dir, table stamp);
+    returns (merges, vocab) where vocab carries each word's FINAL
+    symbol sequence — the relation tokenization joins against."""
+    from ..schemas import table_stamp
+
+    key = (sf_dir, table_stamp(f"{sf_dir}/documents.parquet"))
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.expr(words_expr("text", "spark"))).alias("word"))
@@ -93,6 +103,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             a=_sql_quote(a), b=_sql_quote(b), m=_sql_quote(a + b)
         )
         vocab = vocab.withColumn("s", F.expr(fold)).localCheckpoint(eager=True)
+    _TRAIN_CACHE[key] = (merges, vocab)
+    return _TRAIN_CACHE[key]
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (round, lhs, rhs, pair_freq) for the
+    first BPE_MERGES merges over the documents corpus."""
+    merges, _ = _train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round BIGINT, lhs STRING, rhs STRING, pair_freq BIGINT"
     )
@@ -100,6 +118,35 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # per-round argmax collects + checkpoints during plan construction
 q_bpe_train.stateful_build = True
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts UNDER THE LEARNED TOKENIZER: train ->
+    apply, closing the loop bpe_train opens. The scalable application
+    path is the point: a document is tokenized by LOOKUP — join its
+    words against the trained vocab's final symbol sequences — never by
+    re-running the merge fold per document. At 100 TB the join side is
+    the bounded vocab relation (broadcast below the threshold, plain
+    shuffle join on the word key above it); the corpus-side exchange
+    carries (doc_id, word-count) pairs only."""
+    _, vocab = _train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr(words_expr("text", "spark"))).alias("word"),
+    ).filter(F.length("word") > 0)
+    per_word = vocab.select("word", F.size("s").alias("n_tok"))
+    return (
+        words.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+    )
+
+
+q_bpe_token_count.stateful_build = True
 
 
 def _bpe_train_sql() -> str:
@@ -138,10 +185,30 @@ v{r} AS (
     return f"WITH {body}\nSELECT CAST(round AS BIGINT) AS round, lhs, rhs, pair_freq FROM ({union})\n"
 
 
+def _bpe_token_count_sql() -> str:
+    w = words_expr("text", "duckdb")
+    # reuse the training CTE chain; the final vocab is v{BPE_MERGES}
+    train = _bpe_train_sql()
+    body = train[len("WITH "):train.index("\nSELECT")]
+    return f"""
+WITH {body},
+tok AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest({w}) AS word FROM documents)
+  WHERE length(word) > 0)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN v{BPE_MERGES} USING (word)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "bpe_train": q_bpe_train,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 ORACLES = {
     "bpe_train": _bpe_train_sql(),
+    "bpe_token_count": _bpe_token_count_sql(),
 }
