@@ -67,7 +67,14 @@ def _train(spark: SparkSession, sf_dir: str):
     symbol sequence — the relation tokenization joins against."""
     from ..schemas import table_stamp
 
-    key = (sf_dir, table_stamp(f"{sf_dir}/documents.parquet"))
+    # applicationId in the key: the cached vocab is a localCheckpoint-ed
+    # DataFrame whose blocks live on this context's executors — a fresh
+    # context must retrain, not deserialize a dead reference
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(f"{sf_dir}/documents.parquet"),
+    )
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
