@@ -204,3 +204,76 @@ def test_null_partition_value_manifest_key_matches_layout(spark):
         m2 = corpus_io.upsert_corpus(delta, out)
         assert null_key in m2["partitions"]
         assert corpus_io.verify_manifest(spark, out)
+
+
+def test_upsert_matches_duckdb_merge_on_random_deltas(spark, duck):
+    """Property: for ANY delta (updates + inserts over random key
+    subsets), the committed files after upsert_corpus equal DuckDB
+    computing the same delta-wins merge relationally. Three seeded
+    shapes: update-only, insert-only, mixed with a null-source row."""
+    import duckdb as ddb
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    cases = [
+        (7, 0),    # update every 7th, no inserts
+        (0, 11),   # no updates, insert per 11th
+        (5, 13),   # mixed
+    ]
+    for upd_mod, ins_mod in cases:
+        with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+            corpus_io.write_partitioned_corpus(docs, out)
+            parts = []
+            if upd_mod:
+                parts.append(
+                    docs.filter(F.col("doc_id") % upd_mod == 0).select(
+                        "doc_id",
+                        F.concat(F.lit("U:"), "text").alias("text"),
+                        "source",
+                    )
+                )
+            if ins_mod:
+                parts.append(
+                    docs.filter(F.col("doc_id") % ins_mod == 0).select(
+                        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                        F.concat(F.lit("I:"), "text").alias("text"),
+                        "source",
+                    )
+                )
+            delta = parts[0]
+            for p in parts[1:]:
+                delta = delta.unionByName(p)
+            corpus_io.upsert_corpus(delta, out)
+            back = sorted(
+                (r["doc_id"], r["source"], r["text"])
+                for r in spark.read.parquet(out).collect()
+            )
+            upd = (
+                f"SELECT doc_id, 'U:' || text AS text, source FROM documents"
+                f" WHERE doc_id % {upd_mod} = 0" if upd_mod else None
+            )
+            ins = (
+                f"SELECT doc_id + 5000000 AS doc_id, 'I:' || text AS text,"
+                f" source FROM documents WHERE doc_id % {ins_mod} = 0"
+                if ins_mod else None
+            )
+            dsql = " UNION ALL ".join(x for x in (upd, ins) if x)
+            con = ddb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+            )
+            expect = sorted(
+                con.execute(
+                    f"""
+                    WITH delta AS ({dsql})
+                    SELECT doc_id, source, text FROM delta
+                    UNION ALL
+                    SELECT doc_id, source, text FROM documents
+                    WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+                    """
+                ).fetchall()
+            )
+            expect = sorted((d, s, t) for d, s, t in expect)
+            back_cmp = sorted((d, s, t) for d, s, t in back)
+            assert back_cmp == expect, (upd_mod, ins_mod)
