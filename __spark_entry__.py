@@ -164,10 +164,12 @@ PRIORITY = [
     # Rotated out r04/r05 (every entry here is driver-green from an
     # earlier round over a plan unchanged since; the full registry is
     # still self-checked into SELFCHECK_r{N}.md each round).
-    # r05: six driver-green-r04, plan-unchanged entries ceded slots to
-    # the new corpus_upsert_roundtrip, pq_ingest_streaming, and the
-    # four tpch_deep queries: minhash_signatures, simhash,
-    # token_count_bpe, dedup_exact, dedup_survivors, ngram_jaccard.
+    # r05: eight driver-green, plan-unchanged entries ceded slots to
+    # the eight NEW r05 entries (corpus_upsert_roundtrip, the four
+    # tpch_deep join trees, pq_ingest_streaming, bpe_train,
+    # bpe_token_count): minhash_signatures, simhash, token_count_bpe,
+    # dedup_exact, dedup_survivors, ngram_jaccard, doc_chunks,
+    # bm25_score.
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

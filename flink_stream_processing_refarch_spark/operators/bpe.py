@@ -143,8 +143,12 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(words_expr("text", "spark"))).alias("word"),
     ).filter(F.length("word") > 0)
     per_word = vocab.select("word", F.size("s").alias("n_tok"))
+    # no broadcast HINT: the vocab broadcasts when it fits the
+    # autoBroadcastJoinThreshold and falls back to a word-key shuffle
+    # join when an open-ended real vocabulary doesn't — a hard hint
+    # would force-collect it regardless of size
     return (
-        words.join(F.broadcast(per_word), "word")
+        words.join(per_word, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
@@ -168,6 +172,10 @@ v0 AS (
     selects = []
     for r in range(1, BPE_MERGES + 1):
         prev = f"v{r - 1}"
+        # LEFT JOIN ON true, not CROSS JOIN: a round with no pairs left
+        # (b{r} empty) must carry the vocab through UNCHANGED — the
+        # relational mirror of the Spark loop's break — not annihilate
+        # it and every later layer
         parts.append(
             f"""p{r} AS (
   SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS pf
@@ -178,11 +186,12 @@ v0 AS (
 b{r} AS (SELECT a, b, pf FROM p{r} ORDER BY pf DESC, a, b LIMIT 1),
 v{r} AS (
   SELECT word, freq,
-         list_reduce(list_transform(s, x -> [x]),
-           (acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b
-                       THEN list_append(acc[:-2], b{r}.a || b{r}.b)
-                       ELSE list_concat(acc, x) END) AS s
-  FROM {prev} CROSS JOIN b{r})"""
+         CASE WHEN b{r}.a IS NULL THEN s ELSE
+           list_reduce(list_transform(s, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b
+                         THEN list_append(acc[:-2], b{r}.a || b{r}.b)
+                         ELSE list_concat(acc, x) END) END AS s
+  FROM {prev} LEFT JOIN b{r} ON true)"""
         )
         selects.append(
             f"SELECT {r} AS round, a AS lhs, b AS rhs, pf AS pair_freq FROM b{r}"

@@ -134,14 +134,42 @@ def upsert_corpus(
     from pyspark.sql import functions as F
 
     spark = delta.sparkSession
-    with open(os.path.join(out_dir, MANIFEST)) as f:
-        prior = json.load(f)
+    try:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            prior = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        # missing/corrupt manifest (crash between data commit and
+        # manifest dump): proceed with the merge and REBUILD the
+        # manifest from a full read-back afterwards — the recovery
+        # path, where a full scan is the correct price
+        prior = None
     touched = [
         tuple(r[c] for c in partition_cols)
         for r in delta.select(*partition_cols).distinct().collect()
     ]
-    if not touched:  # empty delta: nothing to merge, manifest unchanged
-        return prior
+    if not touched:  # empty delta: nothing to merge
+        if prior is not None:
+            return prior
+        manifest = _manifest_from_files(spark, out_dir, partition_cols)
+        with open(os.path.join(out_dir, MANIFEST), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        return manifest
+    # delta-wins needs ONE winner per key; two delta rows with the same
+    # key would tie on _pri and the survivor would be shuffle-order
+    # nondeterministic — refuse loudly instead of committing a coin flip
+    dup = (
+        delta.groupBy(*[F.col(c) for c in key_cols])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "upsert_corpus: delta contains duplicate key "
+            f"{tuple(dup[0][c] for c in key_cols)} — collapse the delta "
+            "to one row per key (e.g. latest revision) before upserting"
+        )
     pred = None
     for vals in touched:
         clause = None
@@ -186,13 +214,16 @@ def upsert_corpus(
             f"{back['partitions']}) — partial commit, manifest NOT "
             "updated"
         )
-    parts = dict(prior["partitions"])
-    parts.update(back["partitions"])
-    manifest = {
-        "partition_cols": list(partition_cols),
-        "partitions": parts,
-        "total_rows": sum(parts.values()),
-    }
+    if prior is not None:  # incremental: merge touched counts in
+        parts = dict(prior["partitions"])
+        parts.update(back["partitions"])
+        manifest = {
+            "partition_cols": list(partition_cols),
+            "partitions": parts,
+            "total_rows": sum(parts.values()),
+        }
+    else:  # recovery: rebuild from all committed files
+        manifest = _manifest_from_files(spark, out_dir, partition_cols)
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
     return manifest
@@ -216,16 +247,6 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
 # Oracle-paired write-path roundtrip
 # ---------------------------------------------------------------------------
 
-_RT_DIRS: list = []
-
-
-def _cleanup_rt_dirs() -> None:  # pragma: no cover - exit hook
-    import shutil
-
-    for d in _RT_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-
-
 def q_corpus_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable proof of the WRITE path — the one surface that
     was previously pytest-only: build a partitioned corpus from
@@ -238,21 +259,14 @@ def q_corpus_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition overwrite, null-safe pruning predicate, checkpointed merge,
     post-write count check, incremental manifest) — not a plan that
     mimics them."""
-    import atexit
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from ..schemas import load_table
+    from ..schemas import load_table, scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out = tempfile.mkdtemp(prefix="corpus_rt_", dir=base)
-    if not _RT_DIRS:
-        atexit.register(_cleanup_rt_dirs)
-    _RT_DIRS.append(out)
+    out = scratch_dir("corpus_rt_")
     write_partitioned_corpus(docs, out)
     delta = (
         docs.filter(F.col("doc_id") % 7 == 0)

@@ -378,7 +378,9 @@ def _pq_books_int(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
 
     from ..schemas import table_stamp
 
-    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"))
+    # PQ_K in the key: the recall tooling sweeps it by module-attribute
+    # rebinding, and a stale-K codebook would silently mis-probe the LUT
+    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"), PQ_K)
     if key not in _PQ_BOOKS_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")
@@ -391,10 +393,13 @@ def _pq_books_int(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
             [int(math.floor(float(x) * 1e6 + 0.5)) for x in r.embedding]
             for r in rows
         ]
+        # a table smaller than PQ_K trains what exists (k_eff centroids)
+        # — the same adaptation the oracle's LIMIT PQ_K applies
+        k_eff = len(eints)
         _PQ_BOOKS_CACHE[key] = [
             [
                 eints[k][s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
-                for k in range(PQ_K)
+                for k in range(k_eff)
             ]
             for s in range(PQ_SUBS)
         ]
@@ -429,16 +434,8 @@ def _pq_codes_udf(books_int: list[list[list[int]]]):
     return F.pandas_udf("array<int>")(codes)
 
 
-#: (sf_dir, embeddings stamp) -> materialized (vec_id, codes) sidecar dir
+#: (sf_dir, embeddings stamp, PQ_K) -> materialized (vec_id, codes) dir
 _PQ_CODES_CACHE: dict = {}
-_PQ_CODES_DIRS: list = []
-
-
-def _cleanup_pq_dirs() -> None:  # pragma: no cover - exit hook
-    import shutil
-
-    for d in _PQ_CODES_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def pq_codes_path(spark: SparkSession, sf_dir: str) -> str:
@@ -454,27 +451,21 @@ def pq_codes_path(spark: SparkSession, sf_dir: str) -> str:
     materialization, so an in-place regeneration of the embeddings table
     re-encodes (with freshly re-trained codebooks) instead of serving
     stale codes."""
-    import atexit
     import os
-    import tempfile
 
-    from ..schemas import table_stamp
+    from ..schemas import scratch_dir, table_stamp
 
-    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"))
+    key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"), PQ_K)
     path = _PQ_CODES_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out = tempfile.mkdtemp(prefix="pq_codes_", dir=base)
+    out = scratch_dir("pq_codes_")
     emb = load_table(spark, sf_dir, "embeddings")
     books_int = _pq_books_int(spark, sf_dir)
     emb.select(
         "vec_id",
         _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
     ).write.mode("overwrite").parquet(out)
-    if not _PQ_CODES_DIRS:
-        atexit.register(_cleanup_pq_dirs)
-    _PQ_CODES_DIRS.append(out)
     _PQ_CODES_CACHE[key] = out
     return out
 
@@ -503,9 +494,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     coded = spark.read.parquet(pq_codes_path(spark, sf_dir))
     books_int = _pq_books_int(spark, sf_dir)  # memoized per stamp
-    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
-    )
+    k_eff = len(books_int[0])  # < PQ_K when the table is that small
     # The classic per-query ADC LOOKUP TABLE: dist[s][k] = exact int64
     # ||q_sub_s - book[s][k]||^2, computed ONCE per query driver-side
     # (PQ_SUBS x PQ_K = 2,048 integer distances from the 1-row query
@@ -530,10 +519,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for d in range(PQ_SUB_DIM)
             )
             for s in range(PQ_SUBS)
-            for k in range(PQ_K)
+            for k in range(k_eff)
         ]
-    else:  # query vector absent: result is empty via the qe crossJoin
-        lut = [0] * (PQ_SUBS * PQ_K)
+        # qe rebuilt from the same collect — not a second table scan
+        qv = spark.createDataFrame(
+            [(qrows[0].embedding,)], "qe array<float>"
+        )
+    else:  # query vector absent: empty result via the empty qe crossJoin
+        lut = [0] * (PQ_SUBS * k_eff)
+        qv = spark.createDataFrame([], "qe array<float>")
     lut_df = spark.createDataFrame([(lut,)], "adc_lut array<bigint>")
     # ADC per row: 8 LUT probes keyed by the stored codes, all int64.
     adc = F.aggregate(
@@ -543,7 +537,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.element_at(
             F.col("adc_lut"),
             (
-                s * PQ_K + F.element_at(F.col("codes"), (s + 1).cast("int")) + 1
+                s * k_eff
+                + F.element_at(F.col("codes"), (s + 1).cast("int"))
+                + 1
             ).cast("int"),
         ),
     )

@@ -187,10 +187,17 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts(OP_D0)) & (F.col("o_orderdate") < _ts(OP_D1))
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # INTERVAL arithmetic, not date_add: date_add truncates the
+    # timestamp to DATE (midnight) while the oracle's + INTERVAL 30 DAY
+    # preserves time-of-day — the mismatch is masked only while the
+    # generator emits midnight-only order times
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")
+        ),
         "left_semi",
     )
     return (

@@ -232,14 +232,34 @@ def _norm_events_file_count(src_bytes: int, par: int) -> int:
 
 #: (sf_dir, events stamp, parallelism, nfiles) -> materialized dir
 _NORM_EVENTS_CACHE: dict = {}
-_NORM_EVENTS_DIRS: list = []  # every dir we created, for atexit cleanup
+
+#: every scratch dir created via scratch_dir(), for one atexit cleanup
+_SCRATCH_DIRS: list = []
 
 
-def _cleanup_norm_dirs() -> None:  # pragma: no cover - exit hook
+def _cleanup_scratch_dirs() -> None:  # pragma: no cover - exit hook
     import shutil
 
-    for d in _NORM_EVENTS_DIRS:
+    for d in _SCRATCH_DIRS:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(prefix: str) -> str:
+    """A throwaway materialization directory: tmpfs (/dev/shm) when
+    present, removed at interpreter exit. The ONE implementation of the
+    pattern every stamp-keyed scratch materialization uses (normalized
+    events, PQ codes sidecar, corpus-roundtrip corpora, embedding split
+    replicas) — cleanup semantics live here, not in per-site copies."""
+    import atexit
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch_dirs)
+    _SCRATCH_DIRS.append(out)
+    return out
 
 
 def normalized_events_path(spark, sf_dir: str) -> str | None:
@@ -279,9 +299,7 @@ def normalized_events_path(spark, sf_dir: str) -> str | None:
     is content-neutral for every consumer (aggregations / joins /
     windowed streams over the whole bounded set).
     """
-    import atexit
     import os
-    import tempfile
 
     src = f"{sf_dir}/events.parquet"
     par = spark.sparkContext.defaultParallelism
@@ -293,13 +311,9 @@ def normalized_events_path(spark, sf_dir: str) -> str | None:
     path = _NORM_EVENTS_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out = tempfile.mkdtemp(prefix="events_norm_", dir=base)
+    out = scratch_dir("events_norm_")
     df = load_table(spark, sf_dir, "events", materialize=False)
     df.repartition(nfiles).write.mode("overwrite").parquet(out)
-    if not _NORM_EVENTS_DIRS:
-        atexit.register(_cleanup_norm_dirs)
-    _NORM_EVENTS_DIRS.append(out)
     _NORM_EVENTS_CACHE[key] = out
     return out
 

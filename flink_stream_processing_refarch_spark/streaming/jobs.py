@@ -1502,37 +1502,24 @@ FROM ex
 
 #: (sf_dir, embeddings stamp) -> multi-file split copy for replay
 _EMB_SPLIT_CACHE: dict = {}
-_EMB_SPLIT_DIRS: list = []
-
-
-def _cleanup_emb_dirs() -> None:  # pragma: no cover - exit hook
-    import shutil
-
-    for d in _EMB_SPLIT_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def _emb_split_path(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Stamp-keyed multi-file copy of the embeddings table — the local
     stand-in for a vector landing zone where shards arrive over time
     (the single-file testdata cannot exercise a multi-batch replay)."""
-    import atexit
     import os
 
-    from ..schemas import load_table, table_stamp
+    from ..schemas import load_table, scratch_dir, table_stamp
 
     key = (sf_dir, table_stamp(f"{sf_dir}/embeddings.parquet"), n_files)
     path = _EMB_SPLIT_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out = tempfile.mkdtemp(prefix="emb_split_", dir=base)
+    out = scratch_dir("emb_split_")
     load_table(spark, sf_dir, "embeddings").repartition(n_files).write.mode(
         "overwrite"
     ).parquet(out)
-    if not _EMB_SPLIT_DIRS:
-        atexit.register(_cleanup_emb_dirs)
-    _EMB_SPLIT_DIRS.append(out)
     _EMB_SPLIT_CACHE[key] = out
     return out
 
@@ -1564,9 +1551,10 @@ def q_pq_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
     )
-    base = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
-    out = tempfile.mkdtemp(prefix="pq_sidecar_stream_", dir=base)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_pq_ingest_", dir=base)
+    from ..schemas import scratch_dir
+
+    out = scratch_dir("pq_sidecar_stream_")
+    ckpt = scratch_dir("ckpt_pq_ingest_")
     import shutil
 
     try:
@@ -1581,7 +1569,6 @@ def q_pq_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    _EMB_SPLIT_DIRS.append(out)  # sidecar cleaned up with the split dirs
     return spark.read.parquet(out).select(
         "vec_id",
         F.array_join(

@@ -36,3 +36,17 @@ def test_merge_rounds_are_frequency_ordered(spark):
     assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
     assert all(r["pair_freq"] > 0 for r in rows)
     assert all(r["lhs"] and r["rhs"] for r in rows)
+
+
+def test_oracle_carries_vocab_through_empty_rounds(duck):
+    """A corpus whose vocabulary fully merges (or never has pairs)
+    before BPE_MERGES rounds must NOT annihilate the oracle's vocab
+    chain — the LEFT JOIN carries it through unchanged, mirroring the
+    Spark loop's break (review finding r05)."""
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, 'a b c a' AS text")
+    assert con.execute(bpe.ORACLES["bpe_train"]).fetchall() == []
+    # token counts still flow from the final vocab layer
+    assert con.execute(bpe.ORACLES["bpe_token_count"]).fetchall() == [(1, 4, 4)]

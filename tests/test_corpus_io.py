@@ -277,3 +277,37 @@ def test_upsert_matches_duckdb_merge_on_random_deltas(spark, duck):
             expect = sorted((d, s, t) for d, s, t in expect)
             back_cmp = sorted((d, s, t) for d, s, t in back)
             assert back_cmp == expect, (upd_mod, ins_mod)
+
+
+def test_upsert_rejects_duplicate_delta_keys(spark):
+    """Two delta rows with the same key would make the delta-wins
+    winner shuffle-order nondeterministic — must refuse loudly."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        corpus_io.write_partitioned_corpus(docs, out)
+        one = docs.limit(1).select(
+            "doc_id", F.lit("x").alias("text"), "lang", "source",
+            F.lit(1).alias("n_chars"),
+        )
+        dup_delta = one.unionByName(one)
+        with pytest.raises(ValueError, match="duplicate key"):
+            corpus_io.upsert_corpus(dup_delta, out)
+
+
+def test_upsert_recovers_from_missing_manifest(spark):
+    """A corpus whose manifest was lost (crash between data commit and
+    manifest dump) is repaired: the upsert proceeds and rebuilds the
+    manifest from the committed files."""
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as out:
+        corpus_io.write_partitioned_corpus(docs, out)
+        os.remove(os.path.join(out, corpus_io.MANIFEST))
+        delta = docs.limit(1).select(
+            "doc_id", F.lit("recovered").alias("text"), "lang", "source",
+            F.lit(9).alias("n_chars"),
+        )
+        m = corpus_io.upsert_corpus(delta, out)
+        assert m["total_rows"] == docs.count()
+        assert corpus_io.verify_manifest(spark, out)

@@ -425,3 +425,29 @@ def test_ln_quantized_exprs_cross_engine_bit_identical(spark, rows):
         )
         expect = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
         assert got == expect, expr
+
+
+def test_ann_pq_on_table_smaller_than_codebook(spark, tmp_path):
+    """PQ_K=256 > table rows must degrade to a k_eff codebook (what
+    exists), exactly like the oracle's LIMIT PQ_K — not IndexError
+    (review finding r05). Oracle-compared on a 20-vector table."""
+    import duckdb as ddb
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from flink_stream_processing_refarch_spark.operators import similarity as sim
+
+    t = pq_.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 20)
+    small = tmp_path / "sf_small"
+    small.mkdir()
+    pq_.write_table(t, str(small / "embeddings.parquet"))
+    got = sorted(
+        tuple(r) for r in sim.q_ann_pq(spark, str(small)).collect()
+    )
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{small}/embeddings.parquet'"
+    )
+    expect = sorted(tuple(r) for r in con.execute(sim.ORACLES["ann_pq"]).fetchall())
+    assert len(got) == len(expect) > 0
+    for g, e in zip(got, expect):
+        assert g[0] == e[0] and g[1] == e[1], (g, e)  # vec_id, adc_dist
