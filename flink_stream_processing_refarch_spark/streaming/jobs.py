@@ -485,9 +485,18 @@ def stream_stream_left_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once (matched or null) and later views emit only if matched —
     that emission rule is the oracle's WHERE clause.
     """
+    return stream_stream_left_join_from_events(
+        _stream_events_ts(spark, sf_dir), _stream_events_ts(spark, sf_dir)
+    )
+
+
+def stream_stream_left_join_from_events(
+    views_ev: DataFrame, purchases_ev: DataFrame
+) -> DataFrame:
+    """The LEFT OUTER interval join over any pair of ts_t-enriched
+    events streams (source-agnostic)."""
     views = (
-        _stream_events_ts(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        views_ev.filter(F.col("event_type") == "view")
         .select(
             "user_id",
             F.col("event_id").alias("view_id"),
@@ -496,8 +505,7 @@ def stream_stream_left_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "0 seconds")
     )
     purchases = (
-        _stream_events_ts(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        purchases_ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),

@@ -199,6 +199,9 @@ def main() -> None:
             "stream_stream_join": (
                 jobs.stream_stream_join_from_events(
                     with_ts(mk1()), with_ts(mk1())), "append"),
+            "stream_stream_left_join": (
+                jobs.stream_stream_left_join_from_events(
+                    with_ts(mk1()), with_ts(mk1())), "append"),
         }
         docs_dir = f"{DOCS_DIRS[scale]}/documents.parquet"
         if os.path.isdir(docs_dir):
