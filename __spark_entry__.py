@@ -90,6 +90,11 @@ PRIORITY = [
     "returned_customers",
     "order_priority",
     "unshipped_revenue",
+    # -- NEW r05 (late adds): Q7 analogue (disjunctive two-nation pair
+    #    predicate over dual nation roles) and Q22 analogue (scalar
+    #    threshold broadcast + LEFT ANTI dormancy check) --
+    "trade_volume",
+    "prospect_customers",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_minhash_lsh",
@@ -143,10 +148,8 @@ PRIORITY = [
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     "asof_join",
-    "running_totals",
     "sliding_window_counts",
     "session_windows",
-    "time_rollup",
     "skew_salted_join",
     "stream_static_join",
     # -- stateful streaming + custom join/stream ops (events stream path
@@ -164,12 +167,16 @@ PRIORITY = [
     # Rotated out r04/r05 (every entry here is driver-green from an
     # earlier round over a plan unchanged since; the full registry is
     # still self-checked into SELFCHECK_r{N}.md each round).
-    # r05: eight driver-green, plan-unchanged entries ceded slots to
-    # the eight NEW r05 entries (corpus_upsert_roundtrip, the four
+    # r05: ten driver-green, plan-unchanged entries ceded slots to
+    # the ten NEW r05 entries (corpus_upsert_roundtrip, the six
     # tpch_deep join trees, pq_ingest_streaming, bpe_train,
     # bpe_token_count): minhash_signatures, simhash, token_count_bpe,
     # dedup_exact, dedup_survivors, ngram_jaccard, doc_chunks,
-    # bm25_score.
+    # bm25_score, running_totals, time_rollup (the last two stay
+    # bench-proven for the r05 file-count fix; their plans are
+    # otherwise unchanged since their r03 driver-green rows).
+    "running_totals",
+    "time_rollup",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

@@ -49,6 +49,13 @@ UR_SEGMENT = "BUILDING"
 UR_DATE = "1997-03-15"
 UR_TOP = 10
 
+# Q7 knobs
+TV_N1, TV_N2 = "NATION_3", "NATION_7"
+TV_D0, TV_D1 = "1996-01-01", "1998-01-01"
+
+# Q22 knobs
+PC_CUTOFF = "2000-01-01"
+
 
 def _ts(lit: str) -> F.Column:
     return F.lit(lit).cast("timestamp")
@@ -258,11 +265,144 @@ LIMIT {UR_TOP}
 """
 
 
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analogue: shipped revenue between two nations in BOTH
+    directions (supplier in one, customer in the other) per ship-year.
+    The new shape vs market_share is the DISJUNCTIVE pair predicate
+    ((supp=N1 ∧ cust=N2) ∨ (supp=N2 ∧ cust=N1)) applied after both
+    nation roles resolve — Catalyst can't push it into either dimension
+    join alone, so the plan keeps both broadcast joins cheap and filters
+    the pair on the fact rows. Dimensions all broadcast; the only
+    shuffle pair is lineitem ⋈ orders plus the final 3-key aggregation
+    exchange. Reference has no counterpart (its queries are the two
+    taxi windows); this extends the exposed-Spark surface."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(TV_D0)) & (F.col("l_shipdate") < _ts(TV_D1))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(TV_N1, TV_N2)
+    )
+    supp_n = supp.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == TV_N1) & (F.col("cust_nation") == TV_N2))
+            | ((F.col("supp_nation") == TV_N2) & (F.col("cust_nation") == TV_N1))
+        )
+    )
+    return (
+        pair.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            _cents(REV).alias("rev_cents"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev_cents").alias("volume_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+TRADE_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({CENTS.format(x=REV)}) AS BIGINT) AS volume_cents,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{TV_D0} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{TV_D1} 00:00:00'
+  AND ((sn.n_name = '{TV_N1}' AND cn.n_name = '{TV_N2}')
+    OR (sn.n_name = '{TV_N2}' AND cn.n_name = '{TV_N1}'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def q_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analogue: per nation, the count and total balance (cents) of
+    "dormant prospects" — customers whose account balance exceeds the
+    global average of positive balances but who placed NO order on/after
+    PC_CUTOFF. Composes the uncorrelated scalar subquery (1-row
+    broadcast threshold, same decorrelation as scalar_below_avg) with a
+    LEFT ANTI join against a filtered fact table — the composition
+    neither standalone entry covers. The threshold compares in exact
+    cents (row-level cents, integer sum / count in both engines) so the
+    boundary row set is engine-stable; avg cents uses integer division
+    (DuckDB // = Spark DIV) to stay in exact integers."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts(PC_CUTOFF)
+    )
+    # exact-integer threshold: floor(mean of positive balances, in cents)
+    # DIV (not `/` + cast): Spark's double→bigint cast truncates while
+    # DuckDB's CAST rounds — integer division truncates identically in
+    # both engines for the positive sums here
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_cents("c_acctbal")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .select(F.expr("s DIV c").alias("thr_cents"))
+    )
+    prospects = (
+        cust.withColumn("bal_cents", _cents("c_acctbal"))
+        .join(F.broadcast(thr))
+        .filter(F.col("bal_cents") > F.col("thr_cents"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+    )
+    return (
+        prospects.join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_prospects"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
+PROSPECT_CUSTOMERS_SQL = f"""
+SELECT n_name,
+       count(*) AS n_prospects,
+       CAST(sum({CENTS.format(x='c_acctbal')}) AS BIGINT) AS total_bal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE {CENTS.format(x='c_acctbal')} >
+      (SELECT CAST(sum({CENTS.format(x='c_acctbal')}) AS BIGINT) // count(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{PC_CUTOFF} 00:00:00')
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "market_share": q_market_share,
     "returned_customers": q_returned_customers,
     "order_priority": q_order_priority,
     "unshipped_revenue": q_unshipped_revenue,
+    "trade_volume": q_trade_volume,
+    "prospect_customers": q_prospect_customers,
 }
 
 ORACLES = {
@@ -270,4 +410,6 @@ ORACLES = {
     "returned_customers": RETURNED_CUSTOMERS_SQL,
     "order_priority": ORDER_PRIORITY_SQL,
     "unshipped_revenue": UNSHIPPED_REVENUE_SQL,
+    "trade_volume": TRADE_VOLUME_SQL,
+    "prospect_customers": PROSPECT_CUSTOMERS_SQL,
 }

@@ -40,6 +40,35 @@ def test_order_priority_uses_semi_join(spark):
     assert "LeftSemi" in plan
 
 
+def test_trade_volume_broadcasts_dims(spark):
+    """Both nation-role resolutions broadcast; the disjunctive pair
+    predicate must not degrade any join to a nested loop."""
+    plan = (
+        tpch_deep.q_trade_volume(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the ship-date range reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_prospect_customers_anti_join_and_scalar_broadcast(spark):
+    """The dormancy check is a LEFT ANTI against the date-filtered
+    orders scan; the threshold is a 1-row broadcast (the one BNLJ shape
+    the repo allows); the cutoff filter reaches the orders scan."""
+    plan = (
+        tpch_deep.q_prospect_customers(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
 def test_unshipped_revenue_filters_pushed(spark):
     """Both fact filters must reach the parquet scans."""
     plan = (
