@@ -138,6 +138,11 @@ PRIORITY = [
     #    mixture weights); kept in-window r04: semantic_dedup carries the
     #    new stateful_build declaration --
     "semantic_dedup",
+    # -- NEW r05 (late add): the k-means partition SemDeDup embeds,
+    #    exposed as a first-class cluster-profile operator (sizes +
+    #    label purity, exact-integer Lloyd walk shared with
+    #    semantic_dedup) --
+    "kmeans_clusters",
     # -- NEW r04: weighted-interleave curriculum schedule --
     "curriculum_order",
     "decontaminate",
@@ -147,7 +152,6 @@ PRIORITY = [
     "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
-    "asof_join",
     "sliding_window_counts",
     "session_windows",
     "skew_salted_join",
@@ -177,6 +181,7 @@ PRIORITY = [
     # otherwise unchanged since their r03 driver-green rows).
     "running_totals",
     "time_rollup",
+    "asof_join",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

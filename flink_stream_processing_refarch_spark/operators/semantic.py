@@ -228,7 +228,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_semantic_dedup.stateful_build = True
 
 
-def _semantic_dedup_sql() -> str:
+def _lloyd_ctes() -> tuple[list[str], str]:
+    """The shared DuckDB CTE chain for the unrolled exact-integer Lloyd
+    iterations: quantize -> seed -> (assign, update)*ITERS -> assign.
+    Returns (ctes, name-of-final-assignment)."""
     d = "duckdb"
     quant = _quant_expr("embedding", d)
     ctes = [
@@ -258,7 +261,12 @@ def _semantic_dedup_sql() -> str:
                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cd
     FROM a{it}, range(1, {DIM} + 1) r(i) GROUP BY cl, i) GROUP BY cl)"""
             )
-    last = f"a{LLOYD_ITERS}"
+    return ctes, f"a{LLOYD_ITERS}"
+
+
+def _semantic_dedup_sql() -> str:
+    d = "duckdb"
+    ctes, last = _lloyd_ctes()
     cos = (
         "round(CAST(" + _doti("a.vq", "b.vq", d) + " AS DOUBLE)"
         " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6)"
@@ -282,10 +290,86 @@ FROM nq n LEFT JOIN pairs p ON n.vec_id = p.vid
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone k-means corpus clustering (the partitioning step
+    SemDeDup embeds, exposed as the first-class cluster-profile view a
+    pipeline uses for corpus balancing / mixture design): per final
+    cluster, its size, the dominant ground-truth label (ties to the
+    lowest label id), that label's count, and an exact integer purity in
+    ppm. Identical exact-integer Lloyd state walk as semantic_dedup
+    (seeds = K lowest vec_ids, LLOYD_ITERS updates) so both engines land
+    the same clustering.
+
+    Scale: assignment is a narrow fold over the ONE broadcast centroid
+    row (no per-vector join); the profile is a groupBy over (cluster,
+    label) — K x |labels| combined rows cross the exchange, never
+    vectors. Purity = top_n * 1e6 DIV n (integer division truncates
+    identically in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvl = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_quant_expr("embedding", "spark")).alias("vq"),
+    ).localCheckpoint(eager=False)
+    cents = _seed_cents(qvl.select("vec_id", "vq"))
+    for _ in range(LLOYD_ITERS):
+        cents = _update(_assign(qvl, cents)).localCheckpoint(eager=False)
+    final = qvl.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", F.expr(_pick_cluster_expr()).alias("cl")
+    )
+    per = final.groupBy("cl", "label").agg(F.count("*").alias("n"))
+    prof = per.groupBy("cl").agg(
+        F.sum("n").alias("n_vectors"),
+        # max over (count, -label): ties break toward the LOWEST label
+        F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m"),
+    )
+    return prof.select(
+        F.col("cl").alias("cluster"),
+        "n_vectors",
+        (-F.col("m.neg")).cast("int").alias("top_label"),
+        F.col("m.n").alias("top_label_n"),
+        F.expr("(m.n * CAST(1000000 AS BIGINT)) DIV n_vectors").alias(
+            "purity_ppm"
+        ),
+    )
+
+
+q_kmeans_clusters.stateful_build = True
+
+
+def _kmeans_clusters_sql() -> str:
+    ctes, last = _lloyd_ctes()
+    ctes.append(
+        f"""pcl AS (
+  SELECT a.cl, e.label, count(*) AS n
+  FROM {last} a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY a.cl, e.label)"""
+    )
+    ctes.append(
+        """prof AS (
+  SELECT cl, label, n,
+         sum(n) OVER (PARTITION BY cl) AS tot,
+         row_number() OVER (PARTITION BY cl
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM pcl)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cl AS cluster, CAST(tot AS BIGINT) AS n_vectors,
+       CAST(label AS INT) AS top_label,
+       CAST(n AS BIGINT) AS top_label_n,
+       CAST(n AS BIGINT) * 1000000 // CAST(tot AS BIGINT) AS purity_ppm
+FROM prof WHERE rn = 1
+"""
+
+
 QUERIES = {
     "semantic_dedup": q_semantic_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
+    "kmeans_clusters": _kmeans_clusters_sql(),
 }

@@ -36,6 +36,24 @@ def test_semantic_dedup_invariants(spark):
         assert by_id[first]["is_kept"]
 
 
+def test_kmeans_clusters_invariants(spark):
+    """Cluster profile covers every vector exactly once; purity is the
+    exact integer ratio; clustering agrees with semantic_dedup's (same
+    Lloyd state walk on the same seeds)."""
+    prof = semantic.q_kmeans_clusters(spark, SF_DIR).collect()
+    assert prof
+    assert len({r["cluster"] for r in prof}) == len(prof)
+    dedup_rows = semantic.q_semantic_dedup(spark, SF_DIR).collect()
+    assert sum(r["n_vectors"] for r in prof) == len(dedup_rows)
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in dedup_rows)
+    for r in prof:
+        assert sizes[r["cluster"]] == r["n_vectors"]
+        assert 0 < r["top_label_n"] <= r["n_vectors"]
+        assert r["purity_ppm"] == r["top_label_n"] * 1_000_000 // r["n_vectors"]
+
+
 def test_semantic_dedup_catches_injected_near_dups(spark):
     """The embeddings table carries near-identical vector pairs (the same
     structure dedup_embedding keys on); SemDeDup must mark some vectors
