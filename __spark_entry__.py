@@ -104,6 +104,10 @@ PRIORITY = [
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
     #    probe of a corpus signature index + candidate-only verify) --
     "dedup_incremental",
+    # -- NEW r05 (late add): span-level substring-dedup audit (stride-1
+    #    hashed word windows, cross-doc recurrence via hash-partition
+    #    window count — no self-join) --
+    "dedup_spans",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -152,7 +156,6 @@ PRIORITY = [
     "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
-    "sliding_window_counts",
     "session_windows",
     "skew_salted_join",
     "stream_static_join",
@@ -182,6 +185,7 @@ PRIORITY = [
     "running_totals",
     "time_rollup",
     "asof_join",
+    "sliding_window_counts",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

@@ -992,6 +992,91 @@ FROM f GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Span-level substring dedup
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # words per span window, stride 1
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) duplication audit — the exact-substring
+    flavor of training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4.1): slide a
+    SPAN_W-word window with stride 1 over every document, hash each
+    window, and flag every window whose hash recurs in a DIFFERENT
+    document. Emits, per document that contains any cross-doc duplicated
+    span, its total span count, duplicated-span count, and the exact
+    integer duplicated fraction in ppm — the signal used to strip
+    boilerplate/licence blocks that whole-doc dedup (dedup_exact /
+    minhash) cannot see.
+
+    Scale: the only exchanged rows are (doc_id, 32-hex span hash,
+    count) — text never crosses an exchange. Three exchanges total:
+    the per-(doc, hash) combine (map-side partial), the hash-partition
+    window that counts distinct docs per hash (on the already-grouped
+    relation, |distinct spans| rows), and the final per-doc rollup.
+    No self-join: the cross-doc test is a count(*) OVER (PARTITION BY
+    hash), so worst-case skew is one hash's row group, not a pair
+    blowup. Reference has no counterpart (its queries are the two taxi
+    windows, flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136).
+
+    Runs over the family's shared injected corpus (corpus_df): the
+    injected exact copies must flag at ppm=1000000 and the drop-first-
+    word near dups at just under — both covered by tests."""
+    docs = corpus_df(spark, sf_dir)
+    w = words_expr("text", "spark")
+    # CASE guard: sequence(0, negative) counts DOWN in Spark — never
+    # build it for docs shorter than the window
+    grams = (
+        f"CASE WHEN size({w}) >= {SPAN_W} THEN "
+        f"transform(sequence(0, size({w}) - {SPAN_W}), i -> "
+        f"md5(concat_ws(' ', slice({w}, i + 1, {SPAN_W})))) "
+        f"ELSE array() END"
+    )
+    spans = docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
+    per = spans.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    nd = per.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
+    return (
+        nd.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr(
+                "n_dup_spans * CAST(1000000 AS BIGINT) DIV n_spans"
+            ).alias("dup_span_ppm"),
+        )
+    )
+
+
+def _dedup_spans_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH corpus AS ({corpus_sql("duckdb")}),
+ws AS (SELECT doc_id, {w} AS w FROM corpus),
+sp AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w) - {SPAN_W} + 2),
+                     i -> md5(array_to_string(w[i:i + {SPAN_W - 1}], ' ')))) AS h
+       FROM ws WHERE len(w) >= {SPAN_W}),
+per AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY doc_id, h),
+nd AS (SELECT doc_id, c, count(*) OVER (PARTITION BY h) AS nd FROM per)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(sum(c) AS BIGINT) AS dup_span_ppm
+FROM nd GROUP BY doc_id
+HAVING sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) > 0
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
@@ -1003,6 +1088,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_spans": q_dedup_spans,
 }
 
 
@@ -1038,6 +1124,7 @@ def _oracles() -> dict[str, str]:
             DEDUP_CLUSTERS_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows
         ),
         "dedup_embedding": _dedup_embedding_sql(),
+        "dedup_spans": _dedup_spans_sql(),
     }
 
 

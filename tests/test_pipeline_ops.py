@@ -52,6 +52,22 @@ def test_exact_dedup_finds_injected_dups(spark):
     assert all(r.keep_doc_id < 1000000 for r in rows)
 
 
+def test_dedup_spans_flags_injected_copies(spark):
+    """Injected exact copies (doc_id+1000000) share every stride-1 span
+    with their original — both sides must flag at ppm == 1000000; counts
+    are bounded and ppm is the exact integer ratio everywhere."""
+    rows = {r.doc_id: r for r in dedup.q_dedup_spans(spark, SF_DIR).collect()}
+    assert len(rows) >= 2, "span dedup found <2 flagged docs"
+    copies = [d for d in rows if 1000000 <= d < 2000000]
+    assert copies, "no injected exact copies flagged"
+    for d in copies:
+        assert d - 1000000 in rows
+        assert rows[d].dup_span_ppm == 1000000
+    for r in rows.values():
+        assert 0 < r.n_dup_spans <= r.n_spans
+        assert r.dup_span_ppm == r.n_dup_spans * 1_000_000 // r.n_spans
+
+
 def test_lsh_catches_exact_dups(spark):
     """Exact duplicates have identical minhash signatures — LSH candidate
     pairs must include every injected (doc, doc+1000000) pair."""
