@@ -113,6 +113,9 @@ PRIORITY = [
     #    apply side (tokenize-by-vocab-lookup token counts) --
     "bpe_train",
     "bpe_token_count",
+    # -- NEW r05 (late add): hashing-trick sparse doc features (fixed
+    #    feature space, no vocab relation; wordcount-shaped combine) --
+    "feature_hashing",
 
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
@@ -156,7 +159,6 @@ PRIORITY = [
     "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
-    "session_windows",
     "skew_salted_join",
     "stream_static_join",
     # -- stateful streaming + custom join/stream ops (events stream path
@@ -186,6 +188,7 @@ PRIORITY = [
     "time_rollup",
     "asof_join",
     "sliding_window_counts",
+    "session_windows",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

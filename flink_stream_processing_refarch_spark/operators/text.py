@@ -500,6 +500,68 @@ GROUP BY word
 """
 
 
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick")
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 64  # feature dimension; 100 TB pipelines use 2^18+, same plan
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document features (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): every word
+    hashes to one of FH_BUCKETS buckets — no vocabulary relation, no
+    vocab join, which is the point at 100 TB (a fixed feature space
+    regardless of corpus vocabulary growth). Emitted sparse: one row
+    per (doc, non-empty bucket) with the exact count and an exact
+    integer L1 weight in ppm.
+
+    Plan shape: explode -> groupBy(doc_id, bucket) with map-side
+    combine, so the exchange carries at most |docs| x FH_BUCKETS
+    combined rows, never words; the per-doc total comes from a window
+    over the already-combined relation (same doc_id partitioning, no
+    extra exchange after the group)."""
+    from ..functions.portable import md5_int60
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.expr(words_expr("text", "spark"))).alias("w")
+    )
+    per = (
+        words.select(
+            "doc_id",
+            F.expr(f"{md5_int60('w', 'spark')} % {FH_BUCKETS}").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return per.withColumn("tot", tot).select(
+        "doc_id",
+        "bucket",
+        "cnt",
+        F.expr("cnt * CAST(1000000 AS BIGINT) DIV tot").alias("w_ppm"),
+    )
+
+
+def _feature_hashing_sql() -> str:
+    from ..functions.portable import md5_int60
+
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH wds AS (SELECT doc_id, unnest({w}) AS w FROM documents),
+per AS (SELECT doc_id, {md5_int60('w', 'duckdb')} % {FH_BUCKETS} AS bucket,
+               count(*) AS cnt
+        FROM wds GROUP BY 1, 2)
+SELECT doc_id, bucket, cnt,
+       CAST(cnt AS BIGINT) * 1000000
+         // CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS w_ppm
+FROM per
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -511,6 +573,7 @@ QUERIES = {
     "length_histogram": q_length_histogram,
     "udtf_word_positions": q_udtf_word_positions,
     "training_mix": q_training_mix,
+    "feature_hashing": q_feature_hashing,
 }
 
 ORACLES = {
@@ -524,4 +587,5 @@ ORACLES = {
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "udtf_word_positions": UDTF_WORD_POSITIONS_SQL,
     "training_mix": _training_mix_sql(),
+    "feature_hashing": _feature_hashing_sql(),
 }

@@ -218,6 +218,23 @@ def test_vocab_stats_totals_tie_out(spark):
         assert 1 <= r.doc_freq <= min(r.term_freq, n_docs)
 
 
+def test_feature_hashing_ties_out_to_token_counts(spark):
+    """Per doc, bucket counts sum to the doc's token count (nothing lost
+    to hashing), buckets stay in range, and w_ppm is the exact integer
+    L1 weight."""
+    from collections import defaultdict
+
+    feats = text.q_feature_hashing(spark, SF_DIR).collect()
+    per_doc = defaultdict(int)
+    for r in feats:
+        assert 0 <= r.bucket < text.FH_BUCKETS
+        per_doc[r.doc_id] += r.cnt
+    tokens = {r.doc_id: r.n_tokens for r in text.q_token_stats(spark, SF_DIR).collect()}
+    assert per_doc == {d: n for d, n in tokens.items() if n > 0}
+    for r in feats:
+        assert r.w_ppm == r.cnt * 1_000_000 // per_doc[r.doc_id]
+
+
 def test_incremental_gate_verdict_semantics(spark):
     """The delta-vs-corpus gate: every delta doc gets exactly one verdict;
     injected exact copies of corpus docs are flagged exact_dup_corpus;
