@@ -116,6 +116,9 @@ PRIORITY = [
     # -- NEW r05 (late add): hashing-trick sparse doc features (fixed
     #    feature space, no vocab relation; wordcount-shaped combine) --
     "feature_hashing",
+    # -- NEW r05 (late add): batch BM25 retrieval — query TABLE joined
+    #    against the corpus, per-query window top-k --
+    "bm25_topk_batch",
 
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
@@ -159,7 +162,6 @@ PRIORITY = [
     "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
-    "skew_salted_join",
     "stream_static_join",
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
@@ -189,6 +191,7 @@ PRIORITY = [
     "asof_join",
     "sliding_window_counts",
     "session_windows",
+    "skew_salted_join",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

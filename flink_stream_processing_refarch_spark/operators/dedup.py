@@ -1011,8 +1011,11 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/licence blocks that whole-doc dedup (dedup_exact /
     minhash) cannot see.
 
-    Scale: the only exchanged rows are (doc_id, 32-hex span hash,
-    count) — text never crosses an exchange. Three exchanges total:
+    Scale: the only exchanged rows are (doc_id, 60-bit BIGINT span
+    hash, count) — text never crosses an exchange, and the hash is 8
+    bytes, not hex (at ~10^10 spans the 60-bit birthday bound expects
+    ~100 colliding pairs corpus-wide, a 1e-8 false-flag fraction — fine
+    for an audit signal). Three exchanges total:
     the per-(doc, hash) combine (map-side partial), the hash-partition
     window that counts distinct docs per hash (on the already-grouped
     relation, |distinct spans| rows), and the final per-doc rollup.
@@ -1028,10 +1031,12 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words_expr("text", "spark")
     # CASE guard: sequence(0, negative) counts DOWN in Spark — never
     # build it for docs shorter than the window
+    from ..functions.portable import md5_int60
+
+    span_h = md5_int60(f"concat_ws(' ', slice({w}, i + 1, {SPAN_W}))", "spark")
     grams = (
         f"CASE WHEN size({w}) >= {SPAN_W} THEN "
-        f"transform(sequence(0, size({w}) - {SPAN_W}), i -> "
-        f"md5(concat_ws(' ', slice({w}, i + 1, {SPAN_W})))) "
+        f"transform(sequence(0, size({w}) - {SPAN_W}), i -> {span_h}) "
         f"ELSE array() END"
     )
     spans = docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
@@ -1058,13 +1063,15 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_spans_sql() -> str:
+    from ..functions.portable import md5_int60
+
     w = words_expr("text", "duckdb")
     return f"""
 WITH corpus AS ({corpus_sql("duckdb")}),
 ws AS (SELECT doc_id, {w} AS w FROM corpus),
 sp AS (SELECT doc_id,
               unnest(list_transform(range(1, len(w) - {SPAN_W} + 2),
-                     i -> md5(array_to_string(w[i:i + {SPAN_W - 1}], ' ')))) AS h
+                     i -> {md5_int60(f"array_to_string(w[i:i + {SPAN_W - 1}], ' ')", "duckdb")})) AS h
        FROM ws WHERE len(w) >= {SPAN_W}),
 per AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY doc_id, h),
 nd AS (SELECT doc_id, c, count(*) OVER (PARTITION BY h) AS nd FROM per)

@@ -264,14 +264,149 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch BM25 retrieval: a query TABLE, top-k per query
+# ---------------------------------------------------------------------------
+
+BM25B_EVERY = 25      # every 25th doc contributes a query
+BM25B_QSTART = 5      # 1-based word offset the query is sliced from
+BM25B_QWORDS = 3      # words per query
+BM25B_MINDL = 10      # docs shorter than this contribute no query
+BM25B_TOP = 5         # results per query
+
+
+def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval: a whole query TABLE (derived
+    deterministically from the corpus — every BM25B_EVERY-th doc's words
+    [BM25B_QSTART, +BM25B_QWORDS), de-duplicated per query) ranked
+    against the corpus, top BM25B_TOP docs per query. This is the
+    serving-side join shape ``bm25_score``'s single fixed query doesn't
+    cover: term matching is a JOIN against a query-term dimension, and
+    the cutoff is a per-query window top-k, not a global TakeOrdered.
+
+    Plan shape at scale: the query-term dimension is tiny (|queries| x
+    BM25B_QWORDS rows) and broadcasts twice — once as a LEFT SEMI prune
+    so the token explode ships only matching-term rows into the (doc,
+    term, tf) combine, once to fan scored (doc, term) rows out to their
+    queries. df/corpus stats broadcast back as in bm25_score. Per-term
+    scores are exact BIGINT micro-units (shared ``_bm25_term_micros``),
+    so per-(query, doc) totals and the top-k cutoff are exact integer
+    arithmetic; the final rank is a window over query_id — shuffle keys
+    are (query_id, doc_id), never text."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .select("doc_id", "words", F.size("words").alias("dl"))
+    )
+    queries = (
+        docs.filter(
+            (F.col("doc_id") % BM25B_EVERY == 0) & (F.col("dl") >= BM25B_MINDL)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"array_distinct(slice(words, {BM25B_QSTART},"
+                    f" {BM25B_QWORDS}))"
+                )
+            ).alias("word"),
+        )
+    )
+    qterms = queries.select("word").distinct()
+    tf = (
+        docs.select("doc_id", "dl", F.explode("words").alias("word"))
+        .join(F.broadcast(qterms), "word", "left_semi")
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
+        )
+    )
+    pairs = (
+        scored.join(F.broadcast(queries), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("ts_u").alias("bm25_micro"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("bm25_micro"), F.asc("doc_id")
+        )
+    )
+    return (
+        pairs.withColumn("rank", rn)
+        .filter(F.col("rank") <= BM25B_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("bm25_micro").cast("double") / F.lit(1000000.0)).alias(
+                "bm25"
+            ),
+            "n_terms",
+            "rank",
+        )
+    )
+
+
+def _bm25_topk_batch_sql() -> str:
+    w = words_expr("text", "duckdb")
+    score = _bm25_term_micros("duckdb")
+    qend = BM25B_QSTART + BM25B_QWORDS - 1
+    return f"""
+WITH d AS (SELECT doc_id, len(words) AS dl, words
+           FROM (SELECT doc_id, {w} AS words FROM documents)),
+q AS (SELECT doc_id AS query_id,
+             unnest(list_distinct(words[{BM25B_QSTART}:{qend}])) AS word
+      FROM d WHERE doc_id % {BM25B_EVERY} = 0 AND dl >= {BM25B_MINDL}),
+tok AS (SELECT doc_id, dl, unnest(words) AS word FROM d),
+tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
+       WHERE word IN (SELECT word FROM q) GROUP BY doc_id, dl, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+scored AS (
+  SELECT tf.doc_id, tf.word, {score} AS ts_u
+  FROM tf JOIN dfreq USING (word) CROSS JOIN st),
+pairs AS (
+  SELECT q.query_id, s.doc_id, CAST(sum(ts_u) AS BIGINT) AS bm25_micro,
+         count(*) AS n_terms
+  FROM scored s JOIN q ON s.word = q.word
+  GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, bm25_micro, n_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25_micro DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM pairs)
+SELECT query_id, doc_id,
+       CAST(bm25_micro AS DOUBLE) / 1000000.0 AS bm25,
+       n_terms, rank
+FROM ranked WHERE rank <= {BM25B_TOP}
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "inverted_index": q_inverted_index,
     "bm25_score": q_bm25_score,
+    "bm25_topk_batch": q_bm25_topk_batch,
 }
 
 ORACLES = {
     "doc_chunks": _doc_chunks_sql(),
     "inverted_index": _inverted_index_sql(),
     "bm25_score": _bm25_sql(),
+    "bm25_topk_batch": _bm25_topk_batch_sql(),
 }

@@ -92,3 +92,28 @@ def test_doc_chunks_plan_is_narrow(spark):
     assert plan.count("Exchange") <= 1, plan[:2000]
     assert "hashpartitioning" not in plan, plan[:2000]
     assert "rangepartitioning" not in plan, plan[:2000]
+
+
+def test_bm25_topk_batch_ranking_invariants(spark):
+    """Per query: at most BM25B_TOP rows, ranks contiguous from 1,
+    scores non-increasing with doc_id tiebreak, and 1 <= n_terms <=
+    BM25B_QWORDS (a returned doc matches at least one query term).
+    Note self-retrieval is NOT asserted: the synthetic corpus reuses
+    sentence templates, so 3-common-word queries rank long template
+    twins above the (low-idf) source doc — correct BM25 behavior."""
+    from collections import defaultdict
+
+    rows = retrieval.q_bm25_topk_batch(spark, SF_DIR).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r.query_id].append(r)
+    assert len(per) > 1
+    for qid, rs in per.items():
+        rs.sort(key=lambda r: r.rank)
+        assert 1 <= len(rs) <= retrieval.BM25B_TOP
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.bm25, -a.doc_id) >= (b.bm25, -b.doc_id)
+        for r in rs:
+            assert 1 <= r.n_terms <= retrieval.BM25B_QWORDS
