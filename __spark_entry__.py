@@ -143,7 +143,6 @@ PRIORITY = [
     # -- NEW r04: event-stream product analytics (ordered funnel,
     #    retention cohorts — the reference domain's next two queries) --
     "funnel_completion",
-    "retention_cohorts",
     # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
     #    mixture weights); kept in-window r04: semantic_dedup carries the
     #    new stateful_build declaration --
@@ -157,6 +156,9 @@ PRIORITY = [
     "curriculum_order",
     "decontaminate",
     "vocab_stats",
+    # -- NEW r05 (late add): vocab coverage curve (power-of-two rank
+    #    buckets -> exact ppm token coverage; integer log2 via bin()) --
+    "vocab_coverage",
     "corpus_build",
     "corpus_ingest_streaming",
     "decontaminate_streaming",
@@ -192,6 +194,7 @@ PRIORITY = [
     "sliding_window_counts",
     "session_windows",
     "skew_salted_join",
+    "retention_cohorts",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

@@ -562,6 +562,75 @@ FROM per
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget planning signal:
+    for each power-of-two rank bucket b (vocab entries ranked by corpus
+    frequency, ties by word), the cumulative fraction of all corpus
+    tokens covered by the top-(2^(b+1)-1) entries, in exact ppm. A
+    pipeline reads this to size a vocab (e.g. "2^15 entries cover 99.2%
+    of tokens") before committing to BPE training.
+
+    Scale: the corpus-sized work is one wordcount-shaped combine
+    exchange (identical to vocab_stats); the ranking window runs over
+    the BOUNDED vocab relation — the repo's accepted bounded-relation
+    global-window pattern (quantile_histogram's discipline), never over
+    corpus rows. Bucket ids come from length(bin(rank)) — integer
+    log2, no floating log, identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(words_expr("text", "spark"))).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    from pyspark.sql import Window
+
+    order = [F.desc("cnt"), F.asc("word")]
+    rank = F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    cum = F.sum("cnt").over(
+        Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = vocab.select(
+        rank.alias("rank"), cum.alias("cum")
+    )
+    return (
+        ranked.withColumn(
+            "bucket", (F.length(F.expr("bin(rank)")) - 1).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("top_rank"), F.max("cum").alias("covered_tokens"))
+        .join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "top_rank",
+            "covered_tokens",
+            F.expr(
+                "covered_tokens * CAST(1000000 AS BIGINT) DIV total"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH tok AS (SELECT unnest({w}) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+           AS rank,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM vocab)
+SELECT CAST(length(bin(rank)) - 1 AS INT) AS bucket,
+       max(rank) AS top_rank,
+       CAST(max(cum) AS BIGINT) AS covered_tokens,
+       CAST(max(cum) AS BIGINT) * 1000000 // (SELECT total FROM tot)
+         AS coverage_ppm
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -574,6 +643,7 @@ QUERIES = {
     "udtf_word_positions": q_udtf_word_positions,
     "training_mix": q_training_mix,
     "feature_hashing": q_feature_hashing,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
@@ -588,4 +658,5 @@ ORACLES = {
     "udtf_word_positions": UDTF_WORD_POSITIONS_SQL,
     "training_mix": _training_mix_sql(),
     "feature_hashing": _feature_hashing_sql(),
+    "vocab_coverage": _vocab_coverage_sql(),
 }

@@ -235,6 +235,26 @@ def test_feature_hashing_ties_out_to_token_counts(spark):
         assert r.w_ppm == r.cnt * 1_000_000 // per_doc[r.doc_id]
 
 
+def test_vocab_coverage_curve_monotone_and_ties_out(spark):
+    """Buckets partition the rank space (top_rank of bucket b is <
+    2^(b+1)); coverage is strictly increasing across buckets; the last
+    bucket covers every token (ppm == 1000000); covered_tokens ties out
+    to the corpus token total."""
+    rows = sorted(
+        text.q_vocab_coverage(spark, SF_DIR).collect(), key=lambda r: r.bucket
+    )
+    assert rows
+    total = sum(r.n_tokens for r in text.q_token_stats(spark, SF_DIR).collect())
+    prev_cov = 0
+    for r in rows:
+        assert 2 ** r.bucket <= r.top_rank < 2 ** (r.bucket + 1)
+        assert r.covered_tokens > prev_cov
+        prev_cov = r.covered_tokens
+        assert r.coverage_ppm == r.covered_tokens * 1_000_000 // total
+    assert rows[-1].covered_tokens == total
+    assert rows[-1].coverage_ppm == 1_000_000
+
+
 def test_incremental_gate_verdict_semantics(spark):
     """The delta-vs-corpus gate: every delta doc gets exactly one verdict;
     injected exact copies of corpus docs are flagged exact_dup_corpus;
