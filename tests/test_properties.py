@@ -451,3 +451,61 @@ def test_ann_pq_on_table_smaller_than_codebook(spark, tmp_path):
     assert len(got) == len(expect) > 0
     for g, e in zip(got, expect):
         assert g[0] == e[0] and g[1] == e[1], (g, e)  # vec_id, adc_dist
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**4),   # tf
+            st.integers(min_value=1, max_value=10**6),   # df
+            st.integers(min_value=1, max_value=10**5),   # dl
+            st.integers(min_value=0, max_value=10**6),   # n_docs extra over df
+            st.integers(min_value=1, max_value=10**5),   # avgdl numerator
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bm25_term_micros_cross_engine_bit_identical(spark, rows):
+    """The shared BM25 per-term micro-unit expression (bm25_score AND
+    bm25_topk_batch rank on it) has the same ln() 1-ulp exposure as the
+    selection trio — fuzz the identical expression through both engines
+    on the same integer-derived inputs (avgdl is a double, but derived
+    as int/int so both engines construct the identical IEEE value)."""
+    import duckdb as ddb
+    import pyarrow as pa
+
+    from flink_stream_processing_refarch_spark.operators import retrieval
+
+    expr = retrieval._bm25_term_micros("spark")
+    assert expr == retrieval._bm25_term_micros("duckdb")  # one shared string
+    data = {
+        "tf": [r[0] for r in rows],
+        "df": [r[1] for r in rows],
+        "dl": [r[2] for r in rows],
+        "n_docs": [r[1] + r[3] for r in rows],
+        "avgdl": [r[4] / 3.0 for r in rows],
+    }
+    cols = list(data)
+    sdf = spark.createDataFrame(
+        list(zip(*[data[c] for c in cols])), schema=cols
+    )
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in sdf.select(F.expr(expr)).collect()]
+    con = ddb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                c: pa.array(
+                    data[c],
+                    type=pa.float64() if c == "avgdl" else pa.int64(),
+                )
+                for c in cols
+            }
+        ),
+    )
+    expect = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    assert got == expect
