@@ -95,6 +95,7 @@ PRIORITY = [
     #    threshold broadcast + LEFT ANTI dormancy check) --
     "trade_volume",
     "prospect_customers",
+    "product_profit",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_minhash_lsh",
@@ -142,7 +143,6 @@ PRIORITY = [
     "ann_lsh_multiprobe",
     # -- NEW r04: event-stream product analytics (ordered funnel,
     #    retention cohorts — the reference domain's next two queries) --
-    "funnel_completion",
     # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
     #    mixture weights); kept in-window r04: semantic_dedup carries the
     #    new stateful_build declaration --
@@ -195,6 +195,7 @@ PRIORITY = [
     "session_windows",
     "skew_salted_join",
     "retention_cohorts",
+    "funnel_completion",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

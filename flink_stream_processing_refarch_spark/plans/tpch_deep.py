@@ -56,6 +56,9 @@ TV_D0, TV_D1 = "1996-01-01", "1998-01-01"
 # Q22 knobs
 PC_CUTOFF = "2000-01-01"
 
+# Q9 knobs
+PP_NAME_PART = "red"  # p_name substring filter (Q9's '%green%')
+
 
 def _ts(lit: str) -> F.Column:
     return F.lit(lit).cast("timestamp")
@@ -396,6 +399,63 @@ GROUP BY n_name
 """
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analogue: per supplier-nation and order-year, the profit on
+    parts whose name contains PP_NAME_PART — profit per line = revenue
+    minus cost, with cost proxied by p_retailprice * l_quantity (the
+    testdata has no partsupp/ps_supplycost; the join tree and the
+    signed-money aggregation are the Q9 shape). Both money terms go
+    through row-level cents before the (possibly negative) integer sum.
+    The LIKE filter prunes part BEFORE its broadcast, so the fact scan
+    joins against a reduced dimension; shuffle pairs: lineitem ⋈ orders
+    plus the final 2-key aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PP_NAME_PART)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    supp_n = supp.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    profit = "(" + CENTS.format(x=REV) + " - " + CENTS.format(
+        x="p_retailprice * l_quantity"
+    ) + ")"
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.expr(profit).alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("profit_cents").alias("sum_profit_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({CENTS.format(x=REV)}
+                - {CENTS.format(x='p_retailprice * l_quantity')}) AS BIGINT)
+         AS sum_profit_cents,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%{PP_NAME_PART}%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
 QUERIES = {
     "market_share": q_market_share,
     "returned_customers": q_returned_customers,
@@ -403,6 +463,7 @@ QUERIES = {
     "unshipped_revenue": q_unshipped_revenue,
     "trade_volume": q_trade_volume,
     "prospect_customers": q_prospect_customers,
+    "product_profit": q_product_profit,
 }
 
 ORACLES = {
@@ -412,4 +473,5 @@ ORACLES = {
     "unshipped_revenue": UNSHIPPED_REVENUE_SQL,
     "trade_volume": TRADE_VOLUME_SQL,
     "prospect_customers": PROSPECT_CUSTOMERS_SQL,
+    "product_profit": PRODUCT_PROFIT_SQL,
 }

@@ -69,6 +69,20 @@ def test_prospect_customers_anti_join_and_scalar_broadcast(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_product_profit_part_filter_pushed_and_broadcast(spark):
+    """The p_name LIKE filter must reach the part scan (pruning the
+    dimension BEFORE broadcast) and every dimension joins as broadcast."""
+    plan = (
+        tpch_deep.q_product_profit(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StringContains(p_name" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_unshipped_revenue_filters_pushed(spark):
     """Both fact filters must reach the parquet scans."""
     plan = (
