@@ -109,6 +109,9 @@ PRIORITY = [
     #    hashed word windows, cross-doc recurrence via hash-partition
     #    window count — no self-join) --
     "dedup_spans",
+    # -- NEW r05 (late add): asymmetric containment verify of the LSH
+    #    candidates (the excerpt/quote case Jaccard misses) --
+    "containment_dedup",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -164,7 +167,6 @@ PRIORITY = [
     "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
-    "stream_static_join",
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
     "stateful_sessionize",
@@ -196,6 +198,7 @@ PRIORITY = [
     "skew_salted_join",
     "retention_cohorts",
     "funnel_completion",
+    "stream_static_join",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

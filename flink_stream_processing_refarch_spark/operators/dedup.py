@@ -510,6 +510,92 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs) — the plan cache must re-run it per call (plancache.py).
 q_ngram_jaccard.stateful_build = True
 
+CONTAIN_MIN = "0.8"  # excerpt threshold on the larger directional containment
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT verification of the LSH candidates:
+    containment(A in B) = |A∩B| / |A| on word sets. Symmetric Jaccard
+    misses the excerpt/quote case — a short doc fully embedded in a long
+    one has tiny Jaccard but containment ~1 — so corpus pipelines run
+    both verifiers over the same candidate set (Broder 1997
+    distinguishes "resemblance" from "containment"). Emits candidate
+    pairs whose larger directional containment >= CONTAIN_MIN, with the
+    contained side named (ties -> the smaller word set, then doc_a).
+
+    Scale: identical posture to ngram_jaccard — exact set math runs on
+    LSH candidates only, never all pairs; the ratio is one double
+    division of two exact ints per row (identical in both engines)."""
+    c = corpus_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws"),
+    )
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    wa = c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(wa, wb))").alias("n_common"),
+            F.expr("size(wa)").alias("n_a"),
+            F.expr("size(wb)").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("CAST(n_common AS DOUBLE) / n_a").alias("containment_a"),
+            F.expr("CAST(n_common AS DOUBLE) / n_b").alias("containment_b"),
+            F.expr(
+                "CASE WHEN n_a < n_b THEN doc_a WHEN n_b < n_a THEN doc_b"
+                " ELSE least(doc_a, doc_b) END"
+            ).alias("contained_doc"),
+        )
+        .filter(
+            F.expr(
+                f"greatest(containment_a, containment_b)"
+                f" >= CAST({CONTAIN_MIN} AS DOUBLE)"
+            )
+        )
+    )
+
+
+q_containment_dedup.stateful_build = True
+
+CONTAINMENT_DEDUP_SQL_T = """
+WITH corpus AS ({corpus}),
+sigs AS ({sigs}),
+bands AS ({band_rows}),
+""" + _bands_ok_cte() + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+wsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus
+),
+m AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(a.ws, b.ws)) AS n_common,
+         len(a.ws) AS n_a, len(b.ws) AS n_b
+  FROM pairs p
+  JOIN wsets a ON a.doc_id = p.doc_a
+  JOIN wsets b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_common AS INT) AS n_common,
+       CAST(n_common AS DOUBLE) / n_a AS containment_a,
+       CAST(n_common AS DOUBLE) / n_b AS containment_b,
+       CASE WHEN n_a < n_b THEN doc_a WHEN n_b < n_a THEN doc_b
+            ELSE least(doc_a, doc_b) END AS contained_doc
+FROM m
+WHERE greatest(CAST(n_common AS DOUBLE) / n_a,
+               CAST(n_common AS DOUBLE) / n_b) >= CAST({cmin} AS DOUBLE)
+"""
+
 NGRAM_JACCARD_SQL_T = """
 WITH corpus AS ({corpus}),
 sigs AS ({sigs}),
@@ -1096,6 +1182,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
     "dedup_spans": q_dedup_spans,
+    "containment_dedup": q_containment_dedup,
 }
 
 
@@ -1126,6 +1213,12 @@ def _oracles() -> dict[str, str]:
         ),
         "ngram_jaccard": _fill(
             NGRAM_JACCARD_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows
+        ),
+        "containment_dedup": _fill(
+            CONTAINMENT_DEDUP_SQL_T,
+            sigs=_signatures_sql(d),
+            band_rows=band_rows,
+            cmin=CONTAIN_MIN,
         ),
         "dedup_clusters": _fill(
             DEDUP_CLUSTERS_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows

@@ -100,6 +100,28 @@ def test_lsh_bucket_cap_gates_candidate_join(spark, monkeypatch):
     assert dedup.q_dedup_minhash_lsh(spark, SF_DIR).count() == 0
 
 
+def test_containment_catches_exact_and_near_copies(spark):
+    """Injected exact copies verify at containment 1.0 both ways; the
+    drop-first-word near dups (doc_id+2000000) are contained in their
+    originals at >= the threshold even when their Jaccard is not 1;
+    contained_doc is always the smaller word set (or the lower id on
+    ties); ratios are the exact int ratios."""
+    rows = dedup.q_containment_dedup(spark, SF_DIR).collect()
+    assert rows
+    exact = [
+        r for r in rows
+        if 1000000 <= r.doc_b < 2000000 and r.doc_a == r.doc_b - 1000000
+    ]
+    assert exact, "no injected exact-copy pairs verified"
+    for r in exact:
+        assert r.containment_a == 1.0 and r.containment_b == 1.0
+        assert r.contained_doc == r.doc_a  # tie -> least id
+    near = [r for r in rows if r.doc_b >= 2000000 or r.doc_a >= 2000000]
+    assert near, "no near-dup (excerpt-shaped) pairs verified"
+    for r in rows:
+        assert max(r.containment_a, r.containment_b) >= 0.8
+
+
 def test_dedup_clusters_merge_transitive_chains(spark):
     """doc ~ doc+1M (exact) and doc ~ doc+2M (near) implies all three get
     one cluster_id even though (doc+1M, doc+2M) may never pair directly —
