@@ -298,6 +298,12 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split(F.col("text"), " ").alias("words"))
         .select("doc_id", "words", F.size("words").alias("dl"))
     )
+    # The query dimension is |corpus|/BM25B_EVERY x BM25B_QWORDS rows —
+    # kilobytes. It is referenced twice (semi-prune + fan-out); persist
+    # so the 100 TB corpus scan that derives it runs ONCE, not three
+    # times. (In production the query table arrives as its own small
+    # input and this is moot; the persist makes the derived-dim test
+    # shape scale-honest.)
     queries = (
         docs.filter(
             (F.col("doc_id") % BM25B_EVERY == 0) & (F.col("dl") >= BM25B_MINDL)
@@ -311,6 +317,7 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("word"),
         )
+        .persist()
     )
     qterms = queries.select("word").distinct()
     tf = (
@@ -359,6 +366,11 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# Persists the derived query dimension during plan build — the plan
+# cache must re-run the build per call (plancache.py contract).
+q_bm25_topk_batch.stateful_build = True
 
 
 def _bm25_topk_batch_sql() -> str:
