@@ -99,7 +99,6 @@ PRIORITY = [
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding",
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
@@ -134,6 +133,9 @@ PRIORITY = [
     "source_drift",
     "heavy_hitters_cms",
     "heavy_hitters_streaming",
+    # -- NEW r05 (late add): the drift monitor's streaming twin
+    #    (bounded |sources| x 256 state, batch oracle verbatim) --
+    "source_drift_streaming",
     "quantile_histogram",
     "quantile_histogram_streaming",
     # -- NEW r04: product-quantization ANN (sample-trained codebooks,
@@ -199,6 +201,7 @@ PRIORITY = [
     "retention_cohorts",
     "funnel_completion",
     "stream_static_join",
+    "dedup_simhash",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

@@ -208,6 +208,15 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_sb"))
         .localCheckpoint(eager=False)
     )
+    return drift_report(per_src)
+
+
+def drift_report(per_src: DataFrame) -> DataFrame:
+    """The KL finisher over the bounded (source, bucket, c_sb) relation —
+    shared by the batch operator (checkpointed corpus aggregate) and the
+    streaming twin (the complete-mode merged snapshot, streaming/jobs.py),
+    so both walk the identical exact-integer KL arithmetic."""
+    spark = per_src.sparkSession
     src_tot = per_src.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
     corpus = per_src.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
     corpus_tot = corpus.agg(F.sum("c_b").alias("n_tot"))

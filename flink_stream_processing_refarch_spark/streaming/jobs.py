@@ -1601,8 +1601,48 @@ FROM coded
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming per-source drift monitor (KL vs corpus)
+# ---------------------------------------------------------------------------
+
+def source_drift_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-(source, md5-bucket) token counts over the arriving
+    document stream — the state the online drift monitor maintains.
+    State is BOUNDED at |sources| x FEAT_BUCKETS rows no matter how much
+    corpus flows through (the same bounded-sketch argument as the
+    streaming CMS/histogram twins); text never crosses the exchange —
+    each micro-batch ships partially-combined (source, bucket, count)."""
+    from ..functions.portable import words_expr
+
+    docs = stream_documents(spark, sf_dir)
+    wb = docs.select(
+        "source", F.explode(F.expr(words_expr("text", "spark"))).alias("w")
+    ).select("source", F.substring(F.md5("w"), 1, 2).alias("b"))
+    return wb.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
+
+
+def q_source_drift_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the streaming drift-state build (complete mode
+    — the merged (source, bucket) counts are the snapshot), finished by
+    the SAME exact-integer KL report as the batch twin
+    (operators/selection.drift_report). End state over the bounded
+    stream equals the batch aggregate exactly (count addition is
+    associative), so the batch oracle applies verbatim; the monitor's
+    online form would read the same snapshot each trigger."""
+    from ..operators.selection import drift_report
+
+    # localCheckpoint: drift_report self-joins the relation (grid x
+    # probe); the memory-sink view resolves both branches to the same
+    # attribute ids, so cut lineage exactly as the batch twin does
+    per_src = _run_to_memory(
+        source_drift_stream_df(spark, sf_dir), output_mode="complete"
+    ).localCheckpoint(eager=False)
+    return drift_report(per_src)
+
+
 QUERIES = {
     "pq_ingest_streaming": q_pq_ingest_streaming,
+    "source_drift_streaming": q_source_drift_streaming,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
     "stream_stream_left_join": q_stream_stream_left_join,
@@ -1656,6 +1696,18 @@ ORACLES["heavy_hitters_streaming"] = _heavy_hitters_streaming_oracle()
 # addition is associative), so one epoch-independent SQL is the oracle.
 ORACLES["quantile_histogram_streaming"] = QUANTILE_HISTOGRAM_STREAMING_SQL
 ORACLES["pq_ingest_streaming"] = _pq_ingest_streaming_sql()
+
+
+def _source_drift_streaming_oracle() -> str:
+    # The merged complete-mode snapshot equals the batch (source,
+    # bucket) aggregate (count addition is associative), so the batch
+    # drift oracle applies verbatim.
+    from ..operators.selection import ORACLES as SEL_ORACLES
+
+    return SEL_ORACLES["source_drift"]
+
+
+ORACLES["source_drift_streaming"] = _source_drift_streaming_oracle()
 
 if _tws_available():  # pragma: no cover - environment-dependent
     ORACLES["tws_user_totals"] = TWS_USER_TOTALS_SQL

@@ -164,3 +164,17 @@ def test_split_leakage_only_reports_test_docs(spark, duck):
         assert r["doc_id"] in test_ids
         assert 0 < r["n_leaked"] <= r["n_shingles"]
         assert r["leak_ratio"] <= 1.0
+
+
+def test_streaming_drift_equals_batch(spark):
+    """The complete-mode merged (source, bucket) snapshot must land on
+    exactly the batch aggregate (count addition is associative), so the
+    two drift reports are row-identical."""
+    from flink_stream_processing_refarch_spark.operators import selection
+    from flink_stream_processing_refarch_spark.streaming import jobs
+
+    batch = {tuple(r) for r in selection.q_source_drift(spark, SF_DIR).collect()}
+    stream = {
+        tuple(r) for r in jobs.q_source_drift_streaming(spark, SF_DIR).collect()
+    }
+    assert stream == batch
