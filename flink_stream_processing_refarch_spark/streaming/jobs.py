@@ -1612,9 +1612,14 @@ def source_drift_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus flows through (the same bounded-sketch argument as the
     streaming CMS/histogram twins); text never crosses the exchange —
     each micro-batch ships partially-combined (source, bucket, count)."""
+    return drift_state_from_stream(stream_documents(spark, sf_dir))
+
+
+def drift_state_from_stream(docs: DataFrame) -> DataFrame:
+    """The drift-state aggregation over any documents stream (source-
+    agnostic: file landing zone here, Kafka/Kinesis in production)."""
     from ..functions.portable import words_expr
 
-    docs = stream_documents(spark, sf_dir)
     wb = docs.select(
         "source", F.explode(F.expr(words_expr("text", "spark"))).alias("w")
     ).select("source", F.substring(F.md5("w"), 1, 2).alias("b"))

@@ -214,6 +214,12 @@ def main() -> None:
                 ),
                 "complete",
             )
+            cases["source_drift_streaming"] = (
+                jobs.drift_state_from_stream(
+                    docs_stream(spark, docs_dir, n_doc_files)
+                ),
+                "complete",
+            )
         for name, (df, mode) in cases.items():
             wall, rows_in, progs = run_stream(spark, df, mode)
             ops = state_metrics(progs)
