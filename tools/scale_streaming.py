@@ -288,6 +288,19 @@ def write_md(results: dict) -> None:
         "eviction; the docstring's dropDuplicatesWithinWatermark swap",
         "note remains the production answer for that operator's dedup",
         "state. The |sources| agg row (20, flat) is valid evidence.",
+        "streaming_dedup's flat 99,983 peak is the r05 fix landing: with",
+        "plain dropDuplicates this same harness measured 10x-input-sized",
+        "state and ZERO evictions (state = full key history);",
+        "dropDuplicatesWithinWatermark holds one batch-horizon of keys and",
+        "evicts 9.9M. The join peaks (40,199 both variants) are the",
+        "interval-window content (views held 6h past the watermark + the",
+        "purchase batch), constant across a 10x longer stream; the left",
+        "join evicts fewer rows because null-extended views emit (and",
+        "clear) only at watermark advance. source_drift_streaming's",
+        "3,720 -> 5,120 is the state FILLING its hard cap, not growth:",
+        "the cap is exactly |sources| x 256 buckets = 5,120 rows, which",
+        "sf10 reaches (every source has touched every md5 bucket) — more",
+        "stream cannot add a row beyond it.",
     ]
     with open("/root/repo/SCALING_STREAMING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
