@@ -100,7 +100,6 @@ PRIORITY = [
     #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_embedding",
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
     #    probe of a corpus signature index + candidate-only verify) --
     "dedup_incremental",
@@ -120,8 +119,10 @@ PRIORITY = [
     #    feature space, no vocab relation; wordcount-shaped combine) --
     "feature_hashing",
     # -- NEW r05 (late add): batch BM25 retrieval — query TABLE joined
-    #    against the corpus, per-query window top-k --
+    #    against the corpus, per-query window top-k — and the hybrid
+    #    lexical->dense re-rank over those candidates only --
     "bm25_topk_batch",
+    "hybrid_retrieval",
 
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
@@ -202,6 +203,7 @@ PRIORITY = [
     "funnel_completion",
     "stream_static_join",
     "dedup_simhash",
+    "dedup_embedding",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

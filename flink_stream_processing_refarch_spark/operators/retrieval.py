@@ -409,11 +409,97 @@ FROM ranked WHERE rank <= {BM25B_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical candidates -> embedding-cosine re-rank
+# ---------------------------------------------------------------------------
+
+HY_TOP = 3  # re-ranked results kept per query
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (lexical -> dense) retrieval, the standard RAG serving
+    composition: BM25 produces BM25B_TOP candidates per query
+    (bm25_topk_batch — cheap, index-backed), then ONLY those candidates
+    are re-ranked by embedding cosine between the query's vector and
+    each candidate's vector, keeping HY_TOP. The testdata aligns
+    doc_id == vec_id 1:1.
+
+    This is the shape that makes dense retrieval affordable at 100 TB:
+    the expensive vector math runs on |queries| x BM25B_TOP rows, never
+    the corpus — the same candidates-only discipline as ngram_jaccard.
+    Cosine uses the repo's exact-integer embedding quantization
+    (semantic._quant_expr / _doti, fuzz-proven bit-identical across
+    engines), so the re-rank order is engine-stable; ties break to the
+    lower doc_id."""
+    from pyspark.sql import Window
+
+    from .semantic import _doti, _quant_expr
+
+    cands = q_bm25_topk_batch(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_quant_expr("embedding", "spark")).alias("vq")
+    )
+    qe = emb.select(F.col("vec_id").alias("qid"), F.col("vq").alias("qv"))
+    de = emb.select(F.col("vec_id").alias("did"), F.col("vq").alias("dv"))
+    cos = (
+        "round(CAST(" + _doti("qv", "dv", "spark") + " AS DOUBLE)"
+        " / (sqrt(CAST(" + _doti("qv", "qv", "spark") + " AS DOUBLE))"
+        " * sqrt(CAST(" + _doti("dv", "dv", "spark") + " AS DOUBLE))), 6)"
+    )
+    scored = (
+        cands.join(F.broadcast(qe), cands.query_id == qe.qid)
+        .join(F.broadcast(de), cands.doc_id == de.did)
+        .select("query_id", "doc_id", "bm25", F.expr(cos).alias("cos"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("hybrid_rank", rn)
+        .filter(F.col("hybrid_rank") <= HY_TOP)
+        .select("query_id", "doc_id", "bm25", "cos", "hybrid_rank")
+    )
+
+
+# Composes bm25_topk_batch, which persists its query dimension during
+# plan build — same plan-cache exemption.
+q_hybrid_retrieval.stateful_build = True
+
+
+def _hybrid_retrieval_sql() -> str:
+    from .semantic import _doti, _quant_expr
+
+    d = "duckdb"
+    cos = (
+        "round(CAST(" + _doti("q.vq", "e.vq", d) + " AS DOUBLE)"
+        " / (sqrt(CAST(" + _doti("q.vq", "q.vq", d) + " AS DOUBLE))"
+        " * sqrt(CAST(" + _doti("e.vq", "e.vq", d) + " AS DOUBLE))), 6)"
+    )
+    return f"""
+WITH cands AS (SELECT * FROM ({_bm25_topk_batch_sql()}) t),
+ev AS (SELECT vec_id, {_quant_expr("embedding", d)} AS vq FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.doc_id, c.bm25, {cos} AS cos
+  FROM cands c
+  JOIN ev q ON c.query_id = q.vec_id
+  JOIN ev e ON c.doc_id = e.vec_id),
+ranked AS (
+  SELECT query_id, doc_id, bm25, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id ASC)
+              AS INT) AS hybrid_rank
+  FROM scored)
+SELECT query_id, doc_id, bm25, cos, hybrid_rank
+FROM ranked WHERE hybrid_rank <= {HY_TOP}
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "inverted_index": q_inverted_index,
     "bm25_score": q_bm25_score,
     "bm25_topk_batch": q_bm25_topk_batch,
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 ORACLES = {
@@ -421,4 +507,5 @@ ORACLES = {
     "inverted_index": _inverted_index_sql(),
     "bm25_score": _bm25_sql(),
     "bm25_topk_batch": _bm25_topk_batch_sql(),
+    "hybrid_retrieval": _hybrid_retrieval_sql(),
 }

@@ -117,3 +117,27 @@ def test_bm25_topk_batch_ranking_invariants(spark):
             assert (a.bm25, -a.doc_id) >= (b.bm25, -b.doc_id)
         for r in rs:
             assert 1 <= r.n_terms <= retrieval.BM25B_QWORDS
+
+
+def test_hybrid_rerank_is_a_cosine_reorder_of_bm25_candidates(spark):
+    """Every hybrid result is one of that query's BM25 candidates;
+    per query at most HY_TOP rows with contiguous ranks; cosine is in
+    [-1, 1] and non-increasing down the rank with doc_id tiebreak."""
+    from collections import defaultdict
+
+    cands = defaultdict(set)
+    for r in retrieval.q_bm25_topk_batch(spark, SF_DIR).collect():
+        cands[r.query_id].add(r.doc_id)
+    per = defaultdict(list)
+    for r in retrieval.q_hybrid_retrieval(spark, SF_DIR).collect():
+        per[r.query_id].append(r)
+    assert per
+    for qid, rs in per.items():
+        rs.sort(key=lambda r: r.hybrid_rank)
+        assert 1 <= len(rs) <= retrieval.HY_TOP
+        assert [r.hybrid_rank for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r.doc_id in cands[qid]
+            assert -1.0 <= r.cos <= 1.0
+        for a, b in zip(rs, rs[1:]):
+            assert (a.cos, -a.doc_id) >= (b.cos, -b.doc_id)
