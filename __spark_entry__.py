@@ -61,13 +61,22 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # (ingest-time codes sidecar + PQ_K/PQ_CAND recall retune + ADC LUT),
 # curriculum_order (wq zero-guard, oracle changed in lockstep), the
 # ln-quantized selection trio (shared-expression refactor), and the NEW
-# corpus_upsert_roundtrip (write-path oracle pairing), the four NEW
-# tpch_deep join-tree queries, and the NEW pq_ingest_streaming (codes
-# sidecar built as an incremental stream). Rotated out: six
-# driver-green-r04 entries over unchanged plans (minhash_signatures,
-# simhash, token_count_bpe, dedup_exact, dedup_survivors,
-# ngram_jaccard). Full registry still self-checked into
-# SELFCHECK_r05.md.
+# corpus_upsert_roundtrip (write-path oracle pairing), the seven NEW
+# tpch_deep join-tree queries (Q8/Q10/Q4/Q3 + late Q7/Q22/Q9), the NEW
+# pq_ingest_streaming (codes sidecar built as an incremental stream),
+# and the late-r05 operator wave (dedup_spans, containment_dedup,
+# kmeans_clusters, feature_hashing, bm25_topk_batch, hybrid_retrieval,
+# vocab_coverage, source_drift_streaming, bpe_train, bpe_token_count).
+# Rotated out: nineteen driver-green entries over since-unchanged
+# plans (minhash_signatures, simhash, token_count_bpe, dedup_exact,
+# dedup_survivors, ngram_jaccard, doc_chunks, bm25_score,
+# running_totals, time_rollup, asof_join, sliding_window_counts,
+# session_windows, skew_salted_join, retention_cohorts,
+# funnel_completion, stream_static_join, dedup_simhash,
+# dedup_embedding); the rotated events consumers' only r05 delta is
+# the shared value-identical materialization layout, driver-covered
+# through the thirteen events consumers still in-window. Full registry
+# still self-checked into SELFCHECK_r05.md.
 PRIORITY = [
     # -- flagship taxi (batch + streaming twins; events path changed r04) --
     "q1_pickup_count",
@@ -185,14 +194,15 @@ PRIORITY = [
     # Rotated out r04/r05 (every entry here is driver-green from an
     # earlier round over a plan unchanged since; the full registry is
     # still self-checked into SELFCHECK_r{N}.md each round).
-    # r05: ten driver-green, plan-unchanged entries ceded slots to
-    # the ten NEW r05 entries (corpus_upsert_roundtrip, the six
-    # tpch_deep join trees, pq_ingest_streaming, bpe_train,
-    # bpe_token_count): minhash_signatures, simhash, token_count_bpe,
-    # dedup_exact, dedup_survivors, ngram_jaccard, doc_chunks,
-    # bm25_score, running_totals, time_rollup (the last two stay
-    # bench-proven for the r05 file-count fix; their plans are
-    # otherwise unchanged since their r03 driver-green rows).
+    # r05: nineteen driver-green, plan-unchanged entries ceded slots
+    # to the nineteen NEW r05 entries (see the header comment for both
+    # full lists). The rotated events consumers (running_totals,
+    # time_rollup, asof_join, sliding_window_counts, session_windows,
+    # skew_salted_join, retention_cohorts, funnel_completion,
+    # stream_static_join) stay bench-proven for the r05 file-count
+    # fix; their plans are otherwise unchanged since their r03/r04
+    # driver-green rows, and the shared materialization is
+    # driver-covered by the in-window events consumers.
     "running_totals",
     "time_rollup",
     "asof_join",

@@ -446,11 +446,13 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (sqrt(CAST(" + _doti("qv", "qv", "spark") + " AS DOUBLE))"
         " * sqrt(CAST(" + _doti("dv", "dv", "spark") + " AS DOUBLE))), 6)"
     )
-    scored = (
-        cands.join(F.broadcast(qe), cands.query_id == qe.qid)
-        .join(F.broadcast(de), cands.doc_id == de.did)
-        .select("query_id", "doc_id", "bm25", F.expr(cos).alias("cos"))
-    )
+    # broadcast the TINY side (|queries| x BM25B_TOP candidate rows)
+    # into each embeddings scan — never the corpus-sized vector table;
+    # each join is then a broadcast-hash probe pruning the scan
+    with_q = qe.join(F.broadcast(cands), qe.qid == cands.query_id)
+    scored = de.join(
+        F.broadcast(with_q), with_q.doc_id == de.did
+    ).select("query_id", "doc_id", "bm25", F.expr(cos).alias("cos"))
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
     )

@@ -598,7 +598,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.max("rank").alias("top_rank"), F.max("cum").alias("covered_tokens"))
-        .join(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             "top_rank",
