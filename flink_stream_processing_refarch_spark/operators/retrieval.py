@@ -435,7 +435,10 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .semantic import _doti, _quant_expr
 
-    cands = q_bm25_topk_batch(spark, sf_dir)
+    # persist: the candidate result (|queries| x BM25B_TOP rows) feeds
+    # TWO broadcast builds below; without it the whole BM25 pipeline
+    # re-executes inside each broadcast barrier
+    cands = q_bm25_topk_batch(spark, sf_dir).persist()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_quant_expr("embedding", "spark")).alias("vq")
     )
