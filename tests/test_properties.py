@@ -509,3 +509,74 @@ def test_bm25_term_micros_cross_engine_bit_identical(spark, rows):
     )
     expect = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_word_bucket_pipeline_cross_engine_on_arbitrary_text(spark, texts):
+    """The words_expr -> md5_int60 -> bucket pipeline (feature_hashing's
+    per-row path, and the hash discipline every text operator shares)
+    must agree between engines on ARBITRARY unicode — empty strings,
+    runs of spaces, astral-plane characters — not just the ASCII-ish
+    oracle corpus. Compares the full exploded (doc, bucket, count)
+    relation."""
+    import duckdb as ddb
+    import pyarrow as pa
+
+    from flink_stream_processing_refarch_spark.functions.portable import (
+        md5_int60,
+        words_expr,
+    )
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema=["doc_id", "text"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in sdf.select(
+            "doc_id",
+            F.explode(F.expr(words_expr("text", "spark"))).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"{md5_int60('w', 'spark')} % 64").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .count()
+        .collect()
+    )
+    con = ddb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT doc_id, {md5_int60('w', 'duckdb')} % 64 AS bucket,
+                   count(*) AS n
+            FROM (SELECT doc_id, unnest({words_expr('text', 'duckdb')}) AS w
+                  FROM t)
+            GROUP BY doc_id, bucket
+            """
+        ).fetchall()
+    )
+    assert got == expect
