@@ -87,6 +87,9 @@ PRIORITY = [
     #    partial aggregates, merge-at-compaction; driver-checks the Q1
     #    result across a forced multi-batch split) --
     "taxi_pipeline_single_pass",
+    # -- NEW r05 (late add): per-window trending-cells leaderboard (the
+    #    Kibana-side view computed engine-side; window-partitioned rank) --
+    "trending_cells",
     # -- NEW r05: oracle-paired write path (write_partitioned_corpus ->
     #    upsert_corpus -> committed-files read-back vs DuckDB computing
     #    the same delta-wins merge) — closes the last pytest-only
@@ -170,7 +173,6 @@ PRIORITY = [
     # -- NEW r04: weighted-interleave curriculum schedule --
     "curriculum_order",
     "decontaminate",
-    "vocab_stats",
     # -- NEW r05 (late add): vocab coverage curve (power-of-two rank
     #    buckets -> exact ppm token coverage; integer log2 via bin()) --
     "vocab_coverage",
@@ -214,6 +216,7 @@ PRIORITY = [
     "stream_static_join",
     "dedup_simhash",
     "dedup_embedding",
+    "vocab_stats",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",
@@ -302,6 +305,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_trip_duration": taxi.q2_trip_duration,
         "trips_clean": taxi.q_trips_clean,
         "airport_trips": taxi.q_airport_trips,
+        "trending_cells": taxi.q_trending_cells,
         "q1_streaming": streaming_jobs.q1_streaming,
         "q2_streaming": streaming_jobs.q2_streaming,
     }
@@ -368,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "q2_trip_duration": sqlgen.q2_sql(),
         "trips_clean": sqlgen.trips_clean_sql(),
         "airport_trips": sqlgen.airport_trips_oracle_sql(),
+        "trending_cells": sqlgen.trending_cells_sql(),
         "q1_streaming": sqlgen.q1_streaming_sql(),
         "q2_streaming": sqlgen.q2_streaming_sql(),
     }

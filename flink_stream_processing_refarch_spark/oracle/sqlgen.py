@@ -50,6 +50,26 @@ def q1_sql() -> str:
     )
 
 
+def trending_cells_sql() -> str:
+    from ..plans.taxi import TREND_TOP
+
+    wend = window_end_ms_sql("dropoff_ms")
+    located = _geohash_layers(
+        _clean_trips_sql(), "pickup_lat", "pickup_lon", 6,
+        keep=["trip_id", "dropoff_ms"],
+    )
+    return (
+        f'SELECT "timestamp", location, pickup_count, rank FROM ('
+        f"SELECT location, count(*) AS pickup_count,"
+        f' {wend} - 1 AS "timestamp",'
+        f" CAST(row_number() OVER (PARTITION BY {wend}"
+        f" ORDER BY count(*) DESC, location ASC) AS INT) AS rank"
+        f" FROM ({located})"
+        f" GROUP BY location, {wend}"
+        f") WHERE rank <= {TREND_TOP}"
+    )
+
+
 def _airport_trips_sql() -> str:
     jfk = geo.near_jfk_sql("dropoff_lat", "dropoff_lon")
     lga = geo.near_lga_sql("dropoff_lat", "dropoff_lon")

@@ -90,6 +90,44 @@ def q2_trip_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_TOP = 5  # trending cells kept per window
+
+
+def q_trending_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 10-minute window, the TREND_TOP pickup cells by trip count
+    with their rank — the "trending locations" leaderboard the
+    reference's Kibana dashboard renders from Q1's output
+    (elasticsearch/kibana-visualizations-and-dashboard.json), computed
+    engine-side as a first-class query instead of in the serving layer.
+    Same derivation as Q1 up to the (location, window) counts; the
+    cutoff is a per-window rank (window partition = wend), no global
+    sort and no HAVING floor — quiet windows still report their top
+    cells. Ties break to the lexicographically first cell."""
+    trips = clean_trips(spark, sf_dir)
+    trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
+    trips = trips.withColumn("wend", F.expr(window_end_ms_sql("dropoff_ms")))
+    counts = trips.groupBy("wend", "location").agg(
+        F.count("*").alias("pickup_count")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("wend").orderBy(
+            F.desc("pickup_count"), F.asc("location")
+        )
+    )
+    return (
+        counts.withColumn("rank", rn)
+        .filter(F.col("rank") <= TREND_TOP)
+        .select(
+            (F.col("wend") - 1).alias("timestamp"),
+            "location",
+            "pickup_count",
+            "rank",
+        )
+    )
+
+
 def q_trips_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The P1-P4 filter chain + geohash projection (M1) as its own query —
     the shared prefix both reference queries consume."""

@@ -31,6 +31,24 @@ def test_airport_trips_matches_oracle(spark, duck):
     )
 
 
+def test_trending_cells_matches_oracle_and_q1_consistency(spark, duck):
+    assert_matches_oracle(
+        spark, duck, taxi.q_trending_cells, sqlgen.trending_cells_sql(),
+        min_rows=1,
+    )
+    # cross-query consistency: for every (window, cell) Q1 reports, the
+    # trending count for that cell (when ranked) must agree
+    trend = {
+        (r.timestamp, r.location): r.pickup_count
+        for r in taxi.q_trending_cells(spark, SF_DIR).collect()
+    }
+    assert trend
+    for r in taxi.q1_pickup_count(spark, SF_DIR).collect():
+        key = (r.timestamp, r.location)
+        if key in trend:
+            assert trend[key] == r.pickup_count
+
+
 def test_filter_chain_excludes_fixture_cases(spark):
     """FIXTURES.md §4: watermark rows, invalid coords, hole cells and
     out-of-region endpoints are all filtered; negative durations are kept."""
