@@ -122,6 +122,9 @@ PRIORITY = [
     # -- NEW r05 (late add): asymmetric containment verify of the LSH
     #    candidates (the excerpt/quote case Jaccard misses) --
     "containment_dedup",
+    # -- NEW r05 (late add): cross-source duplication matrix over the
+    #    verified near-dup pairs (provenance/licensing view) --
+    "dup_source_matrix",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -172,7 +175,6 @@ PRIORITY = [
     "kmeans_clusters",
     # -- NEW r04: weighted-interleave curriculum schedule --
     "curriculum_order",
-    "decontaminate",
     # -- NEW r05 (late add): vocab coverage curve (power-of-two rank
     #    buckets -> exact ppm token coverage; integer log2 via bin()) --
     "vocab_coverage",
@@ -217,6 +219,7 @@ PRIORITY = [
     "dedup_simhash",
     "dedup_embedding",
     "vocab_stats",
+    "decontaminate",
     "minhash_signatures",
     "simhash",
     "token_count_bpe",

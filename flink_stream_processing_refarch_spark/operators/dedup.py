@@ -510,6 +510,76 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs) — the plan cache must re-run it per call (plancache.py).
 q_ngram_jaccard.stateful_build = True
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance/licensing view:
+    for each unordered source pair, how many VERIFIED near-dup pairs
+    (the ngram_jaccard >= 0.5 output) span it. Off-diagonal cells are
+    the actionable signal (a crawl source plagiarizing another, or one
+    license-risky source leaking into a clean one); the diagonal is
+    within-source redundancy. Pair normalization: (least, greatest) of
+    the two source names, so each unordered pair lands in one cell.
+
+    Scale: the matrix derives from the already-candidate-bounded
+    verified pairs (never all-pairs); the source lookup is a join on
+    doc_id carrying (doc_id, source) only; output is bounded by
+    |sources|^2."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = corpus_df(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_x")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_y")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("source_x", "source_y").alias("source_a"),
+            F.greatest("source_x", "source_y").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+# Composes q_ngram_jaccard, which persists its candidate pairs during
+# plan build — same plan-cache exemption.
+q_dup_source_matrix.stateful_build = True
+
+DUP_SOURCE_MATRIX_SQL_T = """
+WITH corpus AS ({corpus}),
+sigs AS ({sigs}),
+bands AS ({band_rows}),
+""" + _bands_ok_cte() + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+wsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus
+),
+verified AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+    FROM pairs p
+    JOIN wsets a ON a.doc_id = p.doc_a
+    JOIN wsets b ON b.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_dup_pairs
+FROM verified v
+JOIN corpus sa ON v.doc_a = sa.doc_id
+JOIN corpus sb ON v.doc_b = sb.doc_id
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+"""
+
+
 CONTAIN_MIN = "0.8"  # excerpt threshold on the larger directional containment
 
 
@@ -1183,6 +1253,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_spans": q_dedup_spans,
     "containment_dedup": q_containment_dedup,
+    "dup_source_matrix": q_dup_source_matrix,
 }
 
 
@@ -1219,6 +1290,11 @@ def _oracles() -> dict[str, str]:
             sigs=_signatures_sql(d),
             band_rows=band_rows,
             cmin=CONTAIN_MIN,
+        ),
+        "dup_source_matrix": _fill(
+            DUP_SOURCE_MATRIX_SQL_T,
+            sigs=_signatures_sql(d),
+            band_rows=band_rows,
         ),
         "dedup_clusters": _fill(
             DEDUP_CLUSTERS_SQL_T, sigs=_signatures_sql(d), band_rows=band_rows

@@ -122,6 +122,22 @@ def test_containment_catches_exact_and_near_copies(spark):
         assert max(r.containment_a, r.containment_b) >= 0.8
 
 
+def test_dup_source_matrix_ties_out_to_verified_pairs(spark):
+    """Matrix cells partition the verified near-dup pairs: cell counts
+    sum to the ngram_jaccard pair count, and every cell is normalized
+    (source_a <= source_b) so each unordered pair lands once."""
+    cells = dedup.q_dup_source_matrix(spark, SF_DIR).collect()
+    assert cells
+    n_pairs = dedup.q_ngram_jaccard(spark, SF_DIR).count()
+    assert sum(r.n_dup_pairs for r in cells) == n_pairs
+    seen = set()
+    for r in cells:
+        assert r.source_a <= r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert r.n_dup_pairs > 0
+
+
 def test_dedup_clusters_merge_transitive_chains(spark):
     """doc ~ doc+1M (exact) and doc ~ doc+2M (near) implies all three get
     one cluster_id even though (doc+1M, doc+2M) may never pair directly —
