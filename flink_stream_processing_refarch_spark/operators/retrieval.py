@@ -319,42 +319,27 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    from ..functions.portable import md5_int60
-
-    # Exchange keys are 60-bit term hashes, not term strings (the
-    # lm_perplexity gram-md5 discipline): the (doc, term, tf) combine is
-    # the operator's dominant shuffle, and 8-byte keys cut it ~2x vs
-    # shipping words. Collisions at 2^60 are negligible at any corpus
-    # vocabulary (|terms|^2 / 2^61).
-    qh = queries.select(
-        "query_id", F.expr(md5_int60("word", "spark")).alias("wh")
-    )
-    qterms = qh.select("wh").distinct()
+    qterms = queries.select("word").distinct()
     tf = (
-        docs.select(
-            "doc_id",
-            "dl",
-            F.explode("words").alias("word"),
-        )
-        .select("doc_id", "dl", F.expr(md5_int60("word", "spark")).alias("wh"))
-        .join(F.broadcast(qterms), "wh", "left_semi")
-        .groupBy("doc_id", "dl", "wh")
+        docs.select("doc_id", "dl", F.explode("words").alias("word"))
+        .join(F.broadcast(qterms), "word", "left_semi")
+        .groupBy("doc_id", "dl", "word")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("wh").agg(F.count("*").alias("df"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "wh")
+        tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
         .select(
-            "doc_id", "wh", F.expr(_bm25_term_micros("spark")).alias("ts_u")
+            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
         )
     )
     pairs = (
-        scored.join(F.broadcast(qh), "wh")
+        scored.join(F.broadcast(queries), "word")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("ts_u").alias("bm25_micro"),
@@ -389,32 +374,27 @@ q_bm25_topk_batch.stateful_build = True
 
 
 def _bm25_topk_batch_sql() -> str:
-    from ..functions.portable import md5_int60
-
     w = words_expr("text", "duckdb")
     score = _bm25_term_micros("duckdb")
     qend = BM25B_QSTART + BM25B_QWORDS - 1
-    wh = md5_int60("word", "duckdb")
     return f"""
 WITH d AS (SELECT doc_id, len(words) AS dl, words
            FROM (SELECT doc_id, {w} AS words FROM documents)),
-q AS (SELECT query_id, {wh} AS wh FROM (
-        SELECT doc_id AS query_id,
-               unnest(list_distinct(words[{BM25B_QSTART}:{qend}])) AS word
-        FROM d WHERE doc_id % {BM25B_EVERY} = 0 AND dl >= {BM25B_MINDL})),
-tok AS (SELECT doc_id, dl, {wh} AS wh
-        FROM (SELECT doc_id, dl, unnest(words) AS word FROM d)),
-tf AS (SELECT doc_id, dl, wh, count(*) AS tf FROM tok
-       WHERE wh IN (SELECT wh FROM q) GROUP BY doc_id, dl, wh),
-dfreq AS (SELECT wh, count(*) AS df FROM tf GROUP BY wh),
+q AS (SELECT doc_id AS query_id,
+             unnest(list_distinct(words[{BM25B_QSTART}:{qend}])) AS word
+      FROM d WHERE doc_id % {BM25B_EVERY} = 0 AND dl >= {BM25B_MINDL}),
+tok AS (SELECT doc_id, dl, unnest(words) AS word FROM d),
+tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
+       WHERE word IN (SELECT word FROM q) GROUP BY doc_id, dl, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
 scored AS (
-  SELECT tf.doc_id, tf.wh, {score} AS ts_u
-  FROM tf JOIN dfreq USING (wh) CROSS JOIN st),
+  SELECT tf.doc_id, tf.word, {score} AS ts_u
+  FROM tf JOIN dfreq USING (word) CROSS JOIN st),
 pairs AS (
   SELECT q.query_id, s.doc_id, CAST(sum(ts_u) AS BIGINT) AS bm25_micro,
          count(*) AS n_terms
-  FROM scored s JOIN q ON s.wh = q.wh
+  FROM scored s JOIN q ON s.word = q.word
   GROUP BY q.query_id, s.doc_id),
 ranked AS (
   SELECT query_id, doc_id, bm25_micro, n_terms,
