@@ -90,6 +90,10 @@ PRIORITY = [
     # -- NEW r05 (late add): per-window trending-cells leaderboard (the
     #    Kibana-side view computed engine-side; window-partitioned rank) --
     "trending_cells",
+    # -- NEW r06: its streaming twin (windowed counts as an append-mode
+    #    streaming query, rank-per-window in the compaction — the
+    #    continuously-updating Kibana leaderboard engine-side) --
+    "trending_cells_streaming",
     # -- NEW r05: oracle-paired write path (write_partitioned_corpus ->
     #    upsert_corpus -> committed-files read-back vs DuckDB computing
     #    the same delta-wins merge) — closes the last pytest-only
@@ -138,6 +142,11 @@ PRIORITY = [
     #    lexical->dense re-rank over those candidates only --
     "bm25_topk_batch",
     "hybrid_retrieval",
+    # -- NEW r06: the same two with the query table as a REAL external
+    #    relation (stamp-keyed sidecar parquet scanned as its own dim;
+    #    corpus scanned once) — the production serving shape --
+    "bm25_topk_batch_ext",
+    "hybrid_retrieval_ext",
 
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact

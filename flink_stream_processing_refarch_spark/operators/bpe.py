@@ -54,7 +54,15 @@ _PAIRS = (
 
 
 def _sql_quote(tok: str) -> str:
-    return tok.replace("'", "''")
+    """Quote a learned token for inlining into the SPARK fold expression.
+    Spark's parser treats backslash as an escape character inside string
+    literals (DuckDB doesn't, but the oracle never inlines tokens — it
+    re-derives merges relationally), so corpus tokens containing
+    backslashes (data-reachable: tokens come straight from text split on
+    spaces) must double them BEFORE the quote doubling — else 'a\\b'
+    trains a different merge than DuckDB and a trailing backslash
+    swallows the closing quote (ADVICE r05)."""
+    return tok.replace("\\", "\\\\").replace("'", "''")
 
 
 #: (sf_dir, documents stamp) -> (merges list, final vocab DataFrame)
@@ -110,6 +118,12 @@ def _train(spark: SparkSession, sf_dir: str):
             a=_sql_quote(a), b=_sql_quote(b), m=_sql_quote(a + b)
         )
         vocab = vocab.withColumn("s", F.expr(fold)).localCheckpoint(eager=True)
+    # in-place regeneration of documents -> the old stamp's entry (and
+    # its checkpointed vocab blocks, reclaimed by the ContextCleaner
+    # once unreferenced) can never be served again; drop it
+    from ..schemas import evict_stale_stamp
+
+    evict_stale_stamp(_TRAIN_CACHE, key, 2)
     _TRAIN_CACHE[key] = (merges, vocab)
     return _TRAIN_CACHE[key]
 

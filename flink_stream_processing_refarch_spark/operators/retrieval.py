@@ -293,32 +293,64 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-(query, doc) totals and the top-k cutoff are exact integer
     arithmetic; the final rank is a window over query_id — shuffle keys
     are (query_id, doc_id), never text."""
-    docs = (
+    docs = _docs_words(spark, sf_dir)
+    # The query dimension is |corpus|/BM25B_EVERY x BM25B_QWORDS rows —
+    # kilobytes. It is referenced twice (semi-prune + fan-out); persist
+    # so the 100 TB corpus scan that derives it runs ONCE, not three
+    # times. (When the query table arrives as its own small input —
+    # ``q_bm25_topk_batch_ext`` — this is moot: the dim is its own tiny
+    # scan and re-reading it is free.)
+    queries = _derived_queries_dim(docs).persist()
+    return bm25_topk_from_queries(docs, queries)
+
+
+def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.col("text"), " ").alias("words"))
         .select("doc_id", "words", F.size("words").alias("dl"))
     )
-    # The query dimension is |corpus|/BM25B_EVERY x BM25B_QWORDS rows —
-    # kilobytes. It is referenced twice (semi-prune + fan-out); persist
-    # so the 100 TB corpus scan that derives it runs ONCE, not three
-    # times. (In production the query table arrives as its own small
-    # input and this is moot; the persist makes the derived-dim test
-    # shape scale-honest.)
-    queries = (
-        docs.filter(
-            (F.col("doc_id") % BM25B_EVERY == 0) & (F.col("dl") >= BM25B_MINDL)
-        )
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(
-                F.expr(
-                    f"array_distinct(slice(words, {BM25B_QSTART},"
-                    f" {BM25B_QWORDS}))"
-                )
-            ).alias("word"),
-        )
-        .persist()
+
+
+def _derived_queries_dim(docs: DataFrame) -> DataFrame:
+    """The deterministic test-shape query table: every BM25B_EVERY-th
+    doc's words [BM25B_QSTART, +BM25B_QWORDS), de-duplicated per query,
+    as (query_id, word) rows."""
+    return docs.filter(
+        (F.col("doc_id") % BM25B_EVERY == 0) & (F.col("dl") >= BM25B_MINDL)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"array_distinct(slice(words, {BM25B_QSTART},"
+                f" {BM25B_QWORDS}))"
+            )
+        ).alias("word"),
     )
+
+
+def bm25_topk_from_queries(
+    docs: DataFrame, queries: DataFrame, stats: DataFrame | None = None
+) -> DataFrame:
+    """The scoring body over any (query_id, word) query-term dimension —
+    shared by the derived-dim entry (``bm25_topk_batch``) and the
+    external-table entry (``bm25_topk_batch_ext``). ``queries`` is
+    referenced twice (LEFT SEMI token prune + scored fan-out); the
+    caller decides how that's cheap — persist for a corpus-derived dim,
+    nothing for a real small-table scan.
+
+    Document frequency is a window count over the pruned (doc, term)
+    combine, NOT a re-aggregated broadcast join: the broadcast build of
+    a ``tf.groupBy(word)`` subtree would re-execute the whole corpus
+    scan + explode inside the broadcast barrier (a second 100 TB pass;
+    also measured ~20% slower at sf0.1 — r06 grid), while the window
+    reuses the existing word-keyed exchange of rows that survived the
+    semi-prune. ``stats`` (one (n_docs, avgdl) row) defaults to an
+    inline corpus aggregate; the ext path passes the ingest-time stats
+    sidecar instead, which brings the plan to exactly ONE corpus scan.
+    """
+    from pyspark.sql import Window
+
     qterms = queries.select("word").distinct()
     tf = (
         docs.select("doc_id", "dl", F.explode("words").alias("word"))
@@ -326,17 +358,14 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "word")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+    if stats is None:
+        stats = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
         )
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
     )
     pairs = (
         scored.join(F.broadcast(queries), "word")
@@ -346,8 +375,6 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms"),
         )
     )
-    from pyspark.sql import Window
-
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
             F.desc("bm25_micro"), F.asc("doc_id")
@@ -371,6 +398,64 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Persists the derived query dimension during plan build — the plan
 # cache must re-run the build per call (plancache.py contract).
 q_bm25_topk_batch.stateful_build = True
+
+
+#: (sf_dir, documents stamp) -> materialized (query_id, word) parquet dir
+_QUERIES_SIDECAR_CACHE: dict = {}
+
+
+def queries_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the query table as its OWN parquet relation, once per
+    documents stamp (VERDICT r05 item 4). In production the query table
+    arrives as a real external input (a search log, an eval set); the
+    driver's testdata has no such table, so this sidecar IS that input —
+    written once, deterministically derived, then read back like any
+    small dimension table. The ``*_ext`` entries scan it directly, so
+    their plans show the query dim coming from its own file scan with
+    the corpus scanned exactly once."""
+    import os
+
+    from ..schemas import scratch_dir, table_stamp
+
+    key = (sf_dir, table_stamp(f"{sf_dir}/documents.parquet"))
+    path = _QUERIES_SIDECAR_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = scratch_dir("bm25_queries_")
+    docs = _docs_words(spark, sf_dir)
+    _derived_queries_dim(docs).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/queries"
+    )
+    # index-time corpus stats (one row): in production the ingest job
+    # maintains these; serving queries then never aggregate the corpus
+    docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats")
+    from ..schemas import evict_stale_stamp
+
+    evict_stale_stamp(_QUERIES_SIDECAR_CACHE, key, 1, remove_dirs=True)
+    _QUERIES_SIDECAR_CACHE[key] = out
+    return out
+
+
+def q_bm25_topk_batch_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_topk_batch`` with the query table read from its own
+    storage (the sidecar parquet) instead of derived inline from the
+    corpus scan — the production serving shape: queries are a real
+    external relation, the corpus is scanned ONCE for the token prune +
+    combine, and the tiny query scan backs both broadcast builds. The
+    (n_docs, avgdl) corpus stats come from the index-time sidecar too,
+    so the executed plan touches documents exactly once. Same scores,
+    same oracle."""
+    side = queries_table_path(spark, sf_dir)
+    queries = spark.read.parquet(f"{side}/queries")
+    stats = spark.read.parquet(f"{side}/stats")
+    return bm25_topk_from_queries(_docs_words(spark, sf_dir), queries, stats)
+
+
+# Writes the sidecar (first call per stamp) during plan build.
+q_bm25_topk_batch_ext.stateful_build = True
 
 
 def _bm25_topk_batch_sql() -> str:
@@ -431,14 +516,22 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (semantic._quant_expr / _doti, fuzz-proven bit-identical across
     engines), so the re-rank order is engine-stable; ties break to the
     lower doc_id."""
-    from pyspark.sql import Window
-
-    from .semantic import _doti, _quant_expr
-
     # persist: the candidate result (|queries| x BM25B_TOP rows) feeds
     # TWO broadcast builds below; without it the whole BM25 pipeline
     # re-executes inside each broadcast barrier
     cands = q_bm25_topk_batch(spark, sf_dir).persist()
+    return rerank_candidates(spark, sf_dir, cands)
+
+
+def rerank_candidates(
+    spark: SparkSession, sf_dir: str, cands: DataFrame
+) -> DataFrame:
+    """The dense re-rank over any (query_id, doc_id, bm25) candidate
+    relation (caller persists if it's expensive to recompute)."""
+    from pyspark.sql import Window
+
+    from .semantic import _doti, _quant_expr
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_quant_expr("embedding", "spark")).alias("vq")
     )
@@ -469,6 +562,18 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composes bm25_topk_batch, which persists its query dimension during
 # plan build — same plan-cache exemption.
 q_hybrid_retrieval.stateful_build = True
+
+
+def q_hybrid_retrieval_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over the EXTERNAL query table: BM25 candidates
+    from ``bm25_topk_batch_ext`` (query dim = its own parquet scan,
+    corpus scanned once), then the same candidates-only dense re-rank.
+    The full serving composition with every input a real relation."""
+    cands = q_bm25_topk_batch_ext(spark, sf_dir).persist()
+    return rerank_candidates(spark, sf_dir, cands)
+
+
+q_hybrid_retrieval_ext.stateful_build = True
 
 
 def _hybrid_retrieval_sql() -> str:
@@ -504,7 +609,9 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bm25_score": q_bm25_score,
     "bm25_topk_batch": q_bm25_topk_batch,
+    "bm25_topk_batch_ext": q_bm25_topk_batch_ext,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "hybrid_retrieval_ext": q_hybrid_retrieval_ext,
 }
 
 ORACLES = {
@@ -512,5 +619,9 @@ ORACLES = {
     "inverted_index": _inverted_index_sql(),
     "bm25_score": _bm25_sql(),
     "bm25_topk_batch": _bm25_topk_batch_sql(),
+    # the sidecar content is definitionally the derived dim, so the
+    # derived-dim oracle applies verbatim to the external-table entry
+    "bm25_topk_batch_ext": _bm25_topk_batch_sql(),
     "hybrid_retrieval": _hybrid_retrieval_sql(),
+    "hybrid_retrieval_ext": _hybrid_retrieval_sql(),
 }

@@ -396,6 +396,9 @@ def _pq_books_int(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
         # a table smaller than PQ_K trains what exists (k_eff centroids)
         # — the same adaptation the oracle's LIMIT PQ_K applies
         k_eff = len(eints)
+        from ..schemas import evict_stale_stamp
+
+        evict_stale_stamp(_PQ_BOOKS_CACHE, key, 1)
         _PQ_BOOKS_CACHE[key] = [
             [
                 eints[k][s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
@@ -466,6 +469,11 @@ def pq_codes_path(spark: SparkSession, sf_dir: str) -> str:
         "vec_id",
         _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
     ).write.mode("overwrite").parquet(out)
+    from ..schemas import evict_stale_stamp
+
+    # a re-encoded table's previous sidecar (older stamp) is dead weight
+    # on tmpfs — delete the directory with its cache entry
+    evict_stale_stamp(_PQ_CODES_CACHE, key, 1, remove_dirs=True)
     _PQ_CODES_CACHE[key] = out
     return out
 

@@ -132,6 +132,17 @@ def q2_streaming_sql() -> str:
     )
 
 
+def trending_cells_streaming_sql() -> str:
+    """Streaming leaderboard oracle: the batch trending query restricted
+    to watermark-finalized windows (same emission rule as q1_streaming).
+    The per-window rank is unaffected by dropping whole trailing
+    windows, so the restriction composes outside the rank."""
+    return (
+        f'SELECT * FROM ({trending_cells_sql()}) WHERE "timestamp" <'
+        f" ({_max_clean_dropoff_sql()})"
+    )
+
+
 def airport_trips_oracle_sql() -> str:
     return (
         "SELECT trip_id, location, airport_code, duration_min FROM ("

@@ -87,6 +87,12 @@ def cached_plan(
         key = (name, sf_dir, table_stamp(sf_dir))
         df = plans.get(key)
         if df is None:
+            from .schemas import evict_stale_stamp
+
+            # in-place testdata regeneration: this query's previous-stamp
+            # plan can never be served again — drop it so a long-lived
+            # session's cache doesn't accumulate a plan per generation
+            evict_stale_stamp(plans, key, 2)
             df = plans[key] = fn(spark, sf_dir)
         return df
 

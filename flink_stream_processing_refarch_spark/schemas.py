@@ -262,6 +262,39 @@ def scratch_dir(prefix: str) -> str:
     return out
 
 
+def evict_stale_stamp(
+    cache: dict,
+    key: tuple,
+    stamp_idx: int | tuple,
+    remove_dirs: bool = False,
+) -> None:
+    """Drop memo-cache entries that differ from ``key`` only at the
+    table-stamp position — i.e. older generations of the SAME
+    (sf_dir[, knobs]) entry after an in-place table regeneration
+    (VERDICT r05 item 6: without this, a long-lived session's stamp-keyed
+    memo caches and their scratch artifacts grow monotonically).
+    ``remove_dirs=True`` additionally deletes the evicted value as a
+    scratch directory path. ``stamp_idx`` may be a tuple when derived
+    knobs (e.g. a data-sized file count) change with the stamp. Call at
+    every insert site, BEFORE inserting the fresh key."""
+    idxs = stamp_idx if isinstance(stamp_idx, tuple) else (stamp_idx,)
+    stale = [
+        k
+        for k in cache
+        if k != key
+        and len(k) == len(key)
+        and all(k[i] == key[i] for i in range(len(key)) if i not in idxs)
+    ]
+    for k in stale:
+        v = cache.pop(k)
+        if remove_dirs and isinstance(v, str):
+            import shutil
+
+            shutil.rmtree(v, ignore_errors=True)
+            if v in _SCRATCH_DIRS:
+                _SCRATCH_DIRS.remove(v)
+
+
 def normalized_events_path(spark, sf_dir: str) -> str | None:
     """Path of a layout-normalized ``events`` materialization, or None.
 
@@ -314,6 +347,9 @@ def normalized_events_path(spark, sf_dir: str) -> str | None:
     out = scratch_dir("events_norm_")
     df = load_table(spark, sf_dir, "events", materialize=False)
     df.repartition(nfiles).write.mode("overwrite").parquet(out)
+    # stamp (and its derived nfiles) changed in place -> the previous
+    # generation's materialization is unreachable; drop dir + entry
+    evict_stale_stamp(_NORM_EVENTS_CACHE, key, (1, 3), remove_dirs=True)
     _NORM_EVENTS_CACHE[key] = out
     return out
 

@@ -331,6 +331,64 @@ def q2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(q2_stream_df(spark, sf_dir))
 
 
+def trending_counts_from_trips(trips: DataFrame) -> DataFrame:
+    """The streaming half of the trending-cells leaderboard: per
+    (10-min window, pickup geohash6) trip counts, append-mode — the same
+    windowed state as Q1 but WITHOUT the HAVING floor (a quiet window's
+    top cells still rank). State is watermark-bounded exactly like Q1's:
+    one row per in-flight (window, cell), closed windows emit once and
+    leave the store."""
+    trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
+    return (
+        trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
+        .agg(F.count("*").alias("pickup_count"))
+        .select(
+            "location",
+            "pickup_count",
+            (F.unix_millis("window.end") - 1).alias("timestamp"),
+        )
+    )
+
+
+def rank_trending(counts: DataFrame) -> DataFrame:
+    """Compaction-side rank over FINALIZED windows: top TREND_TOP cells
+    per window. Ranking needs the whole window's counts at once, which a
+    streaming append plan can't see until the watermark closes the
+    window — so the rank runs where the reference's stack ran it (the
+    Kibana dashboard over the ES sink,
+    elasticsearch/kibana-visualizations-and-dashboard.json): batch-side
+    over the emitted windows. The rank's input is post-aggregation
+    (|windows| x |active cells| rows, not trips), partitioned by window
+    — at 100 TB this is the cheap tail of the pipeline."""
+    from pyspark.sql import Window
+
+    from ..plans.taxi import TREND_TOP
+
+    rn = F.row_number().over(
+        Window.partitionBy("timestamp").orderBy(
+            F.desc("pickup_count"), F.asc("location")
+        )
+    )
+    return (
+        counts.withColumn("rank", rn)
+        .filter(F.col("rank") <= TREND_TOP)
+        .select("timestamp", "location", "pickup_count", "rank")
+    )
+
+
+def q_trending_cells_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``plans.taxi.q_trending_cells`` (VERDICT r05
+    item 3): the continuously-updating leaderboard the reference serves
+    from Kibana, computed engine-side — windowed counts as a streaming
+    query (watermark-finalized, append mode), rank-per-window in the
+    compaction over the sink. Emission rule matches q1_streaming: only
+    windows the final watermark closed appear."""
+    counts = _run_to_memory(
+        trending_counts_from_trips(stream_clean_trips(spark, sf_dir))
+    )
+    return rank_trending(counts)
+
+
 # ---------------------------------------------------------------------------
 # Extended streaming surface: stream-static join, stream-stream interval
 # join, and a custom stateful operator (applyInPandasWithState)
@@ -652,19 +710,37 @@ def corpus_ingest_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest: a local dedup pass at the landing zone, with global
     survivorship in the batch corpus build.
 
-    State shape: dedup state is one row per distinct (source, hash) —
-    on an unbounded stream, swap ``dropDuplicates`` for
-    ``dropDuplicatesWithinWatermark`` on ingest time to bound it; the
-    running totals state is |sources| rows. Text never crosses a
-    shuffle: the hash, token count, and keep flag are computed at the
-    source, and the dedup exchange carries (source, h, n_tokens) only.
+    State shape: dedup state is one row per distinct (source, hash)
+    WITHIN THE WATERMARK HORIZON — ``dropDuplicatesWithinWatermark`` on
+    ingest time drops a key's state once the watermark passes its event
+    time, so on an unbounded 100 TB stream state is O(rate x horizon),
+    not O(history) (the r05 streaming scale harness measured the plain
+    ``dropDuplicates`` alternative at input-sized state with zero
+    removals); the running totals state is |sources| rows. Text never
+    crosses a shuffle: the hash, token count, and keep flag are computed
+    at the source, and the dedup exchange carries (source, h, n_tokens)
+    only.
     """
     return corpus_ingest_from_stream(stream_documents(spark, sf_dir))
 
 
 def corpus_ingest_from_stream(docs: DataFrame) -> DataFrame:
     """The ingest transformation over any documents stream (source-
-    agnostic: file landing zone here, Kafka/Kinesis in production)."""
+    agnostic: file landing zone here, Kafka/Kinesis in production).
+
+    Ingest time: documents carry no timestamp column, so the event-time
+    the watermark tracks is derived deterministically from ``doc_id``
+    (micros = doc_id x 1000) — the local stand-in for the arrival
+    timestamp a landing zone / Kafka record supplies in production. The
+    horizon is 0 seconds, like ``streaming_dedup``: a key's state lives
+    until the watermark (max ingest time seen last batch) passes it, so
+    duplicates arriving in the same micro-batch — or before the horizon
+    expires — always dedup; SCALING_STREAMING.md shows the eviction
+    firing per batch with peak state bounded by the per-batch horizon.
+    Bounded single-batch replays (the oracle row) are unaffected: the
+    watermark only advances after the one batch, nothing evicts early,
+    and the kept-key set equals plain dropDuplicates' exactly.
+    """
     from ..operators.text import _exprs
 
     e = _exprs("spark")
@@ -673,13 +749,25 @@ def corpus_ingest_from_stream(docs: DataFrame) -> DataFrame:
         f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
         f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
     )
-    scored = docs.select(
-        "source",
-        F.md5("text").alias("h"),
-        F.expr(e["n_words"]).alias("n_tokens"),
-        F.expr(keep).alias("keep"),
-    ).filter(F.col("keep"))
-    deduped = scored.dropDuplicates(["source", "h"])
+    scored = (
+        docs.withColumn(
+            # +1s: the initial watermark is epoch 0 and the dedup
+            # operator drops rows at-or-before it as late — doc_id 0
+            # must still map above the epoch
+            "ingest_ts",
+            F.timestamp_micros(F.col("doc_id") * 1000 + 1_000_000),
+        )
+        .withWatermark("ingest_ts", "0 seconds")
+        .select(
+            "source",
+            F.md5("text").alias("h"),
+            F.expr(e["n_words"]).alias("n_tokens"),
+            F.expr(keep).alias("keep"),
+            "ingest_ts",
+        )
+        .filter(F.col("keep"))
+    )
+    deduped = scored.dropDuplicatesWithinWatermark(["source", "h"])
     return deduped.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1657,6 +1745,7 @@ QUERIES = {
     "stateful_sessionize": q_stateful_sessionize,
     "session_windows_streaming": q_session_windows_streaming,
     "taxi_pipeline_single_pass": q_taxi_pipeline_single_pass,
+    "trending_cells_streaming": q_trending_cells_streaming,
     "heavy_hitters_streaming": q_heavy_hitters_streaming,
     "quantile_histogram_streaming": q_quantile_histogram_streaming,
 }
@@ -1671,10 +1760,17 @@ def _q1_streaming_oracle() -> str:
     return sqlgen.q1_streaming_sql()
 
 
+def _trending_cells_streaming_oracle() -> str:
+    from ..oracle import sqlgen
+
+    return sqlgen.trending_cells_streaming_sql()
+
+
 ORACLES = {
     # Q1 via the single-pass partial-merge pipeline: same result
     # contract and emission rule as q1_streaming -> same oracle.
     "taxi_pipeline_single_pass": _q1_streaming_oracle(),
+    "trending_cells_streaming": _trending_cells_streaming_oracle(),
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,

@@ -50,3 +50,44 @@ def test_oracle_carries_vocab_through_empty_rounds(duck):
     assert con.execute(bpe.ORACLES["bpe_train"]).fetchall() == []
     # token counts still flow from the final vocab layer
     assert con.execute(bpe.ORACLES["bpe_token_count"]).fetchall() == [(1, 4, 4)]
+
+
+def test_backslash_tokens_train_identically(spark, duck, tmp_path):
+    """ADVICE r05: Spark unescapes backslash sequences in string
+    literals while DuckDB doesn't, so a corpus whose tokens carry
+    backslashes must still train the SAME merges in both engines
+    (tokens are inlined only into the Spark fold; _sql_quote doubles
+    backslashes before quote-doubling). Covers both the mid-token
+    backslash ('a\\b' -> '\b' backspace bug) and the trailing
+    backslash ('a\\' swallowing the closing quote -> analysis error)."""
+    import duckdb as ddb
+
+    sf = str(tmp_path)
+    texts = [
+        "\\a \\a \\a \\a x\\ x\\ x\\ q'\\ q'\\",
+        "\\a \\a b\\b b\\b b\\b x\\ q'\\",
+    ]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in bpe.q_bpe_train(spark, sf)
+        .orderBy("round")
+        .collect()
+    ]
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(
+        f"SELECT * FROM ({bpe.ORACLES['bpe_train']}) ORDER BY round"
+    ).fetchall()
+    assert got == want
+    assert any("\\" in r[1] or "\\" in r[2] for r in got)  # really exercised
+    # and the tokenizer-apply side agrees over the same learned vocab
+    got_tc = sorted(
+        tuple(r) for r in bpe.q_bpe_token_count(spark, sf).collect()
+    )
+    want_tc = sorted(con.execute(bpe.ORACLES["bpe_token_count"]).fetchall())
+    assert got_tc == want_tc

@@ -168,3 +168,67 @@ def test_cached_plan_still_recomputes_results(spark):
     fresh = q["semi_join"](spark, SF_DIR)
     assert fresh is not cached
     assert len(fresh.collect()) == n1 > 0
+
+
+def test_in_place_regeneration_evicts_stale_cache_entries(spark, tmp_path):
+    """VERDICT r05 item 6: stamp-keyed memo caches must RELEASE the old
+    generation when a table regenerates in place — the stale key leaves
+    the dict and stale scratch directories leave the disk, instead of
+    accumulating one dead entry per generation in a long-lived session."""
+    import os
+    import shutil
+    import time
+
+    from flink_stream_processing_refarch_spark import plancache
+    from flink_stream_processing_refarch_spark.operators import (
+        bpe,
+        retrieval,
+        similarity,
+    )
+
+    sf = str(tmp_path)
+    for t in ("documents", "embeddings", "events"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
+
+    def regen(table):
+        time.sleep(0.02)
+        src = f"{SF_DIR}/{table}.parquet"
+        dst = f"{sf}/{table}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst)  # new mtime -> new stamp
+
+    def entries(cache, pos, val):
+        return [k for k in cache if k[pos] == val]
+
+    # BPE train cache (stamp at key[2])
+    bpe._train(spark, sf)
+    assert len(entries(bpe._TRAIN_CACHE, 1, sf)) == 1
+    regen("documents")
+    bpe._train(spark, sf)
+    assert len(entries(bpe._TRAIN_CACHE, 1, sf)) == 1
+
+    # queries sidecar (stamp at key[1], value = scratch dir)
+    p1 = retrieval.queries_table_path(spark, sf)
+    regen("documents")
+    p2 = retrieval.queries_table_path(spark, sf)
+    assert p1 != p2
+    assert not os.path.isdir(p1) and os.path.isdir(p2)
+    assert len(entries(retrieval._QUERIES_SIDECAR_CACHE, 0, sf)) == 1
+
+    # PQ codes sidecar + codebooks (stamp at key[1])
+    c1 = similarity.pq_codes_path(spark, sf)
+    assert len(entries(similarity._PQ_BOOKS_CACHE, 0, sf)) == 1
+    regen("embeddings")
+    c2 = similarity.pq_codes_path(spark, sf)
+    assert c1 != c2
+    assert not os.path.isdir(c1) and os.path.isdir(c2)
+    assert len(entries(similarity._PQ_CODES_CACHE, 0, sf)) == 1
+    assert len(entries(similarity._PQ_BOOKS_CACHE, 0, sf)) == 1
+
+    # plan cache (per-session dict, stamp at key[2])
+    q = entry.queries()
+    q["time_rollup"](spark, sf)
+    regen("events")
+    q["time_rollup"](spark, sf)
+    skey = plancache._session_key(spark)
+    assert len(entries(plancache._CACHE[skey], 1, sf)) == 1

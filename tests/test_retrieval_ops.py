@@ -141,3 +141,43 @@ def test_hybrid_rerank_is_a_cosine_reorder_of_bm25_candidates(spark):
             assert -1.0 <= r.cos <= 1.0
         for a, b in zip(rs, rs[1:]):
             assert (a.cos, -a.doc_id) >= (b.cos, -b.doc_id)
+
+
+def test_ext_query_table_matches_derived(spark):
+    """The external-table entries read the query dim (and corpus stats)
+    from the stamp-keyed sidecar instead of deriving them inline; the
+    results must be row-identical to the derived-dim entries, and the
+    executed plan must scan `documents` exactly once (the point of the
+    ext shape — VERDICT r05 item 4)."""
+    derived = sorted(map(tuple, retrieval.q_bm25_topk_batch(spark, SF_DIR).collect()))
+    # earlier tests leak persisted candidate relations; a cache hit here
+    # would swap the whole plan for an InMemoryRelation (whose printout
+    # repeats its cached plan and double-counts the scan)
+    spark.catalog.clearCache()
+    ext_df = retrieval.q_bm25_topk_batch_ext(spark, SF_DIR)
+    # plan BEFORE execution: the AQE final plan prints reused shuffle
+    # stages with their whole subtree repeated, which double-counts scans
+    plan = ext_df._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert len(doc_scans) == 1, "\n".join(s.strip()[:300] for s in doc_scans)
+    assert sorted(map(tuple, ext_df.collect())) == derived
+    hyb_derived = sorted(
+        map(tuple, retrieval.q_hybrid_retrieval(spark, SF_DIR).collect())
+    )
+    hyb_ext = sorted(
+        map(tuple, retrieval.q_hybrid_retrieval_ext(spark, SF_DIR).collect())
+    )
+    assert hyb_ext == hyb_derived
+
+
+def test_queries_sidecar_is_stamp_stable(spark):
+    """Two calls under one table stamp reuse one sidecar directory."""
+    p1 = retrieval.queries_table_path(spark, SF_DIR)
+    p2 = retrieval.queries_table_path(spark, SF_DIR)
+    assert p1 == p2
+    import os
+
+    assert os.path.isdir(f"{p1}/queries") and os.path.isdir(f"{p1}/stats")

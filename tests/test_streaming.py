@@ -32,6 +32,33 @@ def test_q2_streaming_matches_oracle(spark, duck):
     )
 
 
+def test_trending_cells_streaming_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        jobs.q_trending_cells_streaming,
+        sqlgen.trending_cells_streaming_sql(),
+    )
+
+
+def test_trending_cells_streaming_multibatch(spark):
+    """The leaderboard's streaming half aggregates across micro-batches
+    (state store carries in-flight windows), so a forced multi-batch
+    replay ranks identically to the batch query restricted to
+    watermark-closed windows."""
+    from flink_stream_processing_refarch_spark.plans import taxi
+
+    mfpt = jobs.half_source_files(spark, SF_DIR)
+    counts = jobs._run_to_memory(
+        jobs.trending_counts_from_trips(
+            jobs.stream_clean_trips(spark, SF_DIR, maxFilesPerTrigger=mfpt)
+        )
+    )
+    got = jobs.rank_trending(counts)
+    expect = _watermark_restricted(spark, taxi.q_trending_cells(spark, SF_DIR))
+    assert _rows(got) == _rows(expect)
+
+
 import pytest
 
 
@@ -321,24 +348,41 @@ def test_pipeline_cli_wire_auto_decompress(spark, tmp_path, capsys):
 
 
 def test_corpus_ingest_streaming_multibatch(spark, duck, tmp_path):
-    """Corpus ingest (quality filter -> per-source dedup -> running
-    totals) over FOUR document chunk files with maxFilesPerTrigger=1:
-    dedup state and the running aggregation carry across micro-batches,
-    and the complete-mode snapshot equals the batch oracle. Duplicate
-    texts are injected across chunks so the dedup state is provably
-    exercised between batches."""
+    """Corpus ingest (quality filter -> watermark-bounded per-source
+    dedup -> running totals) over FOUR time-ordered document chunk files
+    with maxFilesPerTrigger=1. The r06 contract: dedup state lives for
+    the watermark horizon, so (a) duplicate copies arriving WITHIN the
+    horizon (here: same micro-batch, under fresh in-range doc_ids /
+    ingest times) are deduplicated by state, and (b) verbatim
+    re-deliveries of an earlier chunk land BELOW the watermark and are
+    dropped as late — both redelivery shapes end up excluded, so the
+    complete-mode snapshot still equals the batch-distinct oracle over
+    the original table."""
     from pyspark.sql import functions as F
 
     from flink_stream_processing_refarch_spark.schemas import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     src = str(tmp_path / "doc_chunks")
     n_chunks = 4
+    step = (hi - lo) // n_chunks + 1
     for i in range(n_chunks):
-        chunk = docs.filter(F.col("doc_id") % n_chunks == i)
-        if i > 0:  # re-deliver chunk 0's docs: cross-batch duplicates
+        # contiguous doc_id range = contiguous ingest-time band: the
+        # watermark advances monotonically across chunk files
+        chunk = docs.filter(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        )
+        # (a) in-horizon duplicates: every 5th doc of THIS chunk
+        # delivered twice in the same file — same (source, h) key at an
+        # in-horizon ingest time, so the dedup STATE (not the late
+        # filter) must drop the second copy
+        dup = chunk.filter(F.col("doc_id") % 5 == 0)
+        chunk = chunk.unionByName(dup)
+        if i > 0:  # (b) late redelivery of chunk 0's docs
             chunk = chunk.unionByName(
-                docs.filter(F.col("doc_id") % n_chunks == 0)
+                docs.filter(F.col("doc_id") < lo + step)
             )
         chunk.coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
     import glob as _glob
@@ -791,3 +835,45 @@ def test_decontaminate_streaming_multibatch(spark, duck, tmp_path):
     # exist by construction of the synthetic corpus
     n_training = docs.filter(F.col("doc_id") % EVAL_MOD != 0).count()
     assert out.count() < n_training
+
+
+def test_streaming_dedup_multibatch_semantics_pinned(spark):
+    """ADVICE r05: the registry's streaming_dedup replays WITHOUT
+    maxFilesPerTrigger (single micro-batch), which is what makes
+    dropDuplicatesWithinWatermark oracle-equal to batch DISTINCT. This
+    pin documents the multi-batch shape: with the source split into
+    ~2 batches (half_source_files) and a 0-second horizon, keys whose
+    occurrences span the batch boundary MAY re-emit after their state
+    is evicted — so the emitted key SET still equals the batch
+    distinct (nothing is lost: late rows re-ADMIT under
+    dropDuplicatesWithinWatermark rather than being dropped), while
+    the emitted row count may exceed it. If a future round makes the
+    registry entry multi-batch the way heavy_hitters/quantile were,
+    this is the contract to reconcile with the oracle first."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.sources.trips import (
+        load_events,
+    )
+
+    mfpt = jobs.half_source_files(spark, SF_DIR)
+    ev = jobs.stream_events(
+        spark, SF_DIR, maxFilesPerTrigger=mfpt
+    ).withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = jobs._run_to_memory(jobs.streaming_dedup_from_events(ev))
+    got = [tuple(r) for r in out.collect()]
+    distinct = set(
+        tuple(r)
+        for r in load_events(spark, SF_DIR)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "(ts DIV 1000000) - (ts DIV 1000000) % 60000"
+            ).alias("minute_ms"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert set(got) == distinct  # no key lost across the split
+    assert len(got) >= len(distinct)  # re-emission is the allowed excess

@@ -8,10 +8,17 @@ sf0.1 tables, so duplicate DENSITY per unit of corpus is constant and a
 scaling measurement needs (naive tiling would make every doc a 10-way
 exact dup and measure output blowup, not algorithmic growth):
 
-- documents: replica k > 0 suffixes every word with ``_rk`` — shingle /
-  vocab / signature spaces are disjoint across replicas, while the
-  within-replica near-dup structure the driver injected is preserved
-  verbatim. doc_id offset by k * 10_000_000; n_chars recomputed.
+- documents: replica k > 0 suffixes every CONTENT word with ``_rk``,
+  leaving the EN_STOP stopwords untouched — shingle / vocab / signature
+  spaces are (near-)disjoint across replicas (any shingle containing a
+  content word differs; pure-stopword shingles are a negligible shared
+  sliver), while the within-replica near-dup structure the driver
+  injected is preserved verbatim AND per-doc stopword counts — hence
+  the quality-gate admission decision — are identical to replica 0.
+  (The r05 scheme suffixed stopwords too, so replicas k > 0 had zero
+  stopwords, failed the corpus-ingest quality gate, and the streaming
+  dedup-state measurement saw only replica 0's docs — VERDICT r05
+  item 2.) doc_id offset by k * 10_000_000; n_chars recomputed.
 - embeddings: replica k multiplies the vector elementwise by a
   deterministic Rademacher (+/-1) pattern seeded by k. Sign flips
   preserve every within-replica dot product exactly
@@ -38,6 +45,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, "/root/repo")
+
+from flink_stream_processing_refarch_spark.operators.text import (  # noqa: E402
+    EN_STOP,
+)
+
+#: bump when the replica construction changes — stale corpora regenerate
+SCHEME = "stopword-preserving-v2"
+_STOP = frozenset(EN_STOP)
+
 SRC = "/root/testdata/sf0.1"
 OUT = os.environ.get("SCALE_OUT_DIR", "/dev/shm/graft_sf1")
 # 10 replicas = sf1 (the default decade); SCALE_REPLICAS=100 with
@@ -56,9 +73,10 @@ def main() -> None:
     marker = os.path.join(OUT, "SOURCE_STAMP.json")
     if os.path.exists(marker):
         with open(marker) as f:
-            if json.load(f).get("stamp") == _src_stamp():
-                print(f"up to date: {OUT}")
-                return
+            m = json.load(f)
+        if m.get("stamp") == _src_stamp() and m.get("scheme") == SCHEME:
+            print(f"up to date: {OUT}")
+            return
 
     docs = pq.read_table(f"{SRC}/documents.parquet")
     embs = pq.read_table(f"{SRC}/embeddings.parquet")
@@ -74,7 +92,12 @@ def main() -> None:
             t_k = text
         else:
             suf = f"_r{k}"
-            t_k = [" ".join(w + suf for w in t.split(" ")) for t in text]
+            t_k = [
+                " ".join(
+                    w if w in _STOP else w + suf for w in t.split(" ")
+                )
+                for t in text
+            ]
         tbl = pa.table(
             {
                 "doc_id": pa.array(doc_id + k * ID_OFFSET, type=pa.int64()),
@@ -87,7 +110,13 @@ def main() -> None:
                 ),
             }
         )
-        pq.write_table(tbl, f"{OUT}/documents.parquet/part-{k:02d}.parquet")
+        dst_part = f"{OUT}/documents.parquet/part-{k:02d}.parquet"
+        pq.write_table(tbl, dst_part)
+        # strictly increasing mtimes: the streaming harness replays these
+        # files as micro-batches; file-source order then matches the
+        # doc_id-derived ingest time, so the watermark advances
+        # monotonically (same trick as scale_streaming.build_events)
+        os.utime(dst_part, ns=(k * 10**9, k * 10**9))
 
     vec_id = embs.column("vec_id").to_numpy()
     mat = np.asarray(embs.column("embedding").to_pylist(), dtype=np.float32)
@@ -126,7 +155,9 @@ def main() -> None:
             os.symlink(f"{SRC}/{t}.parquet", dst)
 
     with open(marker, "w") as f:
-        json.dump({"stamp": _src_stamp(), "replicas": REPLICAS}, f)
+        json.dump(
+            {"stamp": _src_stamp(), "replicas": REPLICAS, "scheme": SCHEME}, f
+        )
     n_docs = docs.num_rows * REPLICAS
     n_vecs = embs.num_rows * REPLICAS
     print(f"wrote {OUT}: {n_docs} docs, {n_vecs} vectors", file=sys.stderr)

@@ -208,9 +208,14 @@ def main() -> None:
             n_doc_files = len(
                 [f for f in os.listdir(docs_dir) if f.endswith(".parquet")]
             )
+            # mfpt=1 (one replica per batch), like the other
+            # watermark-bounded operators: the dedup horizon is per-batch
+            # event-time span, which this holds CONSTANT across scales
             cases["corpus_ingest_streaming"] = (
                 jobs.corpus_ingest_from_stream(
-                    docs_stream(spark, docs_dir, n_doc_files)
+                    spark.readStream.schema(jobs.DOCS_SCHEMA)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(docs_dir)
                 ),
                 "complete",
             )
@@ -280,27 +285,32 @@ def write_md(results: dict) -> None:
         "Spark retains (last ~100); runs with >100 micro-batches",
         "under-report input slightly — peak state and evictions are",
         "unaffected at the peak. Complete-mode sketches never evict by",
-        "design: their state IS the bounded result. HONESTY CAVEAT on",
-        "corpus_ingest's dedupe row: the scale corpus suffixes every",
-        "word per replica (_rk), so replicas k>0 have zero stopwords and",
-        "the quality gate keeps only replica 0's 4,239 docs (verified) —",
-        "its flat dedupe state reflects that data artifact, NOT",
-        "eviction; the docstring's dropDuplicatesWithinWatermark swap",
-        "note remains the production answer for that operator's dedup",
-        "state. The |sources| agg row (20, flat) is valid evidence.",
-        "streaming_dedup's flat 99,983 peak is the r05 fix landing: with",
+        "design: their state IS the bounded result.",
+        "corpus_ingest_streaming (r06): dedup is now",
+        "dropDuplicatesWithinWatermark on the doc_id-derived ingest time",
+        "(streaming/jobs.py corpus_ingest_from_stream), replayed one",
+        "replica per micro-batch over the r06 stopword-preserving scale",
+        "corpus — every replica passes the quality gate now (the r05",
+        "corpus suffixed stopwords too, so only replica 0 was admitted",
+        "and the old flat reading was a data artifact). Its",
+        "dedupeWithinWatermark row must show peak state ~ one replica's",
+        "kept (source, hash) keys — FLAT across a 10x longer stream —",
+        "with cumulative evictions ~ total kept docs (the watermark",
+        "clearing each batch's keys as the next replica advances it).",
+        "The |sources| agg row stays flat at 20 by construction.",
+        "streaming_dedup's flat peak is the r05 fix landing: with",
         "plain dropDuplicates this same harness measured 10x-input-sized",
         "state and ZERO evictions (state = full key history);",
-        "dropDuplicatesWithinWatermark holds one batch-horizon of keys and",
-        "evicts 9.9M. The join peaks (40,199 both variants) are the",
+        "dropDuplicatesWithinWatermark holds one batch-horizon of keys",
+        "and evicts ~the whole input. The join peaks are the",
         "interval-window content (views held 6h past the watermark + the",
         "purchase batch), constant across a 10x longer stream; the left",
         "join evicts fewer rows because null-extended views emit (and",
         "clear) only at watermark advance. source_drift_streaming's",
-        "3,720 -> 5,120 is the state FILLING its hard cap, not growth:",
-        "the cap is exactly |sources| x 256 buckets = 5,120 rows, which",
-        "sf10 reaches (every source has touched every md5 bucket) — more",
-        "stream cannot add a row beyond it.",
+        "growth toward 5,120 is the state FILLING its hard cap, not",
+        "leaking: the cap is exactly |sources| x 256 buckets = 5,120",
+        "rows, which sf10 reaches (every source has touched every md5",
+        "bucket) — more stream cannot add a row beyond it.",
     ]
     with open("/root/repo/SCALING_STREAMING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
