@@ -51,6 +51,18 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
+# r06 rotation: three NEW entries enter the window
+# (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext)
+# and push out the three entries ending the r05 window —
+# stream_stream_join / stream_stream_left_join / streaming_dedup, each
+# driver-green in r05 over plans UNCHANGED in r06 (streaming_dedup's r06
+# delta is a pinned-invariant TEST only). Every r06-changed plan already
+# holds a slot: corpus_ingest_streaming (watermark-bounded dedup),
+# bm25_topk_batch + hybrid_retrieval (window-count document frequency,
+# one-corpus-scan shape shared with the ext twins), bpe_train +
+# bpe_token_count (backslash-safe token quoting in the fold). The
+# LEDGER.md table (tools/make_ledger.py) records every entry's last
+# driver-green round mechanically.
 # r05 rotation: every query whose plan changed this round holds a
 # window slot — the events consumers (normalized materialization now
 # data-sized, maxFilesPerTrigger adaptive: q1/q2 + streaming twins,
@@ -200,10 +212,13 @@ PRIORITY = [
     #    driver-provable row for the Spark-4 arbitrary-state API --
     "tws_user_totals",
     "session_windows_streaming",
+    # ---- entries below are past the driver's 50-entry window ----
+    # Rotated out r06 (slots ceded to the three NEW r06 entries): the
+    # stream-stream joins and streaming_dedup, all driver-green r05
+    # over r06-unchanged plans (streaming_dedup's r06 delta is a test).
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
-    # ---- entries below are past the driver's 50-entry window ----
     # Rotated out r04/r05 (every entry here is driver-green from an
     # earlier round over a plan unchanged since; the full registry is
     # still self-checked into SELFCHECK_r{N}.md each round).
