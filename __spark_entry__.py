@@ -51,12 +51,14 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r06 rotation: three NEW entries enter the window
-# (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext)
-# and push out the three entries ending the r05 window —
-# stream_stream_join / stream_stream_left_join / streaming_dedup, each
-# driver-green in r05 over plans UNCHANGED in r06 (streaming_dedup's r06
-# delta is a pinned-invariant TEST only). Every r06-changed plan already
+# r06 rotation: five NEW entries enter the window
+# (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
+# memorization_risk, knn_label_accuracy) and push out five r05-green
+# entries whose plans are UNCHANGED in r06 — stream_stream_join /
+# stream_stream_left_join / streaming_dedup (its r06 delta is a
+# pinned-invariant TEST only) and the two Python-state API
+# demonstrators stateful_sessionize / tws_user_totals. Every
+# r06-changed plan already
 # holds a slot: corpus_ingest_streaming (watermark-bounded dedup),
 # bm25_topk_batch + hybrid_retrieval (window-count document frequency,
 # one-corpus-scan shape shared with the ext twins), bpe_train +
@@ -141,6 +143,10 @@ PRIORITY = [
     # -- NEW r05 (late add): cross-source duplication matrix over the
     #    verified near-dup pairs (provenance/licensing view) --
     "dup_source_matrix",
+    # -- NEW r06: memorization-risk audit (total-corpus-frequency span
+    #    windows over RAW documents; Carlini-style repetition signal,
+    #    same no-self-join hash-window skeleton as dedup_spans) --
+    "memorization_risk",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -183,6 +189,9 @@ PRIORITY = [
     #    stream (exactly-once parquet sink; shared codes-CTE oracle) --
     "pq_ingest_streaming",
     "ann_lsh_multiprobe",
+    # -- NEW r06: embedding-space EVAL as a query (exact-kNN label vote
+    #    over quantized integer dots; per-label accuracy in exact ppm) --
+    "knn_label_accuracy",
     # -- NEW r04: event-stream product analytics (ordered funnel,
     #    retention cohorts — the reference domain's next two queries) --
     # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
@@ -206,16 +215,17 @@ PRIORITY = [
     #    source scan now goes through the normalized materialization) --
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
-    "stateful_sessionize",
-    # -- NEW r04: transformWithStateInPandas, unblocked by the vendored
-    #    miniproto protobuf runtime (vendor/miniproto) — first-ever
-    #    driver-provable row for the Spark-4 arbitrary-state API --
-    "tws_user_totals",
     "session_windows_streaming",
     # ---- entries below are past the driver's 50-entry window ----
-    # Rotated out r06 (slots ceded to the three NEW r06 entries): the
-    # stream-stream joins and streaming_dedup, all driver-green r05
-    # over r06-unchanged plans (streaming_dedup's r06 delta is a test).
+    # Rotated out r06 (slots ceded to the five NEW r06 entries): the
+    # stream-stream joins and streaming_dedup plus the two Python-state
+    # API demonstrators (stateful_sessionize, tws_user_totals) — all
+    # driver-green r05 over r06-unchanged plans (streaming_dedup's r06
+    # delta is a pinned-invariant test only).
+    "stateful_sessionize",
+    # transformWithStateInPandas, unblocked r04 by the vendored
+    # miniproto protobuf runtime (vendor/miniproto)
+    "tws_user_totals",
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",

@@ -1218,6 +1218,79 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEM_T = 3  # corpus frequency at/above which a span window counts risky
+
+
+def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (Carlini et al. 2023, "Quantifying
+    Memorization Across Neural Language Models": sequences repeated in
+    the corpus are extracted at sharply higher rates; Lee et al. 2022
+    §6 ties the same repetition to degraded LMs): per document, the
+    exact fraction (ppm) of its SPAN_W-word windows whose TOTAL corpus
+    frequency — counting within-doc repeats, unlike ``dedup_spans``'
+    cross-doc distinct-document test — reaches MEM_T. High-mem_ppm docs
+    are down-weighted or dropped before training.
+
+    Plan shape = the dedup_spans skeleton over the RAW documents table:
+    (doc_id, 60-bit hash) combine -> per-hash total via one
+    hash-partition window (no self-join) -> per-doc rollup. Exchanged
+    rows carry 8-byte hashes + counts only; same 10x-per-decade shuffle
+    law as dedup_spans (SCALING_DECADE2.md). All docs with >= 1 window
+    are emitted (it's a per-doc score like token_stats, not a
+    flagged-only audit)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_expr("text", "spark")
+    from ..functions.portable import md5_int60
+
+    span_h = md5_int60(f"concat_ws(' ', slice({w}, i + 1, {SPAN_W}))", "spark")
+    grams = (
+        f"CASE WHEN size({w}) >= {SPAN_W} THEN "
+        f"transform(sequence(0, size({w}) - {SPAN_W}), i -> {span_h}) "
+        f"ELSE array() END"
+    )
+    spans = docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
+    per = spans.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    tot = per.withColumn("tot", F.sum("c").over(Window.partitionBy("h")))
+    return (
+        tot.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(
+                F.when(F.col("tot") >= MEM_T, F.col("c")).otherwise(F.lit(0))
+            ).alias("n_risky"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_risky",
+            F.expr(
+                "n_risky * CAST(1000000 AS BIGINT) DIV n_windows"
+            ).alias("mem_ppm"),
+        )
+    )
+
+
+def _memorization_risk_sql() -> str:
+    from ..functions.portable import md5_int60
+
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH ws AS (SELECT doc_id, {w} AS w FROM documents),
+sp AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w) - {SPAN_W} + 2),
+                     i -> {md5_int60(f"array_to_string(w[i:i + {SPAN_W - 1}], ' ')", "duckdb")})) AS h
+       FROM ws WHERE len(w) >= {SPAN_W}),
+per AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY doc_id, h),
+tot AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY h) AS tot FROM per)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN tot >= {MEM_T} THEN c ELSE 0 END) AS BIGINT)
+         AS n_risky,
+       CAST(sum(CASE WHEN tot >= {MEM_T} THEN c ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(sum(c) AS BIGINT) AS mem_ppm
+FROM tot GROUP BY doc_id
+"""
+
+
 def _dedup_spans_sql() -> str:
     from ..functions.portable import md5_int60
 
@@ -1254,6 +1327,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "containment_dedup": q_containment_dedup,
     "dup_source_matrix": q_dup_source_matrix,
+    "memorization_risk": q_memorization_risk,
 }
 
 
@@ -1301,6 +1375,7 @@ def _oracles() -> dict[str, str]:
         ),
         "dedup_embedding": _dedup_embedding_sql(),
         "dedup_spans": _dedup_spans_sql(),
+        "memorization_risk": _memorization_risk_sql(),
     }
 
 

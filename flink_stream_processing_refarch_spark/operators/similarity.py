@@ -719,8 +719,123 @@ FROM m
 """
 
 
+KNN_EVERY = 50  # every 50th vector is an eval query
+KNN_K = 5       # neighbours voting per query
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality EVALUATION as a first-class query: exact-kNN
+    label accuracy over the ``embeddings`` table's labels. Every
+    KNN_EVERY-th vector is a held-out query; its KNN_K nearest
+    neighbours (itself excluded) vote by majority (ties -> the
+    lexicographically first label), and per TRUE label we report query
+    count, correct count, and exact accuracy in ppm. This is the
+    standard harness for judging an embedding space / ANN index
+    (recall tooling measures the INDEX against exact kNN —
+    tools/ann_recall.py; this measures the SPACE against labels).
+
+    Determinism + scale: vectors quantized to exact-integer millionths
+    (semantic._quant_expr — L2-normalized, so the BIGINT dot product
+    ranks identically to cosine with no float division anywhere); the
+    eval set (|N|/KNN_EVERY rows) is the broadcast side of one
+    broadcast-nested probe over the corpus scan, so the corpus is
+    scanned once and only (qid, vec_id, BIGINT dot) rows reach the
+    per-query top-k exchange. The brute-force probe IS the eval shape
+    (eval sets are small by construction); production reuses the
+    ann_pq/ann_ivf candidate path for the same vote."""
+    from pyspark.sql import Window
+
+    from .semantic import _doti, _quant_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_quant_expr("embedding", "spark")).alias("vq")
+    )
+    q = emb.filter(F.col("vec_id") % KNN_EVERY == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("vq").alias("qv"),
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.expr(_doti("vq", "qv", "spark")).alias("dot"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    )
+    topk = scored.withColumn("rk", rn).filter(F.col("rk") <= KNN_K)
+    votes = topk.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    )
+    pred = votes.withColumn("wr", wv).filter(F.col("wr") == 1)
+    return (
+        pred.groupBy("qlabel")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("qlabel").alias("label"),
+            "n_queries",
+            "n_correct",
+            F.expr(
+                "n_correct * CAST(1000000 AS BIGINT) DIV n_queries"
+            ).alias("acc_ppm"),
+        )
+    )
+
+
+def _knn_label_accuracy_sql() -> str:
+    from .semantic import _doti, _quant_expr
+
+    d = "duckdb"
+    return f"""
+WITH e AS (SELECT vec_id, label, {_quant_expr("embedding", d)} AS vq
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, vq AS qv FROM e
+      WHERE vec_id % {KNN_EVERY} = 0),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         {_doti("e.vq", "q.qv", d)} AS dot
+  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),
+topk AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dot DESC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= {KNN_K}),
+votes AS (SELECT qid, qlabel, label, count(*) AS votes
+          FROM topk GROUP BY qid, qlabel, label),
+pred AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY votes DESC, label ASC) AS wr
+    FROM votes) WHERE wr = 1)
+SELECT qlabel AS label, count(*) AS n_queries,
+       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS acc_ppm
+FROM pred GROUP BY qlabel
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
+    "knn_label_accuracy": q_knn_label_accuracy,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
@@ -731,6 +846,7 @@ QUERIES = {
 
 ORACLES = {
     "cosine_topk": _cosine_topk_sql(),
+    "knn_label_accuracy": _knn_label_accuracy_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
     "ann_ivf": _ann_ivf_sql(),
