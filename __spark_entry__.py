@@ -51,13 +51,14 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r06 rotation: five NEW entries enter the window
+# r06 rotation: six NEW entries enter the window
 # (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
-# memorization_risk, knn_label_accuracy) and push out five r05-green
-# entries whose plans are UNCHANGED in r06 — stream_stream_join /
-# stream_stream_left_join / streaming_dedup (its r06 delta is a
-# pinned-invariant TEST only) and the two Python-state API
-# demonstrators stateful_sessionize / tws_user_totals. Every
+# memorization_risk, winnow_fingerprints, knn_label_accuracy) and push
+# out six r05-green entries whose plans are UNCHANGED in r06 —
+# stream_stream_join / stream_stream_left_join / streaming_dedup (its
+# r06 delta is a pinned-invariant TEST only), the two Python-state API
+# demonstrators stateful_sessionize / tws_user_totals, and
+# session_windows_streaming. Every
 # r06-changed plan already
 # holds a slot: corpus_ingest_streaming (watermark-bounded dedup),
 # bm25_topk_batch + hybrid_retrieval (window-count document frequency,
@@ -147,6 +148,9 @@ PRIORITY = [
     #    windows over RAW documents; Carlini-style repetition signal,
     #    same no-self-join hash-window skeleton as dedup_spans) --
     "memorization_risk",
+    # -- NEW r06: winnowing fingerprint extraction (MOSS; the sublinear
+    #    substring match index dedup_spans' exhaustive audit feeds) --
+    "winnow_fingerprints",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -215,8 +219,8 @@ PRIORITY = [
     #    source scan now goes through the normalized materialization) --
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
-    "session_windows_streaming",
     # ---- entries below are past the driver's 50-entry window ----
+    "session_windows_streaming",
     # Rotated out r06 (slots ceded to the five NEW r06 entries): the
     # stream-stream joins and streaming_dedup plus the two Python-state
     # API demonstrators (stateful_sessionize, tws_user_totals) — all

@@ -1218,6 +1218,78 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WIN_K = 4  # words per winnowing k-gram
+WIN_W = 4  # k-gram hashes per winnowing window
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    MOSS algorithm): hash every WIN_K-word k-gram, slide a window of
+    WIN_W consecutive hashes, keep each window's minimum, emit the
+    distinct selected hashes per document. The guarantee: any two
+    documents sharing a run of >= WIN_K + WIN_W - 1 words share a
+    fingerprint — so this is the SUBLINEAR-storage substring index
+    (~2/(w+1) of all k-gram hashes kept) that ``dedup_spans``' exhaustive
+    stride-1 audit is too heavy for at serving time; production keeps
+    THIS relation as the match index and runs the exhaustive audit
+    offline.
+
+    Plan: entirely narrow — split, hash, window-min, distinct, explode
+    at the scan; the output relation (doc_id, 60-bit BIGINT fp) is the
+    only thing downstream exchanges ever see. Selecting by min VALUE and
+    de-duplicating per doc yields the same fingerprint set as the
+    positional formulation, with no ordering dependence to disagree on
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_expr("text", "spark")
+    from ..functions.portable import md5_int60
+
+    kh = md5_int60(f"concat_ws(' ', slice({w}, i + 1, {WIN_K}))", "spark")
+    hashes = (
+        f"CASE WHEN size({w}) >= {WIN_K} THEN "
+        f"transform(sequence(0, size({w}) - {WIN_K}), i -> {kh}) "
+        f"ELSE array() END"
+    )
+    mins = (
+        f"CASE WHEN size(__h) >= {WIN_W} THEN "
+        f"array_distinct(transform(sequence(0, size(__h) - {WIN_W}), "
+        f"j -> array_min(slice(__h, j + 1, {WIN_W})))) "
+        f"WHEN size(__h) > 0 THEN array(array_min(__h)) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.withColumn("__h", F.expr(hashes))
+        .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
+    )
+
+
+def _winnow_fingerprints_sql() -> str:
+    from ..functions.portable import md5_int60
+
+    w = words_expr("text", "duckdb")
+    kh = md5_int60(
+        f"array_to_string(w[i:i + {WIN_K - 1}], ' ')", "duckdb"
+    )
+    return f"""
+WITH ws AS (SELECT doc_id, {w} AS w FROM documents),
+hs AS (SELECT doc_id,
+              CASE WHEN len(w) >= {WIN_K}
+                   THEN list_transform(range(1, len(w) - {WIN_K} + 2),
+                                       i -> {kh})
+                   ELSE [] END AS h
+       FROM ws),
+fps AS (SELECT doc_id,
+               CASE WHEN len(h) >= {WIN_W}
+                    THEN list_distinct(list_transform(
+                           range(1, len(h) - {WIN_W} + 2),
+                           j -> list_min(h[j:j + {WIN_W - 1}])))
+                    WHEN len(h) > 0 THEN [list_min(h)]
+                    ELSE [] END AS fp
+        FROM hs)
+SELECT doc_id, unnest(fp) AS fp FROM fps
+"""
+
+
 MEM_T = 3  # corpus frequency at/above which a span window counts risky
 
 
@@ -1328,6 +1400,7 @@ QUERIES = {
     "containment_dedup": q_containment_dedup,
     "dup_source_matrix": q_dup_source_matrix,
     "memorization_risk": q_memorization_risk,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 
@@ -1376,6 +1449,7 @@ def _oracles() -> dict[str, str]:
         "dedup_embedding": _dedup_embedding_sql(),
         "dedup_spans": _dedup_spans_sql(),
         "memorization_risk": _memorization_risk_sql(),
+        "winnow_fingerprints": _winnow_fingerprints_sql(),
     }
 
 

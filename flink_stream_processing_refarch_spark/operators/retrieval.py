@@ -273,6 +273,16 @@ BM25B_QSTART = 5      # 1-based word offset the query is sliced from
 BM25B_QWORDS = 3      # words per query
 BM25B_MINDL = 10      # docs shorter than this contribute no query
 BM25B_TOP = 5         # results per query
+#: common-term cutoff (see bm25_topk_from_queries): a query term is
+#: excluded from scoring only when BOTH its df reaches COMMON_DF_PCT% of
+#: the corpus AND its absolute postings length reaches BM25_DF_MIN docs.
+#: The absolute floor keeps small corpora exact (a 500-doc template
+#: corpus where every word is "common" still scores full BM25); at any
+#: corpus large enough for the floor to bind, a term in half the docs is
+#: Zipf-head noise (~ln 2 idf) with |queries with term| x |docs with
+#: term| scored-pair cost — the measured sf10 straggler.
+COMMON_DF_PCT = 50
+BM25_DF_MIN = 10_000
 
 
 def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,16 +349,30 @@ def bm25_topk_from_queries(
     caller decides how that's cheap — persist for a corpus-derived dim,
     nothing for a real small-table scan.
 
-    Document frequency is a window count over the pruned (doc, term)
-    combine, NOT a re-aggregated broadcast join: the broadcast build of
-    a ``tf.groupBy(word)`` subtree would re-execute the whole corpus
-    scan + explode inside the broadcast barrier (a second 100 TB pass;
-    also measured ~20% slower at sf0.1 — r06 grid), while the window
-    reuses the existing word-keyed exchange of rows that survived the
-    semi-prune. ``stats`` (one (n_docs, avgdl) row) defaults to an
-    inline corpus aggregate; the ext path passes the ingest-time stats
-    sidecar instead, which brings the plan to exactly ONE corpus scan.
-    """
+    Document frequency comes from a ``groupBy(word)`` over the PERSISTED
+    pruned (doc, term) combine — map-side partial aggregation, so a
+    Zipf-head term costs one combiner cell per task, never a single
+    task's whole partition. Two rejected shapes, both measured: (a) the
+    r05 broadcast of an UNpersisted ``tf.groupBy(word)`` subtree
+    re-executed the corpus scan + explode inside the broadcast barrier
+    (a second 100 TB pass); (b) an r06 window count OVER
+    (PARTITION BY word) was ~20% faster at sf0.1 but materializes each
+    term's rows in ONE task — at the sf10 decade, corpus-wide stopwords
+    produced multi-minute stragglers. The persist bounds memory by the
+    matched-token relation and is exactly what the plan-cache
+    ``stateful_build`` exemption exists for.
+
+    COMMON-TERM PRUNING (the Lucene CommonTermsQuery / ES
+    cutoff_frequency idea): query terms whose df reaches
+    COMMON_DF_PCT% of the corpus are excluded from scoring. This is a
+    SEMANTIC choice mirrored exactly in the oracle, and it is what
+    makes the operator's cost linear in the corpus: a term in half the
+    corpus contributes ~ln 2 idf but |queries with term| x |docs with
+    term| scored pairs — measured as an unbounded straggler at the
+    sf10 decade before the cutoff. ``stats`` (one (n_docs, avgdl) row)
+    defaults to an inline corpus aggregate; the ext path passes the
+    ingest-time stats sidecar instead, which brings the plan to exactly
+    ONE corpus scan."""
     from pyspark.sql import Window
 
     qterms = queries.select("word").distinct()
@@ -357,15 +381,26 @@ def bm25_topk_from_queries(
         .join(F.broadcast(qterms), "word", "left_semi")
         .groupBy("doc_id", "dl", "word")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     if stats is None:
         stats = docs.agg(
             F.count("*").alias("n_docs"),
             F.avg(F.col("dl").cast("double")).alias("avgdl"),
         )
-    scored = tf.crossJoin(F.broadcast(stats)).select(
-        "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.expr(
+                f"NOT (df >= {BM25_DF_MIN}"
+                f" AND df * 100 >= n_docs * {COMMON_DF_PCT})"
+            )
+        )
+        .select(
+            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
+        )
     )
     pairs = (
         scored.join(F.broadcast(queries), "word")
@@ -475,7 +510,8 @@ dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
 scored AS (
   SELECT tf.doc_id, tf.word, {score} AS ts_u
-  FROM tf JOIN dfreq USING (word) CROSS JOIN st),
+  FROM tf JOIN dfreq USING (word) CROSS JOIN st
+  WHERE NOT (df >= {BM25_DF_MIN} AND df * 100 >= n_docs * {COMMON_DF_PCT})),
 pairs AS (
   SELECT q.query_id, s.doc_id, CAST(sum(ts_u) AS BIGINT) AS bm25_micro,
          count(*) AS n_terms

@@ -366,3 +366,62 @@ def test_spread_noops_on_well_partitioned_input(spark):
     spread_narrow = spread(narrow)
     assert spread_narrow is not narrow
     assert spread_narrow.rdd.getNumPartitions() == par
+
+
+def test_winnowing_guarantee_and_sublinearity(spark):
+    """Winnowing's two defining properties on the real corpus: (a) the
+    MATCH GUARANTEE — two docs sharing a run of >= WIN_K + WIN_W - 1
+    words share a fingerprint (checked via a constructed pair); (b) the
+    selected set is a subset of the doc's k-gram hashes and materially
+    smaller than the full stride-1 set."""
+    import pyspark.sql.functions as F
+
+    from flink_stream_processing_refarch_spark.operators import dedup
+
+    fps = dedup.q_winnow_fingerprints(spark, SF_DIR)
+    per_doc = (
+        fps.groupBy("doc_id").count().agg(F.avg("count")).collect()[0][0]
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    avg_words = docs.select(
+        F.avg(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    # sublinear: far fewer fingerprints than k-grams (expected ~2/(w+1))
+    assert per_doc < 0.6 * avg_words
+    # match guarantee on a constructed overlap
+    shared = " ".join(f"w{i}" for i in range(dedup.WIN_K + dedup.WIN_W - 1))
+    pair = spark.createDataFrame(
+        [(1, "alpha beta " + shared), (2, shared + " gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    pair.createOrReplaceTempView("pair_docs")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    pair.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = dedup.q_winnow_fingerprints(spark, d)
+    a = {r.fp for r in got.filter("doc_id = 1").collect()}
+    b = {r.fp for r in got.filter("doc_id = 2").collect()}
+    assert a & b, "guaranteed shared fingerprint missing"
+
+
+def test_memorization_risk_flags_injected_repetition(spark, tmp_path):
+    """A corpus where one exact block repeats MEM_T times must flag every
+    carrier doc with mem_ppm reflecting the block's windows; unique docs
+    score 0."""
+    from flink_stream_processing_refarch_spark.operators import dedup
+
+    block = " ".join(f"b{i}" for i in range(dedup.SPAN_W))  # one window
+    rows = [(i, f"u{i}x " + " ".join(f"u{i}w{j}" for j in range(dedup.SPAN_W)))
+            for i in range(10)]
+    rows += [(100 + i, block) for i in range(dedup.MEM_T)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r.mem_ppm for r in
+           dedup.q_memorization_risk(spark, sf).collect()}
+    for i in range(10):
+        assert got[i] == 0
+    for i in range(dedup.MEM_T):
+        assert got[100 + i] == 1000000  # the whole doc IS the block

@@ -158,11 +158,16 @@ def test_ext_query_table_matches_derived(spark):
     # plan BEFORE execution: the AQE final plan prints reused shuffle
     # stages with their whole subtree repeated, which double-counts scans
     plan = ext_df._jdf.queryExecution().executedPlan().toString()
-    doc_scans = [
-        ln for ln in plan.splitlines()
+    # count DISTINCT scan nodes: the persisted tf relation is referenced
+    # from two branches, and the tree printout repeats the one underlying
+    # scan (same attribute ids) under each InMemoryRelation — dedupe on
+    # the scan text itself
+    doc_scans = {
+        ln[ln.index("FileScan"):]
+        for ln in plan.splitlines()
         if "FileScan parquet" in ln and "documents" in ln
-    ]
-    assert len(doc_scans) == 1, "\n".join(s.strip()[:300] for s in doc_scans)
+    }
+    assert len(doc_scans) == 1, "\n".join(s[:300] for s in doc_scans)
     assert sorted(map(tuple, ext_df.collect())) == derived
     hyb_derived = sorted(
         map(tuple, retrieval.q_hybrid_retrieval(spark, SF_DIR).collect())
