@@ -51,19 +51,21 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r06 rotation: six NEW entries enter the window
+# r06 rotation: seven NEW entries enter the window
 # (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
-# memorization_risk, winnow_fingerprints, knn_label_accuracy) and push
-# out six r05-green entries whose plans are UNCHANGED in r06 —
-# stream_stream_join / stream_stream_left_join / streaming_dedup (its
-# r06 delta is a pinned-invariant TEST only), the two Python-state API
-# demonstrators stateful_sessionize / tws_user_totals, and
-# session_windows_streaming. Every
-# r06-changed plan already
+# bm25_mrr, memorization_risk, winnow_fingerprints, knn_label_accuracy)
+# and push out seven r04/r05-green entries whose plans are UNCHANGED in
+# r06 — stream_stream_join / stream_stream_left_join / streaming_dedup
+# (its r06 delta is a pinned-invariant TEST only), the two Python-state
+# API demonstrators stateful_sessionize / tws_user_totals,
+# session_windows_streaming, and dedup_minhash_lsh (banded machinery
+# still covered in-window by dedup_clusters / dedup_incremental /
+# containment_dedup). Every r06-changed plan already
 # holds a slot: corpus_ingest_streaming (watermark-bounded dedup),
-# bm25_topk_batch + hybrid_retrieval (window-count document frequency,
-# one-corpus-scan shape shared with the ext twins), bpe_train +
-# bpe_token_count (backslash-safe token quoting in the fold). The
+# bm25_topk_batch + hybrid_retrieval (skew-free persisted-combine
+# document frequency + the common-term cutoff, shared with the ext
+# twins), bpe_train + bpe_token_count (backslash-safe token quoting in
+# the fold). The
 # LEDGER.md table (tools/make_ledger.py) records every entry's last
 # driver-green round mechanically.
 # r05 rotation: every query whose plan changed this round holds a
@@ -129,7 +131,6 @@ PRIORITY = [
     "product_profit",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window, exact/survivor prefixes rotated out) --
-    "dedup_minhash_lsh",
     "dedup_clusters",
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
     #    probe of a corpus signature index + candidate-only verify) --
@@ -169,6 +170,9 @@ PRIORITY = [
     #    corpus scanned once) — the production serving shape --
     "bm25_topk_batch_ext",
     "hybrid_retrieval_ext",
+    # -- NEW r06: self-retrieval MRR harness over the BM25 top-k (IR
+    #    eval as a query; exact integer reciprocal ranks) --
+    "bm25_mrr",
 
     # -- NEW r04: data-selection family (DSIR importance resampling,
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
@@ -220,6 +224,10 @@ PRIORITY = [
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
     # ---- entries below are past the driver's 50-entry window ----
+    # r06: dedup_minhash_lsh ceded its slot to bm25_mrr (green r04+r05
+    # over an r06-unchanged plan; its banded machinery stays covered by
+    # in-window dedup_clusters / dedup_incremental / containment_dedup).
+    "dedup_minhash_lsh",
     "session_windows_streaming",
     # Rotated out r06 (slots ceded to the five NEW r06 entries): the
     # stream-stream joins and streaming_dedup plus the two Python-state

@@ -493,6 +493,63 @@ def q_bm25_topk_batch_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_bm25_topk_batch_ext.stateful_build = True
 
 
+def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION as a query: per-query reciprocal rank of the
+    gold document in the BM25 top-k, plus the hit rank itself (0 = miss
+    beyond BM25B_TOP). Gold = the query's own source doc (queries are
+    sliced from documents, so query_id IS the relevant doc_id) — the
+    standard self-retrieval MRR harness an IR pipeline runs after every
+    index/scorer change. A miss is a legitimate outcome on this
+    template-heavy corpus (long template twins can outscore the short
+    source — correct BM25 behavior, see the ranking-invariants test) —
+    the point of the metric is to MEASURE that rate, exactly.
+
+    Cost: one LEFT JOIN of the |queries|-row id dim against the
+    |queries| x BM25B_TOP result relation — everything downstream of
+    the retrieval plan is dim-sized. rr_micro is exact integer
+    (1e6 DIV rank), so the per-query rows and any averaged rollup are
+    engine-stable."""
+    topk = q_bm25_topk_batch(spark, sf_dir)
+    hits = topk.filter(F.col("query_id") == F.col("doc_id")).select(
+        "query_id", F.col("rank").alias("hit_rank")
+    )
+    qids = _derived_queries_dim(_docs_words(spark, sf_dir)).select(
+        "query_id"
+    ).distinct()
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hit_rank", F.lit(0)).cast("int").alias("hit_rank"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) DIV hit_rank"),
+                F.lit(0).cast("bigint"),
+            ).alias("rr_micro"),
+        )
+    )
+
+
+# Composes q_bm25_topk_batch (persisting builder).
+q_bm25_mrr.stateful_build = True
+
+
+def _bm25_mrr_sql() -> str:
+    w = words_expr("text", "duckdb")
+    qend = BM25B_QSTART + BM25B_QWORDS - 1
+    return f"""
+WITH topk AS ({_bm25_topk_batch_sql()}),
+d AS (SELECT doc_id, len({w}) AS dl FROM documents),
+q AS (SELECT DISTINCT doc_id AS query_id FROM d
+      WHERE doc_id % {BM25B_EVERY} = 0 AND dl >= {BM25B_MINDL}),
+hits AS (SELECT query_id, rank AS hit_rank FROM topk
+         WHERE query_id = doc_id)
+SELECT q.query_id,
+       CAST(coalesce(h.hit_rank, 0) AS INT) AS hit_rank,
+       CAST(coalesce(1000000 // h.hit_rank, 0) AS BIGINT) AS rr_micro
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 def _bm25_topk_batch_sql() -> str:
     w = words_expr("text", "duckdb")
     score = _bm25_term_micros("duckdb")
@@ -648,6 +705,7 @@ QUERIES = {
     "bm25_topk_batch_ext": q_bm25_topk_batch_ext,
     "hybrid_retrieval": q_hybrid_retrieval,
     "hybrid_retrieval_ext": q_hybrid_retrieval_ext,
+    "bm25_mrr": q_bm25_mrr,
 }
 
 ORACLES = {
@@ -660,4 +718,5 @@ ORACLES = {
     "bm25_topk_batch_ext": _bm25_topk_batch_sql(),
     "hybrid_retrieval": _hybrid_retrieval_sql(),
     "hybrid_retrieval_ext": _hybrid_retrieval_sql(),
+    "bm25_mrr": _bm25_mrr_sql(),
 }
