@@ -26,3 +26,25 @@ def test_mixed_known_and_unknown_names_still_error(monkeypatch):
         ["check_oracle.py", "/root/testdata/sf0.001", "q1_pickup_count", "nope"],
     )
     assert check_oracle.main() == 2
+
+
+def test_make_ledger_covers_every_registry_entry(tmp_path, monkeypatch):
+    """LEDGER.md generation: every queries() entry gets a row, rows for
+    driver-green entries carry their latest round, and entries never
+    seen by the driver are flagged as awaiting their first window."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/make_ledger.py"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    import __spark_entry__ as entry
+
+    text = open("/root/repo/LEDGER.md").read()
+    for name in entry.queries():
+        assert f"| {name} |" in text, name
