@@ -51,23 +51,25 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r06 rotation: seven NEW entries enter the window
+# r06 rotation: ten NEW entries enter the window
 # (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
-# bm25_mrr, memorization_risk, winnow_fingerprints, knn_label_accuracy)
-# and push out seven r04/r05-green entries whose plans are UNCHANGED in
-# r06 — stream_stream_join / stream_stream_left_join / streaming_dedup
-# (its r06 delta is a pinned-invariant TEST only), the two Python-state
-# API demonstrators stateful_sessionize / tws_user_totals,
-# session_windows_streaming, and dedup_minhash_lsh (banded machinery
-# still covered in-window by dedup_clusters / dedup_incremental /
-# containment_dedup). Every r06-changed plan already
-# holds a slot: corpus_ingest_streaming (watermark-bounded dedup),
-# bm25_topk_batch + hybrid_retrieval (skew-free persisted-combine
-# document frequency + the common-term cutoff, shared with the ext
-# twins), bpe_train + bpe_token_count (backslash-safe token quoting in
-# the fold). The
-# LEDGER.md table (tools/make_ledger.py) records every entry's last
-# driver-green round mechanically.
+# bm25_mrr, memorization_risk, winnow_fingerprints, knn_label_accuracy,
+# lonely_returns, min_cost_supplier, order_count_distribution) and push
+# out ten r04/r05-green entries whose plans are UNCHANGED in r06 —
+# stream_stream_join / stream_stream_left_join / streaming_dedup (its
+# r06 delta is a pinned-invariant TEST only), the two Python-state API
+# demonstrators stateful_sessionize / tws_user_totals,
+# session_windows_streaming, dedup_minhash_lsh (banded machinery still
+# covered in-window by dedup_clusters / dedup_incremental /
+# containment_dedup), and the DSIR/LM/leakage selection trio
+# (importance_resampling, lm_perplexity, split_leakage). Every
+# r06-changed plan already holds a slot: corpus_ingest_streaming
+# (watermark-bounded dedup), bm25_topk_batch + hybrid_retrieval
+# (skew-free persisted-combine document frequency + the common-term
+# cutoff, shared with the ext twins), bpe_train + bpe_token_count
+# (backslash-safe token quoting in the fold). The LEDGER.md table
+# (tools/make_ledger.py) records every entry's last driver-green round
+# mechanically.
 # r05 rotation: every query whose plan changed this round holds a
 # window slot — the events consumers (normalized materialization now
 # data-sized, maxFilesPerTrigger adaptive: q1/q2 + streaming twins,
@@ -129,6 +131,11 @@ PRIORITY = [
     "trade_volume",
     "prospect_customers",
     "product_profit",
+    # -- NEW r06: Q21/Q2/Q13 analogues (double-correlated EXISTS/NOT
+    #    EXISTS self-joins, argmin join-back, outer-join distribution) --
+    "lonely_returns",
+    "min_cost_supplier",
+    "order_count_distribution",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window, exact/survivor prefixes rotated out) --
     "dedup_clusters",
@@ -178,9 +185,6 @@ PRIORITY = [
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
     #    integer sketches (count-min heavy hitters, mergeable quantile
     #    histogram) --
-    "importance_resampling",
-    "lm_perplexity",
-    "split_leakage",
     "source_drift",
     "heavy_hitters_cms",
     "heavy_hitters_streaming",
@@ -224,6 +228,11 @@ PRIORITY = [
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
     # ---- entries below are past the driver's 50-entry window ----
+    # r06: the DSIR/LM/leakage selection trio ceded slots to the three
+    # new TPC-H analogues (all three r05-green over r06-unchanged plans).
+    "importance_resampling",
+    "lm_perplexity",
+    "split_leakage",
     # r06: dedup_minhash_lsh ceded its slot to bm25_mrr (green r04+r05
     # over an r06-unchanged plan; its banded machinery stays covered by
     # in-window dedup_clusters / dedup_incremental / containment_dedup).

@@ -1,8 +1,8 @@
-"""Deep TPC-H-style join trees (Q3/Q4/Q8/Q10 analogues over the
-driver's TPC-H-ish testdata).
+"""Deep TPC-H-style join trees (Q2/Q3/Q4/Q7/Q8/Q9/Q10/Q13/Q21/Q22
+analogues over the driver's TPC-H-ish testdata).
 
 The §2.7 relational suite covers each operator class in isolation;
-these four queries exercise the COMPOSITIONS a warehouse actually runs
+these queries exercise the COMPOSITIONS a warehouse actually runs
 — 4-7-relation join trees with selective dimension filters, conditional
 aggregation, semi-join counting, and top-k over a wide grouped fact.
 The reference engine has no counterpart (its queries are the two taxi
@@ -10,7 +10,7 @@ windows, flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136);
 these extend the exposed-Spark surface the way pricing_summary /
 revenue_by_nation (plans/relational.py) do.
 
-Scale posture shared by all four: every dimension (region, nation,
+Scale posture shared by all of them: every dimension (region, nation,
 customer, supplier, part) broadcasts — the only shuffle pairs are
 fact-fact (lineitem ⋈ orders) plus the final aggregation exchange, so
 the plans keep one fact-table partitioning end-to-end and Catalyst is
@@ -456,6 +456,192 @@ GROUP BY n_name, year(o_orderdate)
 """
 
 
+# Q21 knobs
+LR_TOP = 10
+
+# Q2 knobs
+MC_MAX_SIZE = 10
+
+
+def q_lonely_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analogue ("suppliers who kept orders waiting" — the
+    double-correlated EXISTS / NOT EXISTS composition): suppliers who,
+    within a multi-supplier order, were the ONLY supplier whose lines
+    came back returned (l_returnflag = 'R'; the testdata has no
+    commit/receipt dates, so "late" becomes "returned" — same plan
+    signature). Per supplier: the count of such orders, top LR_TOP by
+    count then name.
+
+    Plan shape: the fact self-SEMI-join (another supplier exists in the
+    order) and self-ANTI-join (no OTHER supplier was also returned)
+    both key on l_orderkey — one fact partitioning carries all three
+    legs; the supplier dim broadcasts; the distinct-first projection
+    keeps the joined rows one-per-(order, supplier), so the count is
+    order-level in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    cand = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+        "left_semi",
+    )
+    lonely = cand.join(
+        l3,
+        (cand.l_orderkey == l3.o3) & (cand.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lonely.join(F.broadcast(sup), lonely.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(LR_TOP)
+    )
+
+
+LONELY_RETURNS_SQL = f"""
+WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_returnflag = 'R')
+SELECT s_name, count(*) AS numwait
+FROM r JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = r.l_orderkey
+                AND l2.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = r.l_orderkey
+                    AND l3.l_suppkey <> r.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {LR_TOP}
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analogue (the argmin join-back): for every small part
+    (p_size <= MC_MAX_SIZE), the supplier offering its minimum observed
+    unit price (the testdata has no partsupp, so supply cost = the
+    per-line unit price floor(l_extendedprice / l_quantity) in exact
+    integer cents); ties break to the lowest s_suppkey.
+
+    Plan shape: the per-part MIN aggregate and the equality join-back
+    onto the same relation — the decorrelated form of Q2's correlated
+    scalar subquery — over ONE partkey partitioning; part and supplier
+    dims broadcast, the part filter LEFT SEMI-prunes the fact scan
+    before any aggregation."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= MC_MAX_SIZE
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    lc = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    minp = (
+        lc.groupBy("l_partkey")
+        .agg(F.min("unit_cents").alias("min_cents"))
+        .select(F.col("l_partkey").alias("mp_partkey"), "min_cents")
+    )
+    arg = (
+        lc.join(
+            minp,
+            (lc.l_partkey == minp.mp_partkey)
+            & (lc.unit_cents == minp.min_cents),
+        )
+        .groupBy("l_partkey", "min_cents")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        arg.join(F.broadcast(sup), "s_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            arg.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("min_cents").alias("min_unit_cents"),
+        )
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH lc AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5) AS BIGINT)
+           AS unit_cents
+  FROM lineitem
+  WHERE l_quantity > 0
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size <= {MC_MAX_SIZE})),
+minp AS (SELECT l_partkey, min(unit_cents) AS min_cents
+         FROM lc GROUP BY l_partkey),
+arg AS (
+  SELECT lc.l_partkey, min_cents, min(l_suppkey) AS s_suppkey
+  FROM lc JOIN minp ON lc.l_partkey = minp.l_partkey
+                   AND lc.unit_cents = minp.min_cents
+  GROUP BY lc.l_partkey, min_cents)
+SELECT p_partkey, p_name, s_name, min_cents AS min_unit_cents
+FROM arg
+JOIN supplier USING (s_suppkey)
+JOIN part ON arg.l_partkey = p_partkey
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analogue (customer distribution): how many customers placed
+    exactly k orders, INCLUDING k = 0 — the LEFT OUTER join a
+    subquery-free formulation cannot express, feeding a two-level
+    aggregation (per-customer count, then count-of-counts).
+
+    Plan shape: one outer join keyed on custkey (at warehouse scale
+    both sides are big — the shuffle pair), then two map-combinable
+    aggregations collapsing to |distinct k| rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per GROUP BY c_count
+"""
+
+
 QUERIES = {
     "market_share": q_market_share,
     "returned_customers": q_returned_customers,
@@ -464,6 +650,9 @@ QUERIES = {
     "trade_volume": q_trade_volume,
     "prospect_customers": q_prospect_customers,
     "product_profit": q_product_profit,
+    "lonely_returns": q_lonely_returns,
+    "min_cost_supplier": q_min_cost_supplier,
+    "order_count_distribution": q_order_count_distribution,
 }
 
 ORACLES = {
@@ -474,4 +663,7 @@ ORACLES = {
     "trade_volume": TRADE_VOLUME_SQL,
     "prospect_customers": PROSPECT_CUSTOMERS_SQL,
     "product_profit": PRODUCT_PROFIT_SQL,
+    "lonely_returns": LONELY_RETURNS_SQL,
+    "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
+    "order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
 }
