@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import words_expr
-from ..schemas import load_table, spread
+from ..schemas import load_table, persist_latest, spread
 
 CHUNK_WORDS = 40   # words per chunk (the "context window")
 CHUNK_STRIDE = 32  # chunk start stride -> 8-word overlap between chunks
@@ -310,7 +310,7 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times. (When the query table arrives as its own small input —
     # ``q_bm25_topk_batch_ext`` — this is moot: the dim is its own tiny
     # scan and re-reading it is free.)
-    queries = _derived_queries_dim(docs).persist()
+    queries = persist_latest(_derived_queries_dim(docs), "bm25_queries")
     return bm25_topk_from_queries(docs, queries)
 
 
@@ -381,8 +381,8 @@ def bm25_topk_from_queries(
         .join(F.broadcast(qterms), "word", "left_semi")
         .groupBy("doc_id", "dl", "word")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
+    tf = persist_latest(tf, "bm25_tf")
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     if stats is None:
         stats = docs.agg(
@@ -612,7 +612,7 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the candidate result (|queries| x BM25B_TOP rows) feeds
     # TWO broadcast builds below; without it the whole BM25 pipeline
     # re-executes inside each broadcast barrier
-    cands = q_bm25_topk_batch(spark, sf_dir).persist()
+    cands = persist_latest(q_bm25_topk_batch(spark, sf_dir), "hybrid_cands")
     return rerank_candidates(spark, sf_dir, cands)
 
 
@@ -662,7 +662,7 @@ def q_hybrid_retrieval_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ``bm25_topk_batch_ext`` (query dim = its own parquet scan,
     corpus scanned once), then the same candidates-only dense re-rank.
     The full serving composition with every input a real relation."""
-    cands = q_bm25_topk_batch_ext(spark, sf_dir).persist()
+    cands = persist_latest(q_bm25_topk_batch_ext(spark, sf_dir), "hybrid_cands")
     return rerank_candidates(spark, sf_dir, cands)
 
 

@@ -396,9 +396,7 @@ def _pq_books_int(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
         # a table smaller than PQ_K trains what exists (k_eff centroids)
         # — the same adaptation the oracle's LIMIT PQ_K applies
         k_eff = len(eints)
-        from ..schemas import evict_stale_stamp
-
-        evict_stale_stamp(_PQ_BOOKS_CACHE, key, 1)
+        _evict_stale_pq(_PQ_BOOKS_CACHE, key)
         _PQ_BOOKS_CACHE[key] = [
             [
                 eints[k][s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
@@ -469,13 +467,31 @@ def pq_codes_path(spark: SparkSession, sf_dir: str) -> str:
         "vec_id",
         _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
     ).write.mode("overwrite").parquet(out)
-    from ..schemas import evict_stale_stamp
-
     # a re-encoded table's previous sidecar (older stamp) is dead weight
     # on tmpfs — delete the directory with its cache entry
-    evict_stale_stamp(_PQ_CODES_CACHE, key, 1, remove_dirs=True)
+    _evict_stale_pq(_PQ_CODES_CACHE, key, remove_dirs=True)
     _PQ_CODES_CACHE[key] = out
     return out
+
+
+def _evict_stale_pq(cache: dict, key: tuple, remove_dirs: bool = False):
+    """PQ-cache eviction: drop every entry for this sf_dir whose STAMP
+    differs — at ANY PQ_K, not just the current one (the generic
+    evict_stale_stamp matches keys equal everywhere but the stamp, which
+    would strand other-K entries left by the recall tooling's K sweep —
+    review finding r06). Same-stamp other-K entries stay: the sweep
+    legitimately holds several Ks of one generation live at once."""
+    stale = [k for k in cache if k[0] == key[0] and k[1] != key[1]]
+    for k in stale:
+        v = cache.pop(k)
+        if remove_dirs and isinstance(v, str):
+            import shutil
+
+            from ..schemas import _SCRATCH_DIRS
+
+            shutil.rmtree(v, ignore_errors=True)
+            if v in _SCRATCH_DIRS:
+                _SCRATCH_DIRS.remove(v)
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,12 +753,14 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism + scale: vectors quantized to exact-integer millionths
     (semantic._quant_expr — L2-normalized, so the BIGINT dot product
     ranks identically to cosine with no float division anywhere); the
-    eval set (|N|/KNN_EVERY rows) is the broadcast side of one
-    broadcast-nested probe over the corpus scan, so the corpus is
-    scanned once and only (qid, vec_id, BIGINT dot) rows reach the
-    per-query top-k exchange. The brute-force probe IS the eval shape
-    (eval sets are small by construction); production reuses the
-    ann_pq/ann_ivf candidate path for the same vote."""
+    eval set (|N|/KNN_EVERY rows) is PERSISTED before broadcasting, so
+    its derivation scan runs once and the probe side's corpus scan is
+    the only per-execution pass over embeddings (without the persist
+    the broadcast build re-executed the filtered scan — the exact r05
+    mistake retrieval.py documents; review finding r06). The
+    brute-force probe IS the eval shape (eval sets are small by
+    construction); production reuses the ann_pq/ann_ivf candidate path
+    for the same vote."""
     from pyspark.sql import Window
 
     from .semantic import _doti, _quant_expr
@@ -750,11 +768,17 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_quant_expr("embedding", "spark")).alias("vq")
     )
-    q = emb.filter(F.col("vec_id") % KNN_EVERY == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("vq").alias("qv"),
+    q = (
+        emb.filter(F.col("vec_id") % KNN_EVERY == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("vq").alias("qv"),
+        )
     )
+    from ..schemas import persist_latest
+
+    q = persist_latest(q, "knn_eval")
     pairs = emb.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("qid")
     )
@@ -795,6 +819,10 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_ppm"),
         )
     )
+
+
+# Persists the eval dimension during plan build (plancache contract).
+q_knn_label_accuracy.stateful_build = True
 
 
 def _knn_label_accuracy_sql() -> str:

@@ -295,6 +295,30 @@ def evict_stale_stamp(
                 _SCRATCH_DIRS.remove(v)
 
 
+#: tag -> the single live persisted DataFrame for that builder site
+_LIVE_PERSISTS: dict = {}
+
+
+def persist_latest(df, tag: str):
+    """``persist()`` with previous-generation release: at most ONE live
+    persisted relation per tag. The previous call's relation is
+    unpersisted (non-blocking — a consumer still holding it simply
+    recomputes) before the new one registers. This closes the
+    CacheManager half of the stale-cache growth that
+    :func:`evict_stale_stamp` closes for memo dicts (review finding
+    r06): per-call ``persist()`` in plan builders (the BM25 matched-
+    token combine, candidate relations, eval dims) otherwise leaves one
+    dead cached relation per call in a long-lived session."""
+    old = _LIVE_PERSISTS.get(tag)
+    if old is not None:
+        try:
+            old.unpersist(False)
+        except Exception:  # pragma: no cover - dead session handles
+            pass
+    _LIVE_PERSISTS[tag] = df.persist()
+    return _LIVE_PERSISTS[tag]
+
+
 def normalized_events_path(spark, sf_dir: str) -> str | None:
     """Path of a layout-normalized ``events`` materialization, or None.
 

@@ -175,22 +175,26 @@ def stream_trips_from_wire(
     ).withWatermark("dropoff_ts", watermark_delay)
 
 
-def q1_agg_from_trips(trips: DataFrame) -> DataFrame:
+def q1_agg_from_trips(
+    trips: DataFrame, min_count: int | None = MIN_PICKUP_COUNT
+) -> DataFrame:
     """Q1 windowed aggregation over a (cleaned, watermarked) trip stream:
-    pickup counts per geohash6 per 10-min window, HAVING count >= 2
-    (ProcessTaxiStream.java:96-107). Shared by every Q1 surface — the
-    oracle-checked streaming query, the wire-ingest path, and the
-    pipeline — so all agree on one plan."""
+    pickup counts per geohash6 per 10-min window, HAVING count >=
+    ``min_count`` (2, ProcessTaxiStream.java:96-107). Shared by every
+    Q1 surface — the oracle-checked streaming query, the wire-ingest
+    path, the pipeline, AND the trending-cells leaderboard
+    (``min_count=None``: quiet windows still rank) — so all agree on
+    one window/timestamp/geohash derivation."""
     trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
-    return (
-        trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
-        .agg(F.count("*").alias("pickup_count"))
-        .filter(F.col("pickup_count") >= MIN_PICKUP_COUNT)
-        .select(
-            "location",
-            "pickup_count",
-            (F.unix_millis("window.end") - 1).alias("timestamp"),
-        )
+    counts = trips.groupBy(
+        F.window("dropoff_ts", "10 minutes"), "location"
+    ).agg(F.count("*").alias("pickup_count"))
+    if min_count is not None:
+        counts = counts.filter(F.col("pickup_count") >= min_count)
+    return counts.select(
+        "location",
+        "pickup_count",
+        (F.unix_millis("window.end") - 1).alias("timestamp"),
     )
 
 
@@ -332,22 +336,14 @@ def q2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def trending_counts_from_trips(trips: DataFrame) -> DataFrame:
-    """The streaming half of the trending-cells leaderboard: per
-    (10-min window, pickup geohash6) trip counts, append-mode — the same
-    windowed state as Q1 but WITHOUT the HAVING floor (a quiet window's
-    top cells still rank). State is watermark-bounded exactly like Q1's:
-    one row per in-flight (window, cell), closed windows emit once and
-    leave the store."""
-    trips = geo.with_geohash(trips, "location", "pickup_lat", "pickup_lon", 6)
-    return (
-        trips.groupBy(F.window("dropoff_ts", "10 minutes"), "location")
-        .agg(F.count("*").alias("pickup_count"))
-        .select(
-            "location",
-            "pickup_count",
-            (F.unix_millis("window.end") - 1).alias("timestamp"),
-        )
-    )
+    """The streaming half of the trending-cells leaderboard: Q1's
+    windowed aggregation WITHOUT the HAVING floor (a quiet window's top
+    cells still rank) — literally ``q1_agg_from_trips(min_count=None)``
+    so the window/timestamp/geohash derivation can never diverge from
+    Q1's (review finding r06). State is watermark-bounded exactly like
+    Q1's: one row per in-flight (window, cell), closed windows emit
+    once and leave the store."""
+    return q1_agg_from_trips(trips, min_count=None)
 
 
 def rank_trending(counts: DataFrame) -> DataFrame:

@@ -74,7 +74,11 @@ def main() -> None:
     if os.path.exists(marker):
         with open(marker) as f:
             m = json.load(f)
-        if m.get("stamp") == _src_stamp() and m.get("scheme") == SCHEME:
+        if (
+            m.get("stamp") == _src_stamp()
+            and m.get("scheme") == SCHEME
+            and m.get("replicas") == REPLICAS
+        ):
             print(f"up to date: {OUT}")
             return
 
