@@ -186,3 +186,51 @@ def test_queries_sidecar_is_stamp_stable(spark):
     import os
 
     assert os.path.isdir(f"{p1}/queries") and os.path.isdir(f"{p1}/stats")
+
+
+def test_common_term_cutoff_boundary(spark, tmp_path, monkeypatch):
+    """The cutoff prunes a query term exactly when BOTH conditions hold
+    (df >= BM25_DF_MIN AND df*100 >= n_docs*COMMON_DF_PCT): with the
+    absolute floor patched down to make a tiny corpus testable, a term
+    in most docs stops contributing (docs matching only it vanish from
+    the ranking) while rare terms still score; with the floor at its
+    real value (far above this corpus) nothing is pruned — the
+    small-corpus-exactness property the compound rule exists for."""
+    import pyspark.sql.functions as F
+
+    sf = str(tmp_path)
+    # 8 docs: 'common' in 6 of 8 (75% >= 50%), 'rare' in doc 0 only.
+    # doc_id 0 is the query source (words 5..7 = common rare uniq0).
+    rows = []
+    for i in range(8):
+        filler = " ".join(f"f{i}_{j}" for j in range(4))
+        tail = "common rare uniq0" if i == 0 else (
+            f"common x{i} y{i}" if i <= 5 else f"z{i} x{i} y{i}")
+        # only doc 0 is a query source (ids 1..7 are not % 25 == 0), so
+        # the one query is (common, rare, uniq0)
+        rows.append((0 if i == 0 else i, f"{filler} {tail} pad1 pad2 pad3"))
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from flink_stream_processing_refarch_spark.operators import retrieval
+
+    def run():
+        docs = retrieval._docs_words(spark, sf)
+        q = retrieval._derived_queries_dim(docs)
+        return {
+            (r.query_id, r.doc_id): r.n_terms
+            for r in retrieval.bm25_topk_from_queries(docs, q).collect()
+        }
+
+    unpruned = run()
+    # real floor (10k) never binds on 8 docs: 'common' scores, so docs
+    # 1-5 (which match ONLY 'common') appear among results
+    assert any(d in (1, 2, 3, 4, 5) for (_, d) in unpruned)
+
+    monkeypatch.setattr(retrieval, "BM25_DF_MIN", 2)
+    pruned = run()
+    # 'common' now pruned: only docs matching 'rare'/'uniq0' (doc 0) or
+    # nothing else can score -> every result doc must contain a
+    # non-common query term
+    assert set(d for (_, d) in pruned) == {0}

@@ -22,6 +22,12 @@ Build the corpus first:
   SCALE_OUT_DIR=/dev/shm/graft_sf10 SCALE_REPLICAS=100 \
       python tools/make_scale_data.py
 Run: python tools/scale_decade2.py   (writes SCALING_DECADE2.md)
+
+Measurement caveat (r06): the timed action is .count(); for a
+FILTER-LESS per-doc score (memorization_risk) Catalyst prunes the
+aggregation/window subtree count() doesn't need, under-reporting
+shuffle — such rows need a full-consume action (sum over every output
+column); see the r06 addendum in the output md.
 """
 
 from __future__ import annotations
@@ -80,6 +86,10 @@ QUERIES = {
     # (untimed) run, so the decade measures the corpus-side join +
     # combine the operator claims scale linearly
     "bpe_token_count": bpe.QUERIES["bpe_token_count"],
+    # r06 late additions (first decade rows in the r06 addendum;
+    # full-table rows from the next harness run)
+    "memorization_risk": dedup.QUERIES["memorization_risk"],
+    "winnow_fingerprints": dedup.QUERIES["winnow_fingerprints"],
 }
 
 
