@@ -232,3 +232,24 @@ def test_in_place_regeneration_evicts_stale_cache_entries(spark, tmp_path):
     q["time_rollup"](spark, sf)
     skey = plancache._session_key(spark)
     assert len(entries(plancache._CACHE[skey], 1, sf)) == 1
+
+
+def test_persist_latest_releases_previous_generation(spark):
+    """persist_latest keeps at most ONE live persisted relation per tag:
+    the second call unpersists the first (its storage level drops back
+    to NONE), and recomputation of a stale holder still yields correct
+    rows (unpersist is a performance event, never a correctness one)."""
+    from flink_stream_processing_refarch_spark.schemas import persist_latest
+
+    df1 = persist_latest(
+        spark.range(100).selectExpr("id", "id * 2 AS v"), "test_tag"
+    )
+    df1.count()  # materialize
+    assert df1.storageLevel.useMemory
+    df2 = persist_latest(
+        spark.range(50).selectExpr("id", "id * 3 AS v"), "test_tag"
+    )
+    assert not df1.storageLevel.useMemory  # previous generation released
+    assert df1.count() == 100  # stale holder recomputes correctly
+    assert df2.count() == 50
+    df2.unpersist()
