@@ -51,18 +51,20 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r06 rotation: ten NEW entries enter the window
+# r06 rotation: eleven NEW entries enter the window
 # (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
-# bm25_mrr, memorization_risk, winnow_fingerprints, knn_label_accuracy,
-# lonely_returns, min_cost_supplier, order_count_distribution) and push
-# out ten r04/r05-green entries whose plans are UNCHANGED in r06 —
+# bm25_mrr, memorization_risk, winnow_fingerprints,
+# winnow_fingerprints_streaming, knn_label_accuracy, lonely_returns,
+# min_cost_supplier, order_count_distribution) and push out eleven
+# r04/r05-green entries whose plans are UNCHANGED in r06 —
 # stream_stream_join / stream_stream_left_join / streaming_dedup (its
 # r06 delta is a pinned-invariant TEST only), the two Python-state API
 # demonstrators stateful_sessionize / tws_user_totals,
 # session_windows_streaming, dedup_minhash_lsh (banded machinery still
 # covered in-window by dedup_clusters / dedup_incremental /
-# containment_dedup), and the DSIR/LM/leakage selection trio
-# (importance_resampling, lm_perplexity, split_leakage). Every
+# containment_dedup), the DSIR/LM/leakage selection trio
+# (importance_resampling, lm_perplexity, split_leakage), and batch
+# source_drift (its streaming twin stays in-window). Every
 # r06-changed plan already holds a slot: corpus_ingest_streaming
 # (watermark-bounded dedup), bm25_topk_batch + hybrid_retrieval
 # (skew-free persisted-combine document frequency + the common-term
@@ -159,6 +161,9 @@ PRIORITY = [
     # -- NEW r06: winnowing fingerprint extraction (MOSS; the sublinear
     #    substring match index dedup_spans' exhaustive audit feeds) --
     "winnow_fingerprints",
+    # -- NEW r06 (late): fingerprinting-at-ingest — the same winnowing
+    #    extraction as a stateless append-mode streaming job --
+    "winnow_fingerprints_streaming",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -185,7 +190,6 @@ PRIORITY = [
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
     #    integer sketches (count-min heavy hitters, mergeable quantile
     #    histogram) --
-    "source_drift",
     "heavy_hitters_cms",
     "heavy_hitters_streaming",
     # -- NEW r05 (late add): the drift monitor's streaming twin
@@ -229,7 +233,10 @@ PRIORITY = [
     #    changed r04) --
     # ---- entries below are past the driver's 50-entry window ----
     # r06: the DSIR/LM/leakage selection trio ceded slots to the three
-    # new TPC-H analogues (all three r05-green over r06-unchanged plans).
+    # new TPC-H analogues, and batch source_drift to the streaming
+    # winnow twin (all r05-green over r06-unchanged plans; its
+    # streaming twin source_drift_streaming remains in-window).
+    "source_drift",
     "importance_resampling",
     "lm_perplexity",
     "split_leakage",

@@ -1240,7 +1240,15 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-duplicating per doc yields the same fingerprint set as the
     positional formulation, with no ordering dependence to disagree on
     across engines."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fps_from_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def winnow_fps_from_docs(docs: DataFrame) -> DataFrame:
+    """The winnowing transformation over any (doc_id, text) relation —
+    batch table here, arriving document stream in the streaming twin
+    (stateless narrow map: fingerprinting-at-ingest)."""
     w = words_expr("text", "spark")
     from ..functions.portable import md5_int60
 

@@ -831,6 +831,27 @@ def decontaminate_gate(docs: DataFrame, ev: DataFrame) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fingerprinting-at-ingest: the winnowing extraction
+    (operators/dedup.py::winnow_fps_from_docs — MOSS window-minima,
+    the sublinear substring match index) applied to ARRIVING documents
+    as a Structured Streaming job, so the match index is built when
+    docs land instead of by nightly batch. Stateless narrow map (split,
+    hash, window-min, explode at the source) — append mode, no
+    watermark, no streaming state; the only thing that ever leaves an
+    executor is (doc_id, 60-bit fp). On a bounded replay the emitted
+    rows equal the batch extraction exactly, so the batch oracle
+    applies verbatim."""
+    from ..operators.dedup import winnow_fps_from_docs
+
+    return _run_to_memory(
+        winnow_fps_from_docs(stream_documents(spark, sf_dir)),
+        use_rocksdb=False,
+    )
+
+
 def q_decontaminate_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded replay of the streaming decontamination gate (stateless ->
     plain append; RocksDB unnecessary)."""
@@ -1737,6 +1758,7 @@ QUERIES = {
     "stream_stream_left_join": q_stream_stream_left_join,
     "streaming_dedup": q_streaming_dedup,
     "corpus_ingest_streaming": q_corpus_ingest_streaming,
+    "winnow_fingerprints_streaming": q_winnow_fingerprints_streaming,
     "decontaminate_streaming": q_decontaminate_streaming,
     "stateful_sessionize": q_stateful_sessionize,
     "session_windows_streaming": q_session_windows_streaming,
@@ -1748,6 +1770,12 @@ QUERIES = {
 
 if _tws_available():  # pragma: no cover - environment-dependent
     QUERIES["tws_user_totals"] = q_tws_user_totals
+
+
+def _winnow_streaming_oracle() -> str:
+    from ..operators.dedup import ORACLES as DEDUP_ORACLES
+
+    return DEDUP_ORACLES["winnow_fingerprints"]
 
 
 def _q1_streaming_oracle() -> str:
@@ -1772,6 +1800,9 @@ ORACLES = {
     "stream_stream_left_join": STREAM_STREAM_LEFT_JOIN_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "corpus_ingest_streaming": _corpus_ingest_sql(),
+    # stateless append over a bounded replay == the batch extraction,
+    # so the batch winnowing oracle applies verbatim
+    "winnow_fingerprints_streaming": _winnow_streaming_oracle(),
     "decontaminate_streaming": _decontaminate_streaming_sql(),
     "stateful_sessionize": STATEFUL_SESSIONIZE_SQL,
     # built-in session_window closes sessions by the identical watermark

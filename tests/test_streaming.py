@@ -877,3 +877,32 @@ def test_streaming_dedup_multibatch_semantics_pinned(spark):
     )
     assert set(got) == distinct  # no key lost across the split
     assert len(got) >= len(distinct)  # re-emission is the allowed excess
+
+
+def test_winnow_streaming_multibatch_equals_batch(spark, tmp_path):
+    """Fingerprinting-at-ingest is stateless, so ANY micro-batch split
+    of the document stream emits exactly the batch extraction."""
+    import glob as _glob
+    import os as _os
+
+    from flink_stream_processing_refarch_spark.operators import dedup
+    from flink_stream_processing_refarch_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flat = str(tmp_path / "docs_flat")
+    _os.makedirs(flat)
+    for i in range(3):
+        docs.filter(docs.doc_id % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/c{i}")
+        (part,) = _glob.glob(f"{tmp_path}/c{i}/part-*.parquet")
+        _os.link(part, f"{flat}/chunk-{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(jobs.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    out = jobs._run_to_memory(
+        dedup.winnow_fps_from_docs(stream), use_rocksdb=False
+    )
+    assert _rows(out) == _rows(dedup.q_winnow_fingerprints(spark, SF_DIR))
