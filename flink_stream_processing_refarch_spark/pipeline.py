@@ -7,8 +7,9 @@ The reference's ParameterTool args map to local/cluster equivalents:
   --------------------------------    ----------------------------------
   InputStreamName + region            --source (parquet dir; --wire for a
                                       wire-JSON chunk dir)
-  ElasticsearchEndpoint               --out-dir (ES-style bulk .ndjson files;
-                                      swap the sink body for the ES connector)
+  ElasticsearchEndpoint               --out-dir (ES-style bulk files, written
+                                      executor-side per epoch; swap the sink
+                                      body for the ES connector)
   checkpoint dir (S3)                 --checkpoint
   RocksDB state backend               on by default (RocksDBStateStoreProvider)
   SHARD_GETRECORDS_* throttling       --max-files-per-trigger
@@ -26,7 +27,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 from .session import get_spark
@@ -36,11 +36,9 @@ from .streaming.jobs import run_taxi_pipeline
 def _count_docs(sink_dir: str) -> int:
     """Count indexed docs from the bulk files (2 lines per doc: action +
     source) — the CLI reports from the sink, never by re-collecting."""
-    n = 0
-    for f in glob.glob(os.path.join(sink_dir, "*.ndjson")):
-        with open(f) as fh:
-            n += sum(1 for _ in fh) // 2
-    return n
+    from .streaming.sinks import iter_bulk_lines
+
+    return sum(1 for _ in iter_bulk_lines(sink_dir)) // 2
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -14,13 +14,22 @@ payload shape the reference posts to ``/_bulk`` — so everything up to the
 HTTP call is real and testable. Swapping in the ES connector is a one-line
 ``format("es")`` change.
 
-Delivery semantics: bulk files are EPOCH-ADDRESSED (``bulk-e{epoch}-*``).
-Structured Streaming redelivers a whole epoch on recovery; rewriting that
-epoch's files is idempotent, so the file transport is effectively
+Delivery semantics: bulk files are EPOCH-ADDRESSED (``bulk-e{epoch}/``).
+Structured Streaming redelivers a whole epoch on recovery; overwriting that
+epoch's directory is idempotent, so the file transport is effectively
 exactly-once — strictly stronger than the reference's at-least-once (its
 flush can acknowledge incompletely, ElasticsearchJestSink.java:98 FIXME).
 Against a real ES cluster the same epoch key becomes the document ``_id``
 prefix, turning redelivery into an upsert.
+
+Scale posture (r07): ``write_batch_to_es`` writes EXECUTOR-SIDE — the bulk
+payload is serialized with ``to_json`` and written with ``df.write.text``
+straight from every task, exactly as the reference's sink runs in every
+parallel subtask (ElasticsearchJestSink.java:45-102). Nothing on the
+result path passes through the driver; ``maxRecordsPerFile`` enforces the
+reference's 500-doc bulk-request cap per output file. The buffered
+``EsBulkFileSink.add/flush`` path remains only for ad-hoc single-process
+use (CLI demos, unit tests of the flush policy).
 """
 
 from __future__ import annotations
@@ -121,18 +130,82 @@ def docs_as_json(df: DataFrame, doc_type: str) -> DataFrame:
     )
 
 
+def bulk_payload(df: DataFrame, doc_type: str, index: str) -> DataFrame:
+    """One string row per document, holding the TWO-line bulk entry the
+    reference posts per doc (action line + source line, Jest Bulk,
+    ElasticsearchJestSink.java:80-88) — built entirely with JVM-side
+    ``to_json``/``concat`` so the payload is produced where the data is."""
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"), F.lit(doc_type).alias("_type")
+            ).alias("index")
+        )
+    )
+    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(F.concat(action, F.lit("\n"), doc).alias("value"))
+
+
+def epoch_dir(out_dir: str, epoch_id: int) -> str:
+    return os.path.join(out_dir, f"bulk-e{int(epoch_id):06d}")
+
+
 def write_batch_to_es(
     batch_df: DataFrame,
     sink: EsBulkFileSink,
     doc_type: str,
     epoch_id: int | None = None,
 ) -> None:
-    """foreachBatch body for one result stream. Aggregated micro-batch
-    outputs are tiny (post-HAVING groups), so collecting the serialized
-    docs to the relay is bounded; raw data never passes through here.
-    Passing ``epoch_id`` makes redelivery of the epoch idempotent."""
-    if epoch_id is not None:
-        sink.begin_epoch(epoch_id)
-    for row in docs_as_json(batch_df, doc_type).collect():
-        sink.add(row["doc_type"], row["doc"])
-    sink.flush()
+    """foreachBatch body for one result stream — EXECUTOR-SIDE writes.
+
+    Every task serializes and writes its own partition of the bulk payload
+    (the reference's sink likewise runs in each parallel subtask,
+    ElasticsearchJestSink.java:45-102); the driver only issues the write
+    job. ``maxRecordsPerFile`` caps each part file at the reference's
+    500-doc bulk-request size. The epoch directory is overwritten whole on
+    redelivery — exactly-once to the transport, no driver materialization
+    of result rows anywhere on this path.
+    """
+    target = (
+        epoch_dir(sink.out_dir, epoch_id)
+        if epoch_id is not None
+        else os.path.join(sink.out_dir, "bulk-adhoc")
+    )
+    (
+        bulk_payload(batch_df, doc_type, sink.index)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", sink.max_docs)
+        .text(target)
+    )
+
+
+def iter_bulk_lines(out_dir: str):
+    """Yield every bulk payload line under ``out_dir`` (driver-side test /
+    CLI helper, not on the streaming path): epoch directories of text part
+    files, plus any legacy single-process ``.ndjson`` flush files."""
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob(os.path.join(out_dir, "bulk-e*", "part-*"))
+        + _glob.glob(os.path.join(out_dir, "*.ndjson"))
+    )
+    for p in paths:
+        if p.endswith(".crc") or os.path.basename(p).startswith("."):
+            continue
+        with open(p) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    yield line
+
+
+def read_bulk_docs(spark, out_dir: str, schema) -> DataFrame:
+    """Parse executor-written bulk directories back into typed rows — a
+    distributed read (``spark.read.text`` + ``from_json``), used by the
+    pipeline's ``collect_results`` convenience path so results never
+    funnel through the driver inside ``foreachBatch``."""
+    lines = spark.read.text(os.path.join(out_dir, "bulk-e*"))
+    docs = lines.filter(~F.col("value").startswith('{"index":{"_index"'))
+    return docs.select(
+        F.from_json(F.col("value"), schema).alias("doc")
+    ).select("doc.*")

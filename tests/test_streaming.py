@@ -14,6 +14,7 @@ from flink_stream_processing_refarch_spark.oracle import sqlgen
 from flink_stream_processing_refarch_spark.plans import taxi
 from flink_stream_processing_refarch_spark.sources import trips as trips_mod
 from flink_stream_processing_refarch_spark.streaming import jobs, replay
+from flink_stream_processing_refarch_spark.streaming import sinks as sinks_mod
 
 
 def _rows(df):
@@ -181,49 +182,70 @@ def test_pipeline_stateful_aggregation(spark, tmp_path):
         _watermark_restricted(spark, taxi.q2_trip_duration(spark, SF_DIR))
     )
 
-    bulk_files = sorted(glob.glob(str(tmp_path) + "/pickup_count/*.ndjson"))
-    assert bulk_files
-    lines = open(bulk_files[0]).read().splitlines()
-    assert len(lines) % 2 == 0  # action/doc pairs
+    lines = list(sinks_mod.iter_bulk_lines(str(tmp_path) + "/pickup_count"))
+    assert lines and len(lines) % 2 == 0  # action/doc pairs
     action = json.loads(lines[0])
     assert action["index"]["_index"] == "taxi-dashboard"
     assert action["index"]["_type"] == "pickup_count"
     doc = json.loads(lines[1])
     assert set(doc) == {"location", "pickup_count", "timestamp"}
-    n_docs = sum(
-        len(open(f).read().splitlines()) // 2
-        for f in bulk_files
-    )
-    assert n_docs == res["pickup_count"].count()
+    assert len(lines) // 2 == res["pickup_count"].count()
 
 
 def test_es_sink_epoch_redelivery_idempotent(spark, tmp_path):
-    """Epoch-addressed bulk files: redelivering the same epoch (Structured
+    """Epoch-addressed bulk dirs: redelivering the same epoch (Structured
     Streaming's recovery contract) overwrites instead of appending —
     exactly-once to the transport, vs the reference's at-least-once
-    (ElasticsearchJestSink.java:98 FIXME)."""
+    (ElasticsearchJestSink.java:98 FIXME). The write is executor-side
+    (``df.write.text``); ``maxRecordsPerFile`` enforces the reference's
+    bulk-request cap per part file."""
     from flink_stream_processing_refarch_spark.streaming.sinks import (
         EsBulkFileSink,
+        iter_bulk_lines,
         write_batch_to_es,
     )
 
-    sink = EsBulkFileSink(str(tmp_path / "sink"), max_docs=2)  # multi-flush epoch
-    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    def n_docs():
+        return sum(1 for _ in iter_bulk_lines(str(tmp_path / "sink"))) // 2
+
+    sink = EsBulkFileSink(str(tmp_path / "sink"), max_docs=2)  # multi-file epoch
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1)
     write_batch_to_es(df, sink, "t", epoch_id=7)
-    first = sorted(glob.glob(str(tmp_path / "sink" / "*.ndjson")))
-    assert first and all("bulk-e000007-" in f for f in first)
-    docs0 = sum(len(open(f).read().splitlines()) // 2 for f in first)
-    assert docs0 == 3
+    first = sorted(glob.glob(str(tmp_path / "sink" / "bulk-e000007" / "part-*")))
+    assert first
+    for f in first:  # 500-doc policy: <= max_docs docs per bulk file
+        assert len(open(f).read().splitlines()) <= 2 * sink.max_docs
+    assert n_docs() == 3
 
     write_batch_to_es(df, sink, "t", epoch_id=7)  # redelivery of epoch 7
-    again = sorted(glob.glob(str(tmp_path / "sink" / "*.ndjson")))
-    docs1 = sum(len(open(f).read().splitlines()) // 2 for f in again)
-    assert docs1 == 3  # no duplicates
+    assert n_docs() == 3  # no duplicates
 
     write_batch_to_es(df.limit(1), sink, "t", epoch_id=8)  # next epoch appends
-    all_files = sorted(glob.glob(str(tmp_path / "sink" / "*.ndjson")))
-    docs2 = sum(len(open(f).read().splitlines()) // 2 for f in all_files)
-    assert docs2 == 4
+    assert n_docs() == 4
+
+
+def test_pipeline_relay_no_driver_materialization(spark, tmp_path, monkeypatch):
+    """VERDICT r06 #1: the ES relay must not funnel result rows through
+    the driver. Every driver-side materialization API is patched to raise
+    for the whole pipeline run — the executor-side ``write.text`` relay
+    never touches them, so the run completes and the sink files hold the
+    full result set."""
+    from pyspark.sql import DataFrame as _DF
+
+    def _banned(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side materialization on the relay path")
+
+    for api in ("collect", "toPandas", "toLocalIterator", "take", "head"):
+        monkeypatch.setattr(_DF, api, _banned)
+    out = str(tmp_path / "out")
+    jobs.run_taxi_pipeline(spark, SF_DIR, out_dir=out, collect_results=False)
+    n = sum(1 for _ in sinks_mod.iter_bulk_lines(out + "/pickup_count")) // 2
+    monkeypatch.undo()
+    assert n == _watermark_restricted(
+        spark, taxi.q1_pickup_count(spark, SF_DIR)
+    ).count()
 
 
 def test_pipeline_restart_same_checkpoint_no_duplicates(spark, tmp_path):
@@ -232,10 +254,10 @@ def test_pipeline_restart_same_checkpoint_no_duplicates(spark, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
     def n_docs():
-        return sum(
-            len(open(f).read().splitlines()) // 2
-            for f in glob.glob(out + "/*/*.ndjson")
-        )
+        return (
+            sum(1 for _ in sinks_mod.iter_bulk_lines(out + "/pickup_count"))
+            + sum(1 for _ in sinks_mod.iter_bulk_lines(out + "/trip_duration"))
+        ) // 2
 
     jobs.run_taxi_pipeline(
         spark, SF_DIR, out_dir=out, checkpoint_dir=ckpt, collect_results=False
