@@ -1312,12 +1312,23 @@ def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are down-weighted or dropped before training.
 
     Plan shape = the dedup_spans skeleton over the RAW documents table:
-    (doc_id, 60-bit hash) combine -> per-hash total via one
-    hash-partition window (no self-join) -> per-doc rollup. Exchanged
-    rows carry 8-byte hashes + counts only; same 10x-per-decade shuffle
-    law as dedup_spans (SCALING_DECADE2.md). All docs with >= 1 window
-    are emitted (it's a per-doc score like token_stats, not a
-    flagged-only audit)."""
+    (doc_id, 60-bit hash) combine, then — ADVICE r06 — per-hash totals
+    via ``groupBy('h')`` partial aggregation JOINED back, NOT a window
+    ``sum OVER (PARTITION BY h)``: the window materializes + sorts every
+    row of one hash in one task, the exact single-task straggler mode
+    the r06 BM25 document-frequency rework measured at the sf10 decade
+    (a corpus-wide boilerplate span is the stopword of this operator).
+    The totals exchange carries (hash, count) partials only (map-side
+    combine); the join side is pre-filtered to RISKY hashes
+    (total >= MEM_T — repeated spans only, a small fraction of a
+    healthy corpus), so AQE broadcasts it when small and skew-splits
+    the sort-merge when not — both impossible for a window. The price
+    is a second pass over the exploded spans (combine-compacted); no
+    corpus-sized relation is persisted. Exchanged rows carry 8-byte
+    hashes + counts only; same 10x-per-decade shuffle law as
+    dedup_spans (SCALING_DECADE2.md). All docs with >= 1 window are
+    emitted (it's a per-doc score like token_stats, not a flagged-only
+    audit)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = words_expr("text", "spark")
     from ..functions.portable import md5_int60
@@ -1330,13 +1341,20 @@ def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
     per = spans.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
-    tot = per.withColumn("tot", F.sum("c").over(Window.partitionBy("h")))
+    risky = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("tot"))
+        .filter(F.col("tot") >= MEM_T)
+        .select("h")
+        .withColumn("is_risky", F.lit(1))
+    )
     return (
-        tot.groupBy("doc_id")
+        per.join(risky, "h", "left")
+        .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_windows"),
             F.sum(
-                F.when(F.col("tot") >= MEM_T, F.col("c")).otherwise(F.lit(0))
+                F.when(F.col("is_risky") == 1, F.col("c")).otherwise(F.lit(0))
             ).alias("n_risky"),
         )
         .select(

@@ -285,7 +285,9 @@ COMMON_DF_PCT = 50
 BM25_DF_MIN = 10_000
 
 
-def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25_topk_batch(
+    spark: SparkSession, sf_dir: str, tag: str = "bm25_topk_batch"
+) -> DataFrame:
     """Batch BM25 retrieval: a whole query TABLE (derived
     deterministically from the corpus — every BM25B_EVERY-th doc's words
     [BM25B_QSTART, +BM25B_QWORDS), de-duplicated per query) ranked
@@ -310,8 +312,14 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times. (When the query table arrives as its own small input —
     # ``q_bm25_topk_batch_ext`` — this is moot: the dim is its own tiny
     # scan and re-reading it is free.)
-    queries = persist_latest(_derived_queries_dim(docs), "bm25_queries")
-    return bm25_topk_from_queries(docs, queries)
+    # persist tags carry the CALLING entry's name (``tag``): each live
+    # query variant (bm25_topk_batch / bm25_mrr / hybrid_retrieval) owns
+    # its own persisted generation, so rebuilding one variant never
+    # silently unpersists a relation another variant's live plan still
+    # references (ADVICE r06: a shared 'bm25_tf' tag degraded the
+    # one-scan contract whenever two variants were alive at once).
+    queries = persist_latest(_derived_queries_dim(docs), f"{tag}:queries")
+    return bm25_topk_from_queries(docs, queries, tag=tag)
 
 
 def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +348,10 @@ def _derived_queries_dim(docs: DataFrame) -> DataFrame:
 
 
 def bm25_topk_from_queries(
-    docs: DataFrame, queries: DataFrame, stats: DataFrame | None = None
+    docs: DataFrame,
+    queries: DataFrame,
+    stats: DataFrame | None = None,
+    tag: str = "bm25",
 ) -> DataFrame:
     """The scoring body over any (query_id, word) query-term dimension —
     shared by the derived-dim entry (``bm25_topk_batch``) and the
@@ -382,7 +393,7 @@ def bm25_topk_from_queries(
         .groupBy("doc_id", "dl", "word")
         .agg(F.count("*").alias("tf"))
     )
-    tf = persist_latest(tf, "bm25_tf")
+    tf = persist_latest(tf, f"{tag}:tf")
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     if stats is None:
         stats = docs.agg(
@@ -474,7 +485,9 @@ def queries_table_path(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def q_bm25_topk_batch_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25_topk_batch_ext(
+    spark: SparkSession, sf_dir: str, tag: str = "bm25_topk_batch_ext"
+) -> DataFrame:
     """``bm25_topk_batch`` with the query table read from its own
     storage (the sidecar parquet) instead of derived inline from the
     corpus scan — the production serving shape: queries are a real
@@ -486,7 +499,9 @@ def q_bm25_topk_batch_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = queries_table_path(spark, sf_dir)
     queries = spark.read.parquet(f"{side}/queries")
     stats = spark.read.parquet(f"{side}/stats")
-    return bm25_topk_from_queries(_docs_words(spark, sf_dir), queries, stats)
+    return bm25_topk_from_queries(
+        _docs_words(spark, sf_dir), queries, stats, tag=tag
+    )
 
 
 # Writes the sidecar (first call per stamp) during plan build.
@@ -509,7 +524,7 @@ def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retrieval plan is dim-sized. rr_micro is exact integer
     (1e6 DIV rank), so the per-query rows and any averaged rollup are
     engine-stable."""
-    topk = q_bm25_topk_batch(spark, sf_dir)
+    topk = q_bm25_topk_batch(spark, sf_dir, tag="bm25_mrr")
     hits = topk.filter(F.col("query_id") == F.col("doc_id")).select(
         "query_id", F.col("rank").alias("hit_rank")
     )
@@ -612,7 +627,10 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the candidate result (|queries| x BM25B_TOP rows) feeds
     # TWO broadcast builds below; without it the whole BM25 pipeline
     # re-executes inside each broadcast barrier
-    cands = persist_latest(q_bm25_topk_batch(spark, sf_dir), "hybrid_cands")
+    cands = persist_latest(
+        q_bm25_topk_batch(spark, sf_dir, tag="hybrid_retrieval"),
+        "hybrid_retrieval:cands",
+    )
     return rerank_candidates(spark, sf_dir, cands)
 
 
@@ -662,7 +680,10 @@ def q_hybrid_retrieval_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ``bm25_topk_batch_ext`` (query dim = its own parquet scan,
     corpus scanned once), then the same candidates-only dense re-rank.
     The full serving composition with every input a real relation."""
-    cands = persist_latest(q_bm25_topk_batch_ext(spark, sf_dir), "hybrid_cands")
+    cands = persist_latest(
+        q_bm25_topk_batch_ext(spark, sf_dir, tag="hybrid_retrieval_ext"),
+        "hybrid_retrieval_ext:cands",
+    )
     return rerank_candidates(spark, sf_dir, cands)
 
 

@@ -396,7 +396,11 @@ def _pq_books_int(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
         # a table smaller than PQ_K trains what exists (k_eff centroids)
         # — the same adaptation the oracle's LIMIT PQ_K applies
         k_eff = len(eints)
-        _evict_stale_pq(_PQ_BOOKS_CACHE, key)
+        from ..schemas import evict_stale_stamp
+
+        # stale-stamp eviction across EVERY K (ignore_idx=2): other-K
+        # entries of the SAME generation stay live for the recall sweep
+        evict_stale_stamp(_PQ_BOOKS_CACHE, key, 1, ignore_idx=2)
         _PQ_BOOKS_CACHE[key] = [
             [
                 eints[k][s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
@@ -469,29 +473,11 @@ def pq_codes_path(spark: SparkSession, sf_dir: str) -> str:
     ).write.mode("overwrite").parquet(out)
     # a re-encoded table's previous sidecar (older stamp) is dead weight
     # on tmpfs — delete the directory with its cache entry
-    _evict_stale_pq(_PQ_CODES_CACHE, key, remove_dirs=True)
+    from ..schemas import evict_stale_stamp
+
+    evict_stale_stamp(_PQ_CODES_CACHE, key, 1, remove_dirs=True, ignore_idx=2)
     _PQ_CODES_CACHE[key] = out
     return out
-
-
-def _evict_stale_pq(cache: dict, key: tuple, remove_dirs: bool = False):
-    """PQ-cache eviction: drop every entry for this sf_dir whose STAMP
-    differs — at ANY PQ_K, not just the current one (the generic
-    evict_stale_stamp matches keys equal everywhere but the stamp, which
-    would strand other-K entries left by the recall tooling's K sweep —
-    review finding r06). Same-stamp other-K entries stay: the sweep
-    legitimately holds several Ks of one generation live at once."""
-    stale = [k for k in cache if k[0] == key[0] and k[1] != key[1]]
-    for k in stale:
-        v = cache.pop(k)
-        if remove_dirs and isinstance(v, str):
-            import shutil
-
-            from ..schemas import _SCRATCH_DIRS
-
-            shutil.rmtree(v, ignore_errors=True)
-            if v in _SCRATCH_DIRS:
-                _SCRATCH_DIRS.remove(v)
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,23 +267,32 @@ def evict_stale_stamp(
     key: tuple,
     stamp_idx: int | tuple,
     remove_dirs: bool = False,
+    ignore_idx: int | tuple = (),
 ) -> None:
-    """Drop memo-cache entries that differ from ``key`` only at the
+    """Drop memo-cache entries that differ from ``key`` at the
     table-stamp position — i.e. older generations of the SAME
     (sf_dir[, knobs]) entry after an in-place table regeneration
     (VERDICT r05 item 6: without this, a long-lived session's stamp-keyed
     memo caches and their scratch artifacts grow monotonically).
     ``remove_dirs=True`` additionally deletes the evicted value as a
     scratch directory path. ``stamp_idx`` may be a tuple when derived
-    knobs (e.g. a data-sized file count) change with the stamp. Call at
-    every insert site, BEFORE inserting the fresh key."""
+    knobs (e.g. a data-sized file count) change with the stamp.
+    ``ignore_idx`` positions are compared NOT AT ALL (ADVICE r06: the PQ
+    sidecar cache evicts stale stamps across EVERY K — the recall
+    tooling's K sweep legitimately holds several same-stamp Ks live at
+    once, but an old-stamp entry at any K is dead weight). Entries that
+    differ only at ignored positions are kept. Call at every insert
+    site, BEFORE inserting the fresh key."""
     idxs = stamp_idx if isinstance(stamp_idx, tuple) else (stamp_idx,)
+    ign = set(idxs) | set(
+        ignore_idx if isinstance(ignore_idx, tuple) else (ignore_idx,)
+    )
     stale = [
         k
         for k in cache
-        if k != key
-        and len(k) == len(key)
-        and all(k[i] == key[i] for i in range(len(key)) if i not in idxs)
+        if len(k) == len(key)
+        and any(k[i] != key[i] for i in idxs)
+        and all(k[i] == key[i] for i in range(len(key)) if i not in ign)
     ]
     for k in stale:
         v = cache.pop(k)

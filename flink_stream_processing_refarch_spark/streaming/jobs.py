@@ -736,6 +736,19 @@ def corpus_ingest_from_stream(docs: DataFrame) -> DataFrame:
     Bounded single-batch replays (the oracle row) are unaffected: the
     watermark only advances after the one batch, nothing evicts early,
     and the kept-key set equals plain dropDuplicates' exactly.
+
+    PRECONDITION — monotone arrival (ADVICE r06): because event time is
+    a function of ``doc_id`` and the horizon is 0, multi-batch replays
+    match the batch oracle only when micro-batches arrive in
+    nondecreasing doc_id order (true of a landing zone whose files are
+    written in ingest order; the scale harness enforces it via file
+    mtimes). A NEVER-SEEN document landing in a later micro-batch with a
+    lower doc_id sits below the advanced watermark and is dropped as
+    late — undercounting n_docs/total_tokens, indistinguishable from a
+    redelivery by design (that is what makes redeliveries idempotent
+    here). If the arrival source can reorder fresh documents by more
+    than a batch, derive ``ingest_ts`` from actual arrival time (Kafka
+    record timestamp) or set a horizon covering the reorder bound.
     """
     from ..operators.text import _exprs
 

@@ -253,3 +253,39 @@ def test_persist_latest_releases_previous_generation(spark):
     assert df1.count() == 100  # stale holder recomputes correctly
     assert df2.count() == 50
     df2.unpersist()
+
+
+def test_evict_stale_stamp_ignore_idx():
+    """ignore_idx generalizes the PQ-cache rule: old-stamp entries go at
+    EVERY value of the ignored knob position; same-stamp entries at
+    other knob values stay live (the recall sweep's K grid)."""
+    from flink_stream_processing_refarch_spark.schemas import evict_stale_stamp
+
+    cache = {
+        ("sf", "old", 8): "a",   # stale stamp, current K -> evict
+        ("sf", "old", 16): "b",  # stale stamp, other K -> evict too
+        ("sf", "new", 16): "c",  # fresh stamp, other K -> keep
+        ("other", "old", 8): "d",  # different sf_dir -> keep
+    }
+    evict_stale_stamp(cache, ("sf", "new", 8), 1, ignore_idx=2)
+    assert set(cache) == {("sf", "new", 16), ("other", "old", 8)}
+
+
+def test_retrieval_persist_tags_per_variant(spark):
+    """ADVICE r06 (medium): building one retrieval variant must not
+    unpersist the relations another live variant's plan references.
+    Tags carry the entry name, so bm25_topk_batch's persisted combine
+    stays cached after bm25_mrr (which composes the same builder) runs
+    its own build."""
+    from flink_stream_processing_refarch_spark.operators import retrieval
+    from flink_stream_processing_refarch_spark.schemas import _LIVE_PERSISTS
+
+    topk = retrieval.q_bm25_topk_batch(spark, SF_DIR)
+    tf_batch = _LIVE_PERSISTS["bm25_topk_batch:tf"]
+    tf_batch.count()
+    assert tf_batch.storageLevel.useMemory
+    retrieval.q_bm25_mrr(spark, SF_DIR).count()
+    # the mrr build registered its OWN generation; batch's is untouched
+    assert "bm25_mrr:tf" in _LIVE_PERSISTS
+    assert tf_batch.storageLevel.useMemory
+    assert topk.count() > 0

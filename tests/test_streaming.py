@@ -867,11 +867,23 @@ def test_streaming_dedup_multibatch_semantics_pinned(spark):
     ~2 batches (half_source_files) and a 0-second horizon, keys whose
     occurrences span the batch boundary MAY re-emit after their state
     is evicted — so the emitted key SET still equals the batch
-    distinct (nothing is lost: late rows re-ADMIT under
-    dropDuplicatesWithinWatermark rather than being dropped), while
-    the emitted row count may exceed it. If a future round makes the
-    registry entry multi-batch the way heavy_hitters/quantile were,
-    this is the contract to reconcile with the oracle first."""
+    distinct while the emitted row count may exceed it.
+
+    Two distinct late-row mechanisms hide behind that (ADVICE r06 —
+    dropDuplicatesWithinWatermark filters BELOW-watermark rows as late
+    FIRST, then dedups against surviving state): (a) a row whose event
+    time is at-or-below the watermark is DROPPED outright — losing
+    nothing here only because every such event time was necessarily
+    seen before the watermark passed it, i.e. its key already emitted
+    (test_corpus_ingest pins this drop path directly); (b) a row ABOVE
+    the watermark whose key's state was already evicted RE-ADMITS —
+    the duplicate-emission path this test's count assertion observes.
+    The set-equality + count >= assertions below hold under both and
+    cannot attribute which fired; the batch split here exercises (b)
+    (chunk boundaries move the watermark between batches, and the
+    second batch's rows carry later event times). If a future round
+    makes the registry entry multi-batch the way heavy_hitters/quantile
+    were, this is the contract to reconcile with the oracle first."""
     from pyspark.sql import functions as F
 
     from flink_stream_processing_refarch_spark.sources.trips import (
