@@ -51,6 +51,19 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
+# r07 rotation: four NEW entries enter the window (winnow_matches — the
+# MOSS candidate join consuming the fingerprint index; large_orders /
+# top_supplier / part_promotion — TPC-H Q18/Q15/Q20 analogues), pushing
+# out four r06-green entries whose plans are UNCHANGED in r07:
+# corpus_upsert_roundtrip, trending_cells (its streaming twin stays
+# in-window), dedup_clusters (banded machinery still in-window via
+# dedup_incremental / containment_dedup), heavy_hitters_cms (its
+# streaming twin stays in-window). Every r07-CHANGED plan already holds
+# a slot: memorization_risk (skew-safe groupBy+join totals), the bm25 /
+# hybrid family incl. ext twins and bm25_mrr (per-variant persist
+# tags), knn_label_accuracy (eviction helper swap), the taxi streaming
+# entries (executor-side ES relay — q1/q2_streaming,
+# taxi_pipeline_single_pass).
 # r06 rotation: eleven NEW entries enter the window
 # (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
 # bm25_mrr, memorization_risk, winnow_fingerprints,
@@ -110,16 +123,10 @@ PRIORITY = [
     "taxi_pipeline_single_pass",
     # -- NEW r05 (late add): per-window trending-cells leaderboard (the
     #    Kibana-side view computed engine-side; window-partitioned rank) --
-    "trending_cells",
     # -- NEW r06: its streaming twin (windowed counts as an append-mode
     #    streaming query, rank-per-window in the compaction — the
     #    continuously-updating Kibana leaderboard engine-side) --
     "trending_cells_streaming",
-    # -- NEW r05: oracle-paired write path (write_partitioned_corpus ->
-    #    upsert_corpus -> committed-files read-back vs DuckDB computing
-    #    the same delta-wins merge) — closes the last pytest-only
-    #    verification asymmetry --
-    "corpus_upsert_roundtrip",
     # -- NEW r05: deep TPC-H-style join trees (Q8/Q10/Q4/Q3 analogues —
     #    multi-relation broadcast-dim compositions, conditional agg,
     #    fact-fact semi-join, wide-group top-k) --
@@ -138,9 +145,14 @@ PRIORITY = [
     "lonely_returns",
     "min_cost_supplier",
     "order_count_distribution",
+    # -- NEW r07: Q18/Q15/Q20 analogues (agg-HAVING semi-join into a
+    #    wide re-aggregating tree, view-level argmax join-back,
+    #    double-nested semi-join with a quantity threshold) --
+    "large_orders",
+    "top_supplier",
+    "part_promotion",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
-    #    members stay in-window, exact/survivor prefixes rotated out) --
-    "dedup_clusters",
+    #    members stay in-window via dedup_incremental/containment_dedup) --
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
     #    probe of a corpus signature index + candidate-only verify) --
     "dedup_incremental",
@@ -164,6 +176,10 @@ PRIORITY = [
     # -- NEW r06 (late): fingerprinting-at-ingest — the same winnowing
     #    extraction as a stateless append-mode streaming job --
     "winnow_fingerprints_streaming",
+    # -- NEW r07: the consumer of that index — MOSS's candidate join
+    #    (bucketed pair expansion under the LSH cap discipline, exact
+    #    fingerprint-set Jaccard verify) --
+    "winnow_matches",
     # -- NEW r05: BPE merge training (tokenizer induction on the
     #    bounded vocab relation; oracle unrolls all rounds) and its
     #    apply side (tokenize-by-vocab-lookup token counts) --
@@ -190,7 +206,6 @@ PRIORITY = [
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
     #    integer sketches (count-min heavy hitters, mergeable quantile
     #    histogram) --
-    "heavy_hitters_cms",
     "heavy_hitters_streaming",
     # -- NEW r05 (late add): the drift monitor's streaming twin
     #    (bounded |sources| x 256 state, batch oracle verbatim) --
@@ -232,6 +247,12 @@ PRIORITY = [
     # -- stateful streaming + custom join/stream ops (events stream path
     #    changed r04) --
     # ---- entries below are past the driver's 50-entry window ----
+    # r07: four r06-green, r07-unchanged entries ceded slots to the
+    # four NEW r07 entries (winnow_matches + the Q18/Q15/Q20 trio).
+    "corpus_upsert_roundtrip",
+    "trending_cells",
+    "dedup_clusters",
+    "heavy_hitters_cms",
     # r06: the DSIR/LM/leakage selection trio ceded slots to the three
     # new TPC-H analogues, and batch source_drift to the streaming
     # winnow twin (all r05-green over r06-unchanged plans; its

@@ -1298,6 +1298,115 @@ SELECT doc_id, unnest(fp) AS fp FROM fps
 """
 
 
+WIN_BUCKET_CAP = 64  # drop fingerprint buckets larger than this
+
+
+def winnow_matches_from_docs(docs: DataFrame) -> DataFrame:
+    """The match query over any (doc_id, text) relation (the registry
+    entry runs it on the injected-duplicate corpus; the planted-overlap
+    test on its own frame)."""
+    fps = winnow_fps_from_docs(docs)
+    bkt = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= WIN_BUCKET_CAP))
+    )
+    shared = (
+        bkt.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb"))
+    # candidate-bounded: `shared` is the small side — broadcast it into
+    # each per-doc-count branch (the rerank_candidates pattern), never
+    # shuffling the doc-sized count relation on a pair key
+    return (
+        ca.join(F.broadcast(shared), "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.expr(
+                "shared_fps * CAST(1000000 AS BIGINT)"
+                " DIV (na + nb - shared_fps)"
+            ).alias("jacc_ppm"),
+        )
+    )
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of the winnowing index — MOSS's candidate join
+    (Schleimer et al. 2003 §4: documents are matched by their shared
+    selected fingerprints, never by rescanning text). Doc pairs sharing
+    >= 1 fingerprint, with the shared count and the exact fingerprint-
+    set Jaccard (ppm) as the verify score; consumers threshold on
+    either. By the winnowing guarantee, any two documents sharing a run
+    of >= WIN_K + WIN_W - 1 words appear here (pinned by the planted-
+    overlap test).
+
+    Plan shape = the LSH bucket discipline exactly: ONE exchange of the
+    (doc_id, BIGINT fp) index on fp, in-bucket (i < j) pair expansion
+    (never a fp self-join — each branch would re-shuffle and recompute
+    the index), buckets larger than WIN_BUCKET_CAP dropped (a
+    boilerplate fingerprint shared by B docs would emit B^2/2 pairs —
+    the quadratic mode; its members are near-identical head-of-
+    distribution docs that exact dedup owns). Pair rows then carry
+    (doc_a, doc_b, counts) only; the per-doc fingerprint counts for the
+    Jaccard come from re-deriving the narrow index (the LSH family's
+    measured persist-hurts trade), joined by broadcasting the candidate-
+    bounded pair relation into each count branch. Runs over the family's
+    shared injected corpus (corpus_df): exact copies share every
+    fingerprint (jacc_ppm = 1000000), near dups just under."""
+    return winnow_matches_from_docs(corpus_df(spark, sf_dir))
+
+
+def _winnow_matches_sql() -> str:
+    from ..functions.portable import md5_int60
+
+    w = words_expr("text", "duckdb")
+    kh = md5_int60(f"array_to_string(w[i:i + {WIN_K - 1}], ' ')", "duckdb")
+    return f"""
+WITH corpus AS ({corpus_sql("duckdb")}),
+ws AS (SELECT doc_id, {w} AS w FROM corpus),
+hs AS (SELECT doc_id,
+              CASE WHEN len(w) >= {WIN_K}
+                   THEN list_transform(range(1, len(w) - {WIN_K} + 2),
+                                       i -> {kh})
+                   ELSE [] END AS h
+       FROM ws),
+fp AS (SELECT doc_id, unnest(
+           CASE WHEN len(h) >= {WIN_W}
+                THEN list_distinct(list_transform(
+                       range(1, len(h) - {WIN_W} + 2),
+                       j -> list_min(h[j:j + {WIN_W - 1}])))
+                WHEN len(h) > 0 THEN [list_min(h)]
+                ELSE [] END) AS fp
+       FROM hs),
+ok AS (SELECT fp FROM fp GROUP BY fp
+       HAVING count(*) >= 2 AND count(*) <= {WIN_BUCKET_CAP}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared_fps
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.fp IN (SELECT fp FROM ok)
+          GROUP BY a.doc_id, b.doc_id),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY doc_id)
+SELECT doc_a, doc_b, shared_fps,
+       shared_fps * 1000000 // (ca.nfp + cb.nfp - shared_fps) AS jacc_ppm
+FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+"""
+
+
 MEM_T = 3  # corpus frequency at/above which a span window counts risky
 
 
@@ -1427,6 +1536,7 @@ QUERIES = {
     "dup_source_matrix": q_dup_source_matrix,
     "memorization_risk": q_memorization_risk,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_matches": q_winnow_matches,
 }
 
 
@@ -1476,6 +1586,7 @@ def _oracles() -> dict[str, str]:
         "dedup_spans": _dedup_spans_sql(),
         "memorization_risk": _memorization_risk_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
+        "winnow_matches": _winnow_matches_sql(),
     }
 
 

@@ -642,6 +642,189 @@ FROM per GROUP BY c_count
 """
 
 
+# Q18 knobs
+LO_MIN_QTY = 250  # ~top 1% of per-order quantities in the testdata
+LO_TOP = 100
+
+# Q15 knobs
+TS_D0, TS_D1 = "1996-01-01", "1996-04-01"
+
+# Q20 knobs
+PT_NAME_PART = "red"
+PT_D0, PT_D1 = "1996-01-01", "1997-01-01"
+PT_MIN_QTY = 45  # per-(supplier, part) shipped quantity threshold
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 analogue (large-volume customers): orders whose total
+    lineitem quantity exceeds LO_MIN_QTY, with their customer, ordered
+    by o_totalprice (cents) descending, top LO_TOP. The shape Q18
+    pins: an aggregate-HAVING subquery over the fact SEMI-joins back
+    into a customer ⋈ orders ⋈ lineitem tree that re-aggregates the
+    same quantity per output row.
+
+    Plan shape: ONE l_orderkey partitioning serves the HAVING
+    aggregate, the semi-join back onto lineitem, and the orders join;
+    the qualifying-order set (~1% of orders) broadcasts into both fact
+    legs; customer broadcasts as a dim; the final per-order
+    re-aggregation is map-combinable and TakeOrdered bounds the
+    output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > LO_MIN_QTY)
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "l_orderkey",
+            "o_orderdate",
+            _cents("o_totalprice").alias("total_cents"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .orderBy(F.desc("total_cents"), F.asc("l_orderkey"))
+        .limit(LO_TOP)
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+SELECT c_name, c_custkey, l_orderkey, o_orderdate,
+       {CENTS.format(x="o_totalprice")} AS total_cents,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > {LO_MIN_QTY})
+GROUP BY c_name, c_custkey, l_orderkey, o_orderdate, o_totalprice
+ORDER BY total_cents DESC, l_orderkey
+LIMIT {LO_TOP}
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analogue (top supplier, the view-level argmax): per-supplier
+    revenue (exact cents) over a quarter of ship dates, returning the
+    supplier(s) whose revenue equals the global maximum — the scalar
+    MAX over an aggregate joined back onto the same aggregate, Q15's
+    revenue-view composition.
+
+    Plan shape: one s_suppkey-keyed aggregation over the date-pruned
+    fact scan; the 1-row MAX reduces from it and broadcasts back as a
+    nested-loop filter (the argmax join-back discipline of
+    min_cost_supplier, at view level); the supplier dim broadcasts for
+    the name. The aggregate subtree feeds both the max and the
+    join-back — Spark reuses the exchange; at warehouse scale the view
+    is a materialization."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(TS_D0)) & (F.col("l_shipdate") < _ts(TS_D1))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_cents(REV)).alias("total_rev_cents")
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_cents == F.col("mx"))
+        .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({CENTS.format(x=REV)}) AS BIGINT) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TS_D0} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{TS_D1} 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM revenue)
+"""
+
+
+def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analogue (the double-nested semi-join with a quantity
+    threshold): suppliers who, for SOME part whose name contains
+    PT_NAME_PART, shipped more than PT_MIN_QTY units during the PT_D0
+    year — Q20's ``s_suppkey IN (... l_partkey IN (...) GROUP BY ...
+    HAVING sum(qty) > T)`` nesting with the availqty comparison
+    replaced by a fixed threshold (the testdata has no partsupp), with
+    each supplier's nation. Output: (s_name, n_name, n_parts — how
+    many distinct qualifying parts).
+
+    Plan shape: the part-name filter broadcasts as a LEFT SEMI prune
+    on the date-pruned fact scan; the per-(supplier, part) HAVING
+    aggregate keys one shuffle; the qualifying pairs collapse to
+    per-supplier counts on the same key prefix; supplier and nation
+    broadcast at the top. Nothing wider than (suppkey, partkey, qty)
+    ever shuffles."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PT_NAME_PART)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(PT_D0)) & (F.col("l_shipdate") < _ts(PT_D1))
+    )
+    pairs = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > PT_MIN_QTY)
+    )
+    per_supp = pairs.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_parts")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        per_supp.join(F.broadcast(sup), per_supp.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", "n_parts")
+    )
+
+
+PART_PROMOTION_SQL = f"""
+WITH pairs AS (
+  SELECT l_suppkey, l_partkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{PT_D0} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{PT_D1} 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%{PT_NAME_PART}%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > {PT_MIN_QTY}),
+per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+        FROM pairs GROUP BY l_suppkey)
+SELECT s_name, n_name, n_parts
+FROM per
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 QUERIES = {
     "market_share": q_market_share,
     "returned_customers": q_returned_customers,
@@ -653,6 +836,9 @@ QUERIES = {
     "lonely_returns": q_lonely_returns,
     "min_cost_supplier": q_min_cost_supplier,
     "order_count_distribution": q_order_count_distribution,
+    "large_orders": q_large_orders,
+    "top_supplier": q_top_supplier,
+    "part_promotion": q_part_promotion,
 }
 
 ORACLES = {
@@ -666,4 +852,7 @@ ORACLES = {
     "lonely_returns": LONELY_RETURNS_SQL,
     "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
     "order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
+    "large_orders": LARGE_ORDERS_SQL,
+    "top_supplier": TOP_SUPPLIER_SQL,
+    "part_promotion": PART_PROMOTION_SQL,
 }
