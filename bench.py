@@ -79,6 +79,7 @@ def main() -> None:
                 print(f"# warmup {wq} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, fn in entry.queries().items():
         runs = []
         for _ in range(N_RUNS):
@@ -87,6 +88,7 @@ def main() -> None:
             n = df.count()  # materializes the plan; results are aggregates
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        detail[name] = {"rows": n, "runs": [round(r, 3) for r in runs]}
         print(
             f"# {name}: {n} rows; median {timings[name]}s of "
             f"{[round(r, 3) for r in runs]}",
@@ -108,6 +110,25 @@ def main() -> None:
         "events_rows": n_events,
         "events_per_sec_headline": round(2 * n_events / headline) if headline else None,
     }
+    # Self-contained per-round artifact (VERDICT r06 #4: the driver's
+    # stdout capture truncated BENCH_r06.json's tail, losing ~60 early
+    # per-query timings) — the full result incl. every raw run is also
+    # WRITTEN to BENCH_DETAIL_r{N}.json next to this script, where N =
+    # current round inferred from the newest driver-committed
+    # BENCH_r{N-1}.json. Committed alongside, it makes round-over-round
+    # diffs independent of tail-capture luck.
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = [
+        int(m.group(1))
+        for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+    ]
+    rnd = (max(prev) + 1) if prev else 0
+    with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+        json.dump({**out, "detail": detail, "n_runs": N_RUNS}, f, indent=1)
     print(json.dumps(out))
 
 

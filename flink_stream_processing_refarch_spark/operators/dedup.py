@@ -826,8 +826,44 @@ SELECT doc_id, min(rid) AS cluster_id FROM reach GROUP BY doc_id
 
 COS_NEAR_DUP = 0.42  # cosine threshold (on the 6-decimal-rounded value)
 EMB_BANDS = 8        # LSH bands
-EMB_BITS = 6         # sign bits per band -> 64 codes/band
+EMB_BITS_BASE = 6    # sign bits per band at the reference corpus size
+EMB_BITS = EMB_BITS_BASE  # current value; see set_emb_scale
 EMB_BUCKET_CAP = 256  # degenerate-bucket guard (mirrors LSH_BUCKET_CAP)
+EMB_N_REF = 2_000    # reference vector count (driver sf0.1 embeddings)
+
+
+def emb_bits_for(n_vectors: int) -> int:
+    """The documented code-space sizing rule (VERDICT r06 #3): one extra
+    sign bit per band for every doubling of the corpus past EMB_N_REF,
+    keeping random-collision band-bucket occupancy N / 2^EMB_BITS
+    roughly CONSTANT (~31 vectors at every scale) — exactly the
+    "EMB_BITS stays log2(N)-ish" law _emb_planes documents. Integer
+    arithmetic only (bit_length), so both engines see the same value."""
+    return EMB_BITS_BASE + max(
+        0, (max(1, n_vectors) // EMB_N_REF).bit_length() - 1
+    )
+
+
+def set_emb_scale(n_vectors: int | None = None) -> int:
+    """Re-derive the embedding-LSH code space for an ``n_vectors``-sized
+    corpus (None = reset to the reference defaults, which exactly match
+    the fixed pre-r07 constants). Regenerates the hyperplanes and the
+    integer-quantized copies BOTH the Spark UDF and the DuckDB oracle
+    read at call time — the two engines stay in lockstep by
+    construction. Clears the plan cache (cached plans bake the old
+    codes). Returns the active EMB_BITS."""
+    global EMB_BITS, EMB_PLANES, EMB_PLANES_INT
+    EMB_BITS = EMB_BITS_BASE if n_vectors is None else emb_bits_for(n_vectors)
+    EMB_PLANES = _emb_planes()
+    EMB_PLANES_INT = [
+        [int(math.floor(v * 1e6 + 0.5)) for v in plane] for plane in EMB_PLANES
+    ]
+    # lockstep: the materialized oracle dict bakes the plane literals
+    ORACLES.update(_oracles())
+    from .. import plancache
+
+    plancache.clear()
+    return EMB_BITS
 
 
 def _emb_planes() -> list[list[float]]:

@@ -24,8 +24,10 @@ from ..schemas import load_table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
-N_PLANES = 8
+N_PLANES_BASE = 8
+N_PLANES = N_PLANES_BASE  # current value; see set_ann_scale
 DIM = 64
+ANN_N_REF = 2_000  # reference vector count (driver sf0.1 embeddings)
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -37,6 +39,63 @@ def _hyperplanes() -> list[list[float]]:
 
 
 HYPERPLANES = _hyperplanes()
+
+
+def lsh_planes_for(n_vectors: int) -> int:
+    """Code-space sizing rule (VERDICT r06 #3), same law as
+    dedup.emb_bits_for: one extra hyperplane per corpus doubling past
+    ANN_N_REF keeps single-probe bucket occupancy N / 2^N_PLANES
+    roughly constant (~8 vectors at every scale). Integer arithmetic
+    only."""
+    return N_PLANES_BASE + max(
+        0, (max(1, n_vectors) // ANN_N_REF).bit_length() - 1
+    )
+
+
+def ivf_centroids_for(n_vectors: int) -> int:
+    """IVF cell-count rule: K grows ~sqrt(N) (one doubling per ~4x
+    corpus — the standard IVF sizing, cells of ~sqrt(N) vectors), from
+    N_CENTROIDS_BASE at ANN_N_REF. The centroids stay folded literals
+    (see _centroids); past K ~ 64 a production deployment switches the
+    assign step to a broadcast-joined centroid relation trained by
+    k-means — the literal fold is the correctness-checkable stand-in."""
+    extra = max(0, (max(1, n_vectors) // ANN_N_REF).bit_length() - 1)
+    return N_CENTROIDS_BASE << ((extra + 1) // 2)
+
+
+def set_ann_scale(n_vectors: int | None = None) -> tuple[int, int]:
+    """Re-derive the ANN code spaces (single/multi-probe LSH planes and
+    IVF centroid count) for an ``n_vectors``-sized corpus (None = reset
+    to reference defaults, which exactly match the fixed pre-r07
+    constants). Both engines read the regenerated literals at
+    expression-build time, so the Spark plan and the DuckDB oracle move
+    in lockstep. Clears the plan cache. Returns (N_PLANES,
+    N_CENTROIDS)."""
+    global N_PLANES, HYPERPLANES, N_CENTROIDS, CENTROIDS, _HALF_NORMS
+    N_PLANES = (
+        N_PLANES_BASE if n_vectors is None else lsh_planes_for(n_vectors)
+    )
+    HYPERPLANES = _hyperplanes()
+    N_CENTROIDS = (
+        N_CENTROIDS_BASE
+        if n_vectors is None
+        else ivf_centroids_for(n_vectors)
+    )
+    CENTROIDS = _centroids()
+    _HALF_NORMS = [round(sum(x * x for x in c) / 2.0, 6) for c in CENTROIDS]
+    # lockstep: the materialized oracle dict bakes the plane/centroid
+    # literals — regenerate the affected entries
+    ORACLES.update(
+        {
+            "ann_lsh": _ann_lsh_sql(),
+            "ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
+            "ann_ivf": _ann_ivf_sql(),
+        }
+    )
+    from .. import plancache
+
+    plancache.clear()
+    return N_PLANES, N_CENTROIDS
 
 
 # --- shared expression builders -------------------------------------------
@@ -241,7 +300,8 @@ LIMIT {TOP_K}
 # IVF-bucketed approximate nearest neighbour
 # ---------------------------------------------------------------------------
 
-N_CENTROIDS = 8
+N_CENTROIDS_BASE = 8
+N_CENTROIDS = N_CENTROIDS_BASE  # current value; see set_ann_scale
 
 
 def _centroids() -> list[list[float]]:

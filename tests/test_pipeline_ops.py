@@ -44,6 +44,43 @@ def test_matches_oracle(spark, duck, mod, name):
     assert_matches_oracle(spark, duck, m.QUERIES[name], m.ORACLES[name])
 
 
+def test_emb_code_space_scales_in_lockstep(spark, duck):
+    """VERDICT r06 #3: the embedding-family code-space constants are a
+    documented function of N (emb_bits_for / lsh_planes_for /
+    ivf_centroids_for), and re-deriving them keeps Spark and the DuckDB
+    oracle in LOCKSTEP — here the whole family is re-checked against
+    the oracle at the sf10-decade scale setting (200k vectors), then
+    reset and re-checked at defaults."""
+    # the rules themselves (integer arithmetic, one bit per doubling)
+    assert dedup.emb_bits_for(2_000) == dedup.EMB_BITS_BASE == 6
+    assert dedup.emb_bits_for(20_000) == 9
+    assert dedup.emb_bits_for(200_000) == 12
+    assert similarity.lsh_planes_for(200_000) == 14
+    assert similarity.ivf_centroids_for(20_000) == 32
+    assert similarity.ivf_centroids_for(200_000) == 64
+    try:
+        bits = dedup.set_emb_scale(200_000)
+        planes, cents = similarity.set_ann_scale(200_000)
+        assert (bits, planes, cents) == (12, 14, 64)
+        assert_matches_oracle(
+            spark, duck, dedup.QUERIES["dedup_embedding"],
+            dedup.ORACLES["dedup_embedding"],
+        )
+        for name in ("ann_lsh", "ann_lsh_multiprobe", "ann_ivf"):
+            assert_matches_oracle(
+                spark, duck, similarity.QUERIES[name],
+                similarity.ORACLES[name],
+            )
+    finally:
+        assert dedup.set_emb_scale() == 6
+        assert similarity.set_ann_scale() == (8, 8)
+    # defaults restored bit-for-bit: the reference-scale oracle passes
+    assert_matches_oracle(
+        spark, duck, similarity.QUERIES["ann_lsh"],
+        similarity.ORACLES["ann_lsh"],
+    )
+
+
 def test_exact_dedup_finds_injected_dups(spark):
     """Every 10th doc is injected as an exact copy — all must be found,
     and the survivor is always the original (min doc_id)."""

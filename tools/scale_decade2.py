@@ -8,15 +8,18 @@ column is the first data-dominated step). Linear operators must show
 ~10x wall AND ~10x shuffle here; any quadratic candidate path would
 show ~100x.
 
-Scope note (honesty): the embedding family is EXCLUDED by design. At
-200k vectors the fixed EMB_BANDS x EMB_BITS = 8x6 code space puts
-~3,100 vectors in an average band bucket — far past EMB_BUCKET_CAP, so
-the fixed-constant operator would drop nearly every bucket and report a
-meaninglessly fast wall. The documented scale knob (EMB_BITS ~
-log2(N/target_bucket); operators/dedup.py::_emb_planes) must grow with
-the corpus; growing it here would change the oracle-checked candidate
-rule mid-measurement. semantic_dedup IS included — its exchange volume
-is constant in corpus size by construction, which this decade confirms.
+Embedding family (r07, VERDICT r06 #3): INCLUDED, with the code spaces
+re-derived per corpus through the documented N-rules (dedup.emb_bits_for,
+similarity.lsh_planes_for / ivf_centroids_for — one bit per doubling,
+IVF cells ~sqrt(N)) via the official setters (set_emb_scale /
+set_ann_scale), which regenerate the Spark expressions AND the DuckDB
+oracle literals in lockstep (tests/test_pipeline_ops.py::
+test_emb_code_space_scales_in_lockstep proves oracle parity at the
+sf10 settings). The r06 exclusion reason — fixed 8x6 codes put ~3,100
+vectors per band bucket at 200k vectors, past EMB_BUCKET_CAP — is
+exactly what the N-rule removes: occupancy stays ~constant at every
+scale. semantic_dedup needs no knob — its exchange volume is constant
+in corpus size by construction, which this decade confirms.
 
 Build the corpus first:
   SCALE_OUT_DIR=/dev/shm/graft_sf10 SCALE_REPLICAS=100 \
@@ -47,6 +50,7 @@ from flink_stream_processing_refarch_spark.operators import (  # noqa: E402
     retrieval,
     selection,
     semantic,
+    similarity,
     text,
 )
 from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
@@ -90,6 +94,19 @@ QUERIES = {
     # full-table rows from the next harness run)
     "memorization_risk": dedup.QUERIES["memorization_risk"],
     "winnow_fingerprints": dedup.QUERIES["winnow_fingerprints"],
+    # r07: the index consumer (bucketed candidate join + Jaccard verify)
+    "winnow_matches": dedup.QUERIES["winnow_matches"],
+}
+
+# r07: the embedding family, measured with code spaces re-derived per
+# corpus via the documented N-rules (the setters are called with the
+# corpus's vector count before these run; defaults restored after).
+EMB_QUERIES = {
+    "dedup_embedding": dedup.QUERIES["dedup_embedding"],
+    "ann_lsh": similarity.QUERIES["ann_lsh"],
+    "ann_lsh_multiprobe": similarity.QUERIES["ann_lsh_multiprobe"],
+    "ann_ivf": similarity.QUERIES["ann_ivf"],
+    "ann_pq": similarity.QUERIES["ann_pq"],
 }
 
 
@@ -105,42 +122,83 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for fn in QUERIES.values():
+    for fn in list(QUERIES.values()) + list(EMB_QUERIES.values()):
         fn(spark, "/root/testdata/sf0.001").count()
 
-    results: dict[str, dict[str, dict]] = {q: {} for q in QUERIES}
-    for sf, sf_dir in (("sf1", SF1_DIR), ("sf10", SF10_DIR)):
-        for name, fn in QUERIES.items():
-            b0 = shuffle_write_bytes(spark)
-            walls = []
+    results: dict[str, dict[str, dict]] = {
+        q: {} for q in list(QUERIES) + list(EMB_QUERIES)
+    }
+
+    def measure(name, fn, sf, sf_dir):
+        b0 = shuffle_write_bytes(spark)
+        walls = []
+        t0 = time.monotonic()
+        rows = fn(spark, sf_dir).count()
+        walls.append(time.monotonic() - t0)
+        b1 = shuffle_write_bytes(spark)
+        for _ in range(N_RUNS - 1):
             t0 = time.monotonic()
-            rows = fn(spark, sf_dir).count()
+            fn(spark, sf_dir).count()
             walls.append(time.monotonic() - t0)
-            b1 = shuffle_write_bytes(spark)
-            for _ in range(N_RUNS - 1):
-                t0 = time.monotonic()
-                fn(spark, sf_dir).count()
-                walls.append(time.monotonic() - t0)
-            results[name][sf] = {
-                "rows": rows,
-                "wall": round(statistics.median(walls), 2),
-                "shuffle_mb": round(max(0, b1 - b0) / 1e6, 2),
-            }
-            print(f"{sf} {name}: {results[name][sf]}", file=sys.stderr)
+        results[name][sf] = {
+            "rows": rows,
+            "wall": round(statistics.median(walls), 2),
+            "shuffle_mb": round(max(0, b1 - b0) / 1e6, 2),
+        }
+        print(f"{sf} {name}: {results[name][sf]}", file=sys.stderr)
+
+    emb_settings: dict[str, tuple] = {}
+    try:
+        for sf, sf_dir in (("sf1", SF1_DIR), ("sf10", SF10_DIR)):
+            for name, fn in QUERIES.items():
+                measure(name, fn, sf, sf_dir)
+            # embedding family: code spaces re-derived from THIS corpus's
+            # vector count (the documented N-rules), oracle in lockstep
+            from flink_stream_processing_refarch_spark.schemas import (
+                load_table,
+            )
+
+            n_vec = load_table(spark, sf_dir, "embeddings").count()
+            bits = dedup.set_emb_scale(n_vec)
+            planes, cents = similarity.set_ann_scale(n_vec)
+            emb_settings[sf] = (n_vec, bits, planes, cents)
+            print(
+                f"{sf}: n_vec={n_vec} -> EMB_BITS={bits},"
+                f" N_PLANES={planes}, N_CENTROIDS={cents}",
+                file=sys.stderr,
+            )
+            for name, fn in EMB_QUERIES.items():
+                measure(name, fn, sf, sf_dir)
+            dedup.set_emb_scale()
+            similarity.set_ann_scale()
+    finally:
+        dedup.set_emb_scale()
+        similarity.set_ann_scale()
 
     lines = [
-        "# SCALING_DECADE2 — sf1 -> sf10 (50k -> 500k docs), text family",
+        "# SCALING_DECADE2 — sf1 -> sf10 (50k -> 500k docs),"
+        " text + embedding families",
         "",
         "Generated by `tools/scale_decade2.py` (median wall of "
         f"{N_RUNS} warm runs; shuffle MB from the status API, one run).",
         "The fully data-dominated decade: both steps are far above the",
         "local-mode scheduling floor, so wall factors near 10x (and",
         "shuffle factors at ~10x) certify linear scaling directly.",
-        "The embedding family is excluded by design — see the scope",
-        "note in the tool docstring (fixed code-space constants",
-        "saturate the bucket cap at 200k vectors; the documented",
-        "EMB_BITS knob must grow with N, and changing it mid-sweep",
-        "would change the oracle-checked candidate rule).",
+        "",
+        "The embedding family (last five rows) runs with its code",
+        "spaces re-derived per corpus through the documented N-rules",
+        "(`dedup.emb_bits_for`, `similarity.lsh_planes_for` /",
+        "`ivf_centroids_for` — one bit per doubling, IVF cells",
+        "~sqrt(N)); the setters regenerate the Spark expressions AND",
+        "the DuckDB oracle literals in lockstep (oracle parity at the",
+        "sf10 settings is pinned by",
+        "tests/test_pipeline_ops.py::test_emb_code_space_scales_in_lockstep).",
+        "Active settings (n_vectors -> EMB_BITS / N_PLANES /",
+        "N_CENTROIDS): "
+        + "; ".join(
+            f"{sf}: {v[0]} -> {v[1]}/{v[2]}/{v[3]}"
+            for sf, v in emb_settings.items()
+        ),
         "",
         "| query | sf1 wall / shuffle | sf10 wall / shuffle"
         " | wall x | shuffle x | rows x |",
