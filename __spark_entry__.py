@@ -151,6 +151,14 @@ PRIORITY = [
     "large_orders",
     "top_supplier",
     "part_promotion",
+    # -- NEW r07 (late adds): Q17/Q19/Q12/Q16 analogues (decorrelated
+    #    scalar-AVG join-back, OR-of-ANDs residual predicate,
+    #    cross-relation date predicate on a fact-fact join, dual
+    #    negative filters into a wide count-distinct) --
+    "small_lot_revenue",
+    "brand_volume_revenue",
+    "late_shipments",
+    "supplier_part_variety",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window via dedup_incremental/containment_dedup) --
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
@@ -163,9 +171,6 @@ PRIORITY = [
     # -- NEW r05 (late add): asymmetric containment verify of the LSH
     #    candidates (the excerpt/quote case Jaccard misses) --
     "containment_dedup",
-    # -- NEW r05 (late add): cross-source duplication matrix over the
-    #    verified near-dup pairs (provenance/licensing view) --
-    "dup_source_matrix",
     # -- NEW r06: memorization-risk audit (total-corpus-frequency span
     #    windows over RAW documents; Carlini-style repetition signal,
     #    same no-self-join hash-window skeleton as dedup_spans) --
@@ -185,9 +190,12 @@ PRIORITY = [
     #    apply side (tokenize-by-vocab-lookup token counts) --
     "bpe_train",
     "bpe_token_count",
-    # -- NEW r05 (late add): hashing-trick sparse doc features (fixed
-    #    feature space, no vocab relation; wordcount-shaped combine) --
-    "feature_hashing",
+    # -- NEW r07 (late adds): Gopher-gate quality FUNNEL (per-source
+    #    cumulative survival counts, integer-exact comparisons) and
+    #    per-source discriminative-term signatures (exact-ppm rate
+    #    contrast vs rest-of-corpus, vocab-bounded top-k) --
+    "quality_funnel",
+    "source_signature_terms",
     # -- NEW r05 (late add): batch BM25 retrieval — query TABLE joined
     #    against the corpus, per-query window top-k — and the hybrid
     #    lexical->dense re-rank over those candidates only --
@@ -210,7 +218,6 @@ PRIORITY = [
     # -- NEW r05 (late add): the drift monitor's streaming twin
     #    (bounded |sources| x 256 state, batch oracle verbatim) --
     "source_drift_streaming",
-    "quantile_histogram",
     "quantile_histogram_streaming",
     # -- NEW r04: product-quantization ANN (sample-trained codebooks,
     #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) and
@@ -234,12 +241,6 @@ PRIORITY = [
     #    label purity, exact-integer Lloyd walk shared with
     #    semantic_dedup) --
     "kmeans_clusters",
-    # -- NEW r04: weighted-interleave curriculum schedule --
-    "curriculum_order",
-    # -- NEW r05 (late add): vocab coverage curve (power-of-two rank
-    #    buckets -> exact ppm token coverage; integer log2 via bin()) --
-    "vocab_coverage",
-    "corpus_build",
     "corpus_ingest_streaming",
     "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
@@ -253,6 +254,20 @@ PRIORITY = [
     "trending_cells",
     "dedup_clusters",
     "heavy_hitters_cms",
+    # r07 (late adds): six more r0x-green, r07-unchanged entries ceded
+    # slots to the six late-r07 entries (the Q17/Q19/Q12/Q16 analogues
+    # + quality_funnel + source_signature_terms): dup_source_matrix
+    # (its LSH candidate machinery stays in-window via containment_dedup
+    # / dedup_incremental), feature_hashing, quantile_histogram (its
+    # streaming twin stays in-window), curriculum_order,
+    # vocab_coverage, corpus_build (its streaming ingest twin stays
+    # in-window).
+    "dup_source_matrix",
+    "feature_hashing",
+    "quantile_histogram",
+    "curriculum_order",
+    "vocab_coverage",
+    "corpus_build",
     # r06: the DSIR/LM/leakage selection trio ceded slots to the three
     # new TPC-H analogues, and batch source_drift to the streaming
     # winnow twin (all r05-green over r06-unchanged plans; its

@@ -631,6 +631,181 @@ FROM ranked GROUP BY 1
 """
 
 
+# quality_funnel knobs (Gopher-style gates, Rae et al. 2021 Table A1
+# adapted to integer-exact arithmetic)
+QF_MIN_WORDS, QF_MAX_WORDS = 20, 10_000
+QF_MIN_MWL, QF_MAX_MWL = 2, 12  # mean word length bounds (chars/word)
+QF_MIN_STOP = 2  # distinct stopword hits
+QF_MIN_DISTINCT_PCT = 20  # distinct words >= 20% of words
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate FUNNEL (Gopher-rule sequence, Rae et al.
+    2021): how many documents survive each successive gate — word
+    count in [QF_MIN_WORDS, QF_MAX_WORDS], mean word length in
+    [QF_MIN_MWL, QF_MAX_MWL], >= QF_MIN_STOP distinct stopwords,
+    distinct-word ratio >= QF_MIN_DISTINCT_PCT% — plus the final
+    admitted count. quality_score emits per-doc features; this is the
+    corpus-curation VIEW of the same gates: where the pipeline loses
+    documents, per source, as cumulative counts.
+
+    All comparisons are integer-exact (mean word length as
+    chars*1 vs bounds*n_words; the distinct ratio as
+    distinct*100 vs pct*n_words — no division), so DuckDB hash-parity
+    holds at any scale. Scale: one narrow projection per doc (the
+    gates are array expressions at the scan, no explode), then a
+    |sources|-row combine — map-side-aggregated, one exchange."""
+    e = _exprs("spark")
+    g1 = f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})"
+    g2 = (
+        f"({e['n_word_chars']} >= {QF_MIN_MWL} * {e['n_words']}"
+        f" AND {e['n_word_chars']} <= {QF_MAX_MWL} * {e['n_words']})"
+    )
+    g3 = f"({_distinct_stop_expr('spark')} >= {QF_MIN_STOP})"
+    g4 = f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})"
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "source",
+        F.expr(g1).alias("p1"),
+        F.expr(f"{g1} AND {g2}").alias("p2"),
+        F.expr(f"{g1} AND {g2} AND {g3}").alias("p3"),
+        F.expr(f"{g1} AND {g2} AND {g3} AND {g4}").alias("p4"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("p1").cast("bigint")).alias("pass_len"),
+        F.sum(F.col("p2").cast("bigint")).alias("pass_word_len"),
+        F.sum(F.col("p3").cast("bigint")).alias("pass_stopwords"),
+        F.sum(F.col("p4").cast("bigint")).alias("admitted"),
+    )
+
+
+def _distinct_stop_expr(dialect: str) -> str:
+    w = words_expr("text", dialect)
+    stops = arr_filter(w, f"x -> x IN ({_stop_list_sql()})", dialect)
+    return f"CAST({arr_len(f'{_lst(dialect)}({stops})', dialect)} AS BIGINT)"
+
+
+def _quality_funnel_sql() -> str:
+    e = _exprs("duckdb")
+    g1 = f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})"
+    g2 = (
+        f"({e['n_word_chars']} >= {QF_MIN_MWL} * {e['n_words']}"
+        f" AND {e['n_word_chars']} <= {QF_MAX_MWL} * {e['n_words']})"
+    )
+    g3 = f"({_distinct_stop_expr('duckdb')} >= {QF_MIN_STOP})"
+    g4 = f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})"
+    return f"""
+WITH flags AS (
+  SELECT source,
+         {g1} AS p1,
+         {g1} AND {g2} AS p2,
+         {g1} AND {g2} AND {g3} AS p3,
+         {g1} AND {g2} AND {g3} AND {g4} AS p4
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       sum(CAST(p1 AS BIGINT)) AS pass_len,
+       sum(CAST(p2 AS BIGINT)) AS pass_word_len,
+       sum(CAST(p3 AS BIGINT)) AS pass_stopwords,
+       sum(CAST(p4 AS BIGINT)) AS admitted
+FROM flags GROUP BY source
+"""
+
+
+# source_signature_terms knobs
+SIG_TOP = 15  # discriminative terms kept per source
+SIG_MIN_CNT = 5  # ignore words rarer than this in the source
+
+
+def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source discriminative vocabulary: the SIG_TOP words whose
+    within-source token rate (ppm) most exceeds their rate in the REST
+    of the corpus — the contrastive-term analysis a mixture designer
+    reads to understand what a source actually contributes (the
+    exact-integer stand-in for log-odds contrast). Rates and the
+    contrast are exact ppm integers; ties break by word, so the top-k
+    is deterministic cross-engine.
+
+    Scale: one (source, word) wordcount combine — the only corpus-
+    sized exchange; per-word corpus totals come from a second combine
+    over the VOCAB-bounded relation (never a window over corpus rows);
+    per-source totals are a |sources|-row broadcast; the top-k window
+    partitions by source over vocab-bounded rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.expr(words_expr("text", "spark"))).alias("word")
+    )
+    sw = tok.groupBy("source", "word").agg(F.count("*").alias("cnt"))
+    stot = sw.groupBy("source").agg(F.sum("cnt").alias("s_tokens"))
+    wtot = sw.groupBy("word").agg(F.sum("cnt").alias("w_total"))
+    gtot = stot.agg(F.sum("s_tokens").alias("g_tokens"))
+    rated = (
+        sw.filter(F.col("cnt") >= SIG_MIN_CNT)
+        .join(F.broadcast(stot), "source")
+        .join(wtot, "word")
+        .crossJoin(F.broadcast(gtot))
+        .filter(F.col("g_tokens") > F.col("s_tokens"))
+        .select(
+            "source",
+            "word",
+            "cnt",
+            F.expr("cnt * CAST(1000000 AS BIGINT) DIV s_tokens").alias(
+                "rate_ppm"
+            ),
+            F.expr(
+                "(w_total - cnt) * CAST(1000000 AS BIGINT)"
+                " DIV (g_tokens - s_tokens)"
+            ).alias("rest_rate_ppm"),
+        )
+        .withColumn("lift_ppm", F.expr("rate_ppm - rest_rate_ppm"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift_ppm"), F.asc("word")
+    )
+    return (
+        rated.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SIG_TOP)
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "word",
+            "cnt",
+            "rate_ppm",
+            "rest_rate_ppm",
+            "lift_ppm",
+        )
+    )
+
+
+def _source_signature_terms_sql() -> str:
+    w = words_expr("text", "duckdb")
+    return f"""
+WITH tok AS (SELECT source, unnest({w}) AS word FROM documents),
+sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+       FROM tok GROUP BY source, word),
+stot AS (SELECT source, sum(cnt) AS s_tokens FROM sw GROUP BY source),
+wtot AS (SELECT word, sum(cnt) AS w_total FROM sw GROUP BY word),
+gtot AS (SELECT sum(s_tokens) AS g_tokens FROM stot),
+rated AS (
+  SELECT sw.source, sw.word, cnt,
+         cnt * 1000000 // s_tokens AS rate_ppm,
+         (w_total - cnt) * 1000000 // (g_tokens - s_tokens)
+           AS rest_rate_ppm,
+         cnt * 1000000 // s_tokens
+           - (w_total - cnt) * 1000000 // (g_tokens - s_tokens) AS lift_ppm
+  FROM sw JOIN stot USING (source) JOIN wtot USING (word), gtot
+  WHERE cnt >= {SIG_MIN_CNT} AND g_tokens > s_tokens),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY lift_ppm DESC, word ASC) AS BIGINT) AS rk
+  FROM rated)
+SELECT source, rk, word, cnt, rate_ppm, rest_rate_ppm, lift_ppm
+FROM ranked WHERE rk <= {SIG_TOP}
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -644,6 +819,8 @@ QUERIES = {
     "training_mix": q_training_mix,
     "feature_hashing": q_feature_hashing,
     "vocab_coverage": q_vocab_coverage,
+    "quality_funnel": q_quality_funnel,
+    "source_signature_terms": q_source_signature_terms,
 }
 
 ORACLES = {
@@ -659,4 +836,6 @@ ORACLES = {
     "training_mix": _training_mix_sql(),
     "feature_hashing": _feature_hashing_sql(),
     "vocab_coverage": _vocab_coverage_sql(),
+    "quality_funnel": _quality_funnel_sql(),
+    "source_signature_terms": _source_signature_terms_sql(),
 }

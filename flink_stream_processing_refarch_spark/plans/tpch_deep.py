@@ -825,6 +825,255 @@ JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+# Q17 knobs
+SL_BRANDS = ("Brand#11", "Brand#23")
+
+# Q19 knobs: (brand, max p_size, qty lo, qty hi) disjuncts
+BV_ARMS = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+# Q12 knobs
+LS_Y0, LS_Y1 = "1997-01-01", "1998-01-01"
+LS_LATE_DAYS = 90
+
+# Q16 knobs
+PV_EXCL_BRAND = "Brand#45"
+PV_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analogue (small-quantity-order revenue): for parts of the
+    SL_BRANDS brands, the revenue from lineitems whose quantity is
+    below 20% of that part's average quantity — Q17's correlated
+    scalar-AVG subquery, decorrelated into a per-part aggregate joined
+    back onto the same filtered fact. The avg comparison is exact
+    integer (qty*5*cnt < sum_qty — no division), so DuckDB parity holds
+    at any scale; per-brand cent sums and the Q17 ``/7`` yearly figure
+    via integer DIV.
+
+    Plan shape: the brand filter LEFT SEMI-prunes the fact scan through
+    a broadcast of ~|part|/13 keys BEFORE any aggregation; the per-part
+    (sum, cnt) aggregate — |brand parts| rows — broadcasts back onto
+    the pruned fact, so the only exchanges are the partkey partial-agg
+    pair and the final 1-row-per-brand combine."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*SL_BRANDS)
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_partkey",
+            "p_brand",
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+            _cents("l_extendedprice").alias("price_cents"),
+        )
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    small = li.join(
+        F.broadcast(avgq), li.l_partkey == F.col("ap_partkey")
+    ).filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.sum("price_cents").alias("sum_rev_cents"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "p_brand",
+            "sum_rev_cents",
+            F.expr("sum_rev_cents DIV 7").alias("avg_yearly_cents"),
+            "n_lines",
+        )
+    )
+
+
+SMALL_LOT_REVENUE_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, p_brand,
+         CAST(floor(l_quantity) AS BIGINT) AS qty,
+         {CENTS.format(x='l_extendedprice')} AS price_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN {tuple(SL_BRANDS)}),
+avgq AS (SELECT l_partkey, sum(qty) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM li GROUP BY l_partkey),
+small AS (
+  SELECT p_brand, price_cents
+  FROM li JOIN avgq USING (l_partkey)
+  WHERE qty * 5 * cnt < sum_qty)
+SELECT p_brand, sum(price_cents) AS sum_rev_cents,
+       sum(price_cents) // 7 AS avg_yearly_cents,
+       count(*) AS n_lines
+FROM small GROUP BY p_brand
+"""
+
+
+def q_brand_volume_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 analogue (discounted revenue, the OR-of-ANDs predicate):
+    revenue per brand over lineitem ⋈ part where any BV_ARMS disjunct
+    holds — each arm constrains (p_brand, p_size, l_quantity) jointly,
+    so no single conjunct can be pushed below the join; Q19's shape
+    tests that the optimizer still pushes the DERIVABLE part (brand ∈
+    arms, size <= max) into the dimension scan and evaluates the
+    residual disjunction on joined rows.
+
+    Plan shape: part broadcasts (with the derived brand/size prefilter
+    pushed to its scan); ONE pass over the fact, no shuffle except the
+    3-row final combine."""
+    arms_spark = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+        f" AND qty BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in BV_ARMS
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*[a[0] for a in BV_ARMS])
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        _cents(REV).alias("rev_cents"),
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .filter(F.expr(arms_spark))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_BV_ARMS_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+    f" AND CAST(floor(l_quantity) AS BIGINT) BETWEEN {lo} AND {hi})"
+    for b, s, lo, hi in BV_ARMS
+)
+
+BRAND_VOLUME_REVENUE_SQL = f"""
+SELECT p_brand, sum({CENTS.format(x=REV)}) AS rev_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_BV_ARMS_SQL}
+GROUP BY p_brand
+"""
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analogue (shipping-priority distribution): among LS_Y0-year
+    shipments that went out LATE (shipped more than LS_LATE_DAYS after
+    the order date — the testdata has no commit/receipt dates, so
+    order-to-ship latency stands in for Q12's commit/receipt race),
+    per returnflag (the shipmode stand-in): how many belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs low — Q12's two-level
+    CASE-sum over an orders ⋈ lineitem join whose predicate spans BOTH
+    relations (date arithmetic across the join), unpushable to either
+    scan alone.
+
+    Plan shape: the ship-year filter prunes the fact scan; the
+    lineitem ⋈ orders equi-join is the one shuffle pair (both sides
+    big at warehouse scale); the cross-relation lateness predicate
+    evaluates on joined rows; the final agg collapses to |returnflag|
+    rows map-side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(LS_Y0)) & (F.col("l_shipdate") < _ts(LS_Y1))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LS_LATE_DAYS} DAYS")
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.expr(f"CASE WHEN {hi} THEN 1 ELSE 0 END")).alias(
+            "high_line_count"
+        ),
+        F.sum(F.expr(f"CASE WHEN {hi} THEN 0 ELSE 1 END")).alias(
+            "low_line_count"
+        ),
+    )
+
+
+LATE_SHIPMENTS_SQL = f"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{LS_Y0} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{LS_Y1} 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL {LS_LATE_DAYS} DAYS
+GROUP BY l_returnflag
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analogue (parts/supplier relationship): per (p_brand,
+    p_size), how many DISTINCT suppliers shipped that part — parts of
+    the excluded brand and off-list sizes removed, suppliers with a
+    negative account balance (the complaint stand-in; the testdata has
+    no comment column) removed by LEFT ANTI join. The shipped
+    (l_partkey, l_suppkey) pairs are the partsupp stand-in. Q16's
+    shape: dual negative filters (dimension NOT-predicate + supplier
+    NOT IN) feeding a count-distinct over a wide group.
+
+    Plan shape: qualifying parts broadcast-SEMI-prune the fact scan;
+    the (few) excluded suppliers broadcast as an ANTI join; the pair
+    distinct and the count-distinct share one (brand, size)-compatible
+    aggregation pipeline — two exchanges total at any scale."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != PV_EXCL_BRAND)
+        & F.col("p_size").isin(*PV_SIZES)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_VARIETY_SQL = f"""
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{PV_EXCL_BRAND}'
+  AND p_size IN {tuple(PV_SIZES)}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
 QUERIES = {
     "market_share": q_market_share,
     "returned_customers": q_returned_customers,
@@ -839,6 +1088,10 @@ QUERIES = {
     "large_orders": q_large_orders,
     "top_supplier": q_top_supplier,
     "part_promotion": q_part_promotion,
+    "small_lot_revenue": q_small_lot_revenue,
+    "brand_volume_revenue": q_brand_volume_revenue,
+    "late_shipments": q_late_shipments,
+    "supplier_part_variety": q_supplier_part_variety,
 }
 
 ORACLES = {
@@ -855,4 +1108,8 @@ ORACLES = {
     "large_orders": LARGE_ORDERS_SQL,
     "top_supplier": TOP_SUPPLIER_SQL,
     "part_promotion": PART_PROMOTION_SQL,
+    "small_lot_revenue": SMALL_LOT_REVENUE_SQL,
+    "brand_volume_revenue": BRAND_VOLUME_REVENUE_SQL,
+    "late_shipments": LATE_SHIPMENTS_SQL,
+    "supplier_part_variety": SUPPLIER_PART_VARIETY_SQL,
 }

@@ -239,11 +239,12 @@ def q1_from_wire(spark: SparkSession, json_dir: str, **source_opts) -> DataFrame
     return _run_to_memory(q1_agg_from_trips(trips))
 
 
-def stream_clean_trips(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
-    """Derived trip stream with the P1-P4 filter chain and an event-time
-    column; watermark attached AFTER filtering (so it tracks the cleaned
-    stream, matching where the reference assigns timestamps)."""
-    ev = stream_events(spark, sf_dir, **source_opts)
+def clean_trips_from_event_stream(ev: DataFrame) -> DataFrame:
+    """Trip derivation + P1-P4 filter chain + event-time watermark over
+    any streaming events relation with (event_id, ts BIGINT nanos)
+    columns — the source-agnostic half of ``stream_clean_trips``, so
+    alternate sources (the sf1 scale harness's replica files, a Kinesis
+    swap) run the IDENTICAL registry plan."""
     # ts_ms is materialized once before the wide trip projection (same
     # contract as sources.trips.derive_trips — the 'ts_ms' dialect token
     # is a plain column reference, which keeps the Catalyst tree small).
@@ -255,6 +256,15 @@ def stream_clean_trips(spark: SparkSession, sf_dir: str, **source_opts) -> DataF
     return trips.withColumn(
         "dropoff_ts", F.timestamp_millis(F.col("dropoff_ms"))
     ).withWatermark("dropoff_ts", "0 seconds")
+
+
+def stream_clean_trips(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
+    """Derived trip stream with the P1-P4 filter chain and an event-time
+    column; watermark attached AFTER filtering (so it tracks the cleaned
+    stream, matching where the reference assigns timestamps)."""
+    return clean_trips_from_event_stream(
+        stream_events(spark, sf_dir, **source_opts)
+    )
 
 
 def q1_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -503,3 +503,39 @@ def test_memorization_risk_flags_injected_repetition(spark, tmp_path):
         assert got[i] == 0
     for i in range(dedup.MEM_T):
         assert got[100 + i] == 1000000  # the whole doc IS the block
+
+def test_quality_funnel_is_monotone_and_complete(spark):
+    """The gates apply in sequence, so per-source survival counts must
+    be nonincreasing, and the funnel must account for every document."""
+    rows = text.q_quality_funnel(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert total == n_docs
+    for r in rows:
+        assert (
+            r["n_docs"] >= r["pass_len"] >= r["pass_word_len"]
+            >= r["pass_stopwords"] >= r["admitted"] >= 0
+        ), r
+
+
+def test_source_signature_terms_topk_contract(spark):
+    """Per source: at most SIG_TOP rows, contiguous ranks from 1, and
+    lift nonincreasing in rank (ties broken by word)."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in text.q_source_signature_terms(spark, SF_DIR).collect():
+        per[r["source"]].append(r)
+    assert per
+    for source, rows in per.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert len(rows) <= text.SIG_TOP
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["lift_ppm"], ) >= (b["lift_ppm"], ), (source, a, b)
+            if a["lift_ppm"] == b["lift_ppm"]:
+                assert a["word"] < b["word"]
+        for r in rows:
+            assert r["lift_ppm"] == r["rate_ppm"] - r["rest_rate_ppm"]
+            assert r["cnt"] >= text.SIG_MIN_CNT

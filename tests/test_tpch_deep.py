@@ -93,3 +93,85 @@ def test_unshipped_revenue_filters_pushed(spark):
     )
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
+
+def test_small_lot_revenue_agg_broadcast_back(spark):
+    """Q17's decorrelated per-part AVG must join BACK as a broadcast
+    (the agg is |brand parts| rows), and the brand prefilter must
+    broadcast into the fact scan — no shuffle join anywhere except the
+    partkey aggregation pair."""
+    plan = (
+        tpch_deep.q_small_lot_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # the brand filter reaches the part scan
+    assert "In(p_brand" in plan, plan[:2000]
+
+
+def test_brand_volume_revenue_pushdown_and_single_join(spark):
+    """Q19: the derivable brand prefilter reaches the part scan; the
+    OR-of-ANDs residual must not degrade the equi-join to a nested
+    loop."""
+    plan = (
+        tpch_deep.q_brand_volume_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(p_brand" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_shipments_date_range_pushed(spark):
+    """Q12: the ship-year range reaches the lineitem scan even though
+    the lateness predicate (spanning both relations) cannot."""
+    plan = (
+        tpch_deep.q_late_shipments(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan[:2000]
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_supplier_part_variety_anti_join_and_size_pushdown(spark):
+    """Q16: the excluded suppliers join as LEFT ANTI, the size list and
+    brand exclusion reach the part scan, and the distinct-supplier count
+    never shuffles the fact on a pair key (part dim broadcasts)."""
+    plan = (
+        tpch_deep.q_supplier_part_variety(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "In(p_size" in plan, plan[:2000]
+    assert "Not(EqualTo(p_brand" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_small_lot_threshold_is_strict_fifth(spark):
+    """Every surviving line must have qty*5*cnt < sum_qty vs its part's
+    aggregate — re-derive the per-part sums batch-side and check the
+    revenue decomposes exactly."""
+    import duckdb
+
+    got = {
+        r["p_brand"]: (r["sum_rev_cents"], r["n_lines"])
+        for r in tpch_deep.q_small_lot_revenue(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    want = con.execute(
+        tpch_deep.SMALL_LOT_REVENUE_SQL
+    ).fetchall()
+    assert got == {r[0]: (r[1], r[3]) for r in want}
