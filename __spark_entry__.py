@@ -230,6 +230,10 @@ PRIORITY = [
     # -- NEW r06: embedding-space EVAL as a query (exact-kNN label vote
     #    over quantized integer dots; per-label accuracy in exact ppm) --
     "knn_label_accuracy",
+    # -- NEW r07 (late add): ANN-INDEX recall as a query — per eval
+    #    vector, overlap of the LSH-bucket top-k with the exact top-k
+    #    over the same quantized-dot ranking; exact-ppm recall@K --
+    "ann_recall_eval",
     # -- NEW r04: event-stream product analytics (ordered funnel,
     #    retention cohorts — the reference domain's next two queries) --
     # -- added r03, driver-proven r03 (SemDeDup / stream decontam gate /
@@ -242,7 +246,6 @@ PRIORITY = [
     #    semantic_dedup) --
     "kmeans_clusters",
     "corpus_ingest_streaming",
-    "decontaminate_streaming",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     # -- stateful streaming + custom join/stream ops (events stream path
@@ -268,6 +271,10 @@ PRIORITY = [
     "curriculum_order",
     "vocab_coverage",
     "corpus_build",
+    # (decontaminate_streaming rotated out late-r07 for ann_recall_eval:
+    # r03-green over a since-unchanged stateless stream-static plan; the
+    # batch decontaminate stays selfchecked each round.)
+    "decontaminate_streaming",
     # r06: the DSIR/LM/leakage selection trio ceded slots to the three
     # new TPC-H analogues, and batch source_drift to the streaming
     # winnow twin (all r05-green over r06-unchanged plans; its

@@ -90,6 +90,7 @@ def set_ann_scale(n_vectors: int | None = None) -> tuple[int, int]:
             "ann_lsh": _ann_lsh_sql(),
             "ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
             "ann_ivf": _ann_ivf_sql(),
+            "ann_recall_eval": _ann_recall_eval_sql(),
         }
     )
     from .. import plancache
@@ -907,9 +908,143 @@ FROM pred GROUP BY qlabel
 """
 
 
+REC_EVERY = 50  # every 50th vector is a recall-eval query
+REC_K = 10      # top-k compared between exact and LSH legs
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index recall as a first-class query: per eval vector, how
+    many of the exact top-REC_K nearest neighbours the single-probe
+    LSH bucket path returns — recall@K of the INDEX against exact kNN
+    (knn_label_accuracy judges the SPACE against labels; this judges
+    the index against the space; tools/ann_recall.py is the offline
+    sweep version of the same measurement). Output per query:
+    candidate-bucket size, the two top-k overlaps, exact-ppm recall.
+
+    Determinism + scale: one corpus scan derives quantized vectors
+    (exact-BIGINT dots rank identically to cosine) AND the LSH bucket;
+    the eval dimension (|N|/REC_EVERY rows) is persisted then
+    broadcast — the same eval-harness shape as knn_label_accuracy.
+    Both legs rank over the SAME scored pair relation (the LSH leg is
+    a filter on it, never a second scan); the per-query windows run
+    over the broadcast-joined pair rows — the accepted eval-set
+    discipline (eval sets are small by construction)."""
+    from pyspark.sql import Window
+
+    from ..schemas import persist_latest
+    from .semantic import _doti, _quant_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_quant_expr("embedding", "spark")).alias("vq"),
+        F.expr(_bucket_expr("embedding", "spark")).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") % REC_EVERY == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vq").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    q = persist_latest(q, "ann_recall_eval")
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qbucket",
+            "vec_id",
+            "bucket",
+            F.expr(_doti("vq", "qv", "spark")).alias("dot"),
+        )
+    )
+    order = [F.desc("dot"), F.asc("vec_id")]
+    exact = pairs.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+    ).filter(F.col("rk") <= REC_K)
+    in_bucket = pairs.filter(F.col("bucket") == F.col("qbucket"))
+    lsh = in_bucket.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+    ).filter(F.col("rk") <= REC_K)
+    bucket_sz = in_bucket.groupBy("qid").agg(
+        F.count("*").alias("bucket_candidates")
+    )
+    overlap = (
+        exact.select("qid", "vec_id")
+        .join(lsh.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count("*").alias("n_exact"))
+        .join(bucket_sz, "qid", "left")
+        .join(overlap, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("bucket_candidates", F.lit(0)).alias(
+                "bucket_candidates"
+            ),
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            F.expr(
+                f"coalesce(overlap, 0) * CAST(1000000 AS BIGINT)"
+                f" DIV {REC_K}"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+# Persists the eval dimension during plan build (plancache contract).
+q_ann_recall_eval.stateful_build = True
+
+
+def _ann_recall_eval_sql() -> str:
+    from .semantic import _doti, _quant_expr
+
+    d = "duckdb"
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_expr("embedding", d)} AS vq,
+                  {_bucket_expr("embedding", d)} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, vq AS qv, bucket AS qbucket FROM e
+      WHERE vec_id % {REC_EVERY} = 0),
+pairs AS (
+  SELECT q.qid, q.qbucket, e.vec_id, e.bucket,
+         {_doti("e.vq", "q.qv", d)} AS dot
+  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dot DESC, vec_id ASC) AS rk
+    FROM pairs) WHERE rk <= {REC_K}),
+in_bucket AS (SELECT * FROM pairs WHERE bucket = qbucket),
+lsh AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dot DESC, vec_id ASC) AS rk
+    FROM in_bucket) WHERE rk <= {REC_K}),
+bsz AS (SELECT qid, CAST(count(*) AS BIGINT) AS bucket_candidates
+        FROM in_bucket GROUP BY qid),
+ov AS (SELECT exact.qid, CAST(count(*) AS BIGINT) AS overlap
+       FROM exact JOIN lsh ON exact.qid = lsh.qid
+                          AND exact.vec_id = lsh.vec_id
+       GROUP BY exact.qid)
+SELECT ex.qid, ex.n_exact,
+       coalesce(bucket_candidates, 0) AS bucket_candidates,
+       coalesce(overlap, 0) AS overlap,
+       coalesce(overlap, 0) * 1000000 // {REC_K} AS recall_ppm
+FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY qid) ex
+LEFT JOIN bsz ON ex.qid = bsz.qid
+LEFT JOIN ov ON ex.qid = ov.qid
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "knn_label_accuracy": q_knn_label_accuracy,
+    "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
@@ -921,6 +1056,7 @@ QUERIES = {
 ORACLES = {
     "cosine_topk": _cosine_topk_sql(),
     "knn_label_accuracy": _knn_label_accuracy_sql(),
+    "ann_recall_eval": _ann_recall_eval_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
     "ann_ivf": _ann_ivf_sql(),

@@ -66,7 +66,9 @@ def test_emb_code_space_scales_in_lockstep(spark, duck):
             spark, duck, dedup.QUERIES["dedup_embedding"],
             dedup.ORACLES["dedup_embedding"],
         )
-        for name in ("ann_lsh", "ann_lsh_multiprobe", "ann_ivf"):
+        for name in (
+            "ann_lsh", "ann_lsh_multiprobe", "ann_ivf", "ann_recall_eval"
+        ):
             assert_matches_oracle(
                 spark, duck, similarity.QUERIES[name],
                 similarity.ORACLES[name],
@@ -539,3 +541,24 @@ def test_source_signature_terms_topk_contract(spark):
         for r in rows:
             assert r["lift_ppm"] == r["rate_ppm"] - r["rest_rate_ppm"]
             assert r["cnt"] >= text.SIG_MIN_CNT
+
+def test_ann_recall_eval_invariants(spark):
+    """Per query: overlap bounded by both top-k sizes, recall is the
+    exact ppm of overlap/REC_K, and the exact leg always finds REC_K
+    neighbours on a corpus far larger than K."""
+    rows = similarity.q_ann_recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["qid"] % similarity.REC_EVERY == 0
+        assert r["n_exact"] == similarity.REC_K
+        assert 0 <= r["overlap"] <= min(r["n_exact"], similarity.REC_K)
+        assert r["overlap"] <= max(r["bucket_candidates"], 0)
+        assert r["recall_ppm"] == r["overlap"] * 1_000_000 // similarity.REC_K
+    # Positivity needs bucket occupancy: at sf0.001 (500 vectors over
+    # 2^8 buckets, ~2 per bucket) single-probe recall is HONESTLY zero
+    # — the measurement the harness exists to surface. At sf0.01 the
+    # planted near-dup twins land in-bucket, so real overlap appears.
+    rows01 = similarity.q_ann_recall_eval(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r["overlap"] for r in rows01) > 0
