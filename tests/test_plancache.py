@@ -255,6 +255,33 @@ def test_persist_latest_releases_previous_generation(spark):
     df2.unpersist()
 
 
+def test_persist_latest_reuses_identical_plan(spark):
+    """The semantic half (ADVICE r06, adopted r07): a repeat call whose
+    plan is semantically identical returns the SAME live DataFrame —
+    no unpersist, no recompute — so per-call plan rebuilds (the decade
+    harness, cross-variant compositions) keep their materialized
+    relations instead of rebuilding the pipeline under the persist."""
+    from flink_stream_processing_refarch_spark.schemas import persist_latest
+
+    df1 = persist_latest(
+        spark.range(200).selectExpr("id", "id * 2 AS v"), "test_sem_tag"
+    )
+    df1.count()
+    assert df1.storageLevel.useMemory
+    df2 = persist_latest(
+        spark.range(200).selectExpr("id", "id * 2 AS v"), "test_sem_tag"
+    )
+    assert df2 is df1  # identical plan -> the live relation itself
+    assert df1.storageLevel.useMemory
+    # a semantically DIFFERENT plan still supersedes it
+    df3 = persist_latest(
+        spark.range(200).selectExpr("id", "id * 5 AS v"), "test_sem_tag"
+    )
+    assert df3 is not df1
+    assert not df1.storageLevel.useMemory
+    df3.unpersist()
+
+
 def test_evict_stale_stamp_ignore_idx():
     """ignore_idx generalizes the PQ-cache rule: old-stamp entries go at
     EVERY value of the ignored knob position; same-stamp entries at
@@ -281,7 +308,7 @@ def test_retrieval_persist_tags_per_variant(spark):
     from flink_stream_processing_refarch_spark.schemas import _LIVE_PERSISTS
 
     topk = retrieval.q_bm25_topk_batch(spark, SF_DIR)
-    tf_batch = _LIVE_PERSISTS["bm25_topk_batch:tf"]
+    tf_batch, _h = _LIVE_PERSISTS["bm25_topk_batch:tf"]
     tf_batch.count()
     assert tf_batch.storageLevel.useMemory
     retrieval.q_bm25_mrr(spark, SF_DIR).count()

@@ -175,6 +175,13 @@ def main() -> None:
         dedup.set_emb_scale()
         similarity.set_ann_scale()
 
+    write_md(results, emb_settings)
+
+
+def render(results: dict, emb_settings: dict) -> str:
+    """Markdown from measured results — split from main() so a
+    completed run's logged measurements can be re-rendered (narrative /
+    formatting edits) without re-measuring."""
     lines = [
         "# SCALING_DECADE2 — sf1 -> sf10 (50k -> 500k docs),"
         " text + embedding families",
@@ -208,12 +215,12 @@ def main() -> None:
         w1, w10 = per["sf1"]["wall"], per["sf10"]["wall"]
         s1, s10 = per["sf1"]["shuffle_mb"], per["sf10"]["shuffle_mb"]
         r1, r10 = per["sf1"]["rows"], per["sf10"]["rows"]
-        wall_x = round(w10 / w1, 1) if w1 else float("nan")
-        shuf_x = round(s10 / s1, 1) if s1 else float("nan")
-        rows_x = round(r10 / r1, 1) if r1 else float("nan")
+        wall_x = f"{w10 / w1:.1f}x" if w1 else "—"
+        shuf_x = f"{s10 / s1:.1f}x" if s1 else ("0 / 0" if not s10 else "—")
+        rows_x = f"{r10 / r1:.1f}x" if r1 else "—"
         lines.append(
             f"| {name} | {w1}s / {s1}MB | {w10}s / {s10}MB"
-            f" | {wall_x}x | {shuf_x}x | {rows_x}x |"
+            f" | {wall_x} | {shuf_x} | {rows_x} |"
         )
     lines += [
         "",
@@ -268,6 +275,43 @@ def main() -> None:
         "Wall factors under 10x reflect unused local[32] headroom at",
         "sf1-sized inputs, not sub-linear work.",
         "",
+        "r07 rows. memorization_risk now tracks dedup_spans (~10x",
+        "shuffle of 8-byte hash partials) — the r07 groupBy+join-back",
+        "totals replaced the single-task per-hash window (ADVICE r06).",
+        "winnow_fingerprints shuffles NOTHING at either scale: the",
+        "whole extraction is array expressions at the scan and count()",
+        "needs no exchange — the index itself only pays its ~2/(w+1)",
+        "write when a consumer materializes it. winnow_matches (its",
+        "consumer) inherits the LSH candidate bound: one fp exchange",
+        "plus candidate pairs, ~10x both axes.",
+        "",
+        "Embedding family. ann_lsh / ann_lsh_multiprobe / ann_ivf walls",
+        "scale ~10x because the LOCAL probe rescans the corpus to derive",
+        "bucket/cell codes per query (the decade certifies the scan is",
+        "linear); at 100 TB the codes are ingest-time columns and the",
+        "probe is partition-pruned to ~1/2^bits of the data — the shape",
+        "ann_pq already demonstrates (codes sidecar reused: 0.9 s at",
+        "sf10, SUB-linear, ADC over codes + fixed PQ_CAND re-rank).",
+        "dedup_embedding is the family's deliberate heavyweight and its",
+        "factors decompose exactly (verified from bucket occupancy and",
+        "the executed plans): candidates are O(N x band-bucket",
+        "occupancy); the integer-bit N-rule holds occupancy at 39 -> 49",
+        "(3 bits granted for a 10x corpus, log2(10)=3.32), so the",
+        "candidate set grows ~12x, not 100x — the banded bound doing",
+        "its job. The 98.6x shuffle is that ~12x candidate volume TIMES",
+        "the same broadcast->SMJ regime transition as split_leakage:",
+        "at sf1 the 20k-vector relation broadcasts into the verify",
+        "joins (34 MB = candidate pairs only); at sf10 the 200k x",
+        "64-double relation exceeds the threshold and both verify legs",
+        "shuffle pair rows + vectors. The 28.3x OUTPUT rows are corpus",
+        "structure, not a candidate leak: at DIM=64 the random-cosine",
+        "std is 1/8, so the 0.42 threshold sits at ~3.4 sigma of the",
+        "CROSS-replica Rademacher tail — a population that grows with",
+        "replica PAIRS (~N^2/2), and the near-threshold regime is",
+        "exactly where this operator's docstring already routes",
+        "moderate-threshold work to SemDeDup (which holds 0.9 MB",
+        "constant exchange on the same corpus, one row up).",
+        "",
         "Addendum (r05, bpe_train): the tokenizer-training loop is",
         "vocab-bounded as designed — warm median train wall 2.81 s at sf1",
         "(50k docs, ~310-word vocab) vs 3.18 s at sf10 (500k docs,",
@@ -278,10 +322,48 @@ def main() -> None:
         "repeat calls ~0.3 s.)",
         "",
     ]
+    return "\n".join(lines)
+
+
+def write_md(results: dict, emb_settings: dict) -> None:
     with open("/root/repo/SCALING_DECADE2.md", "w") as f:
-        f.write("\n".join(lines))
+        f.write(render(results, emb_settings))
     print("wrote SCALING_DECADE2.md")
 
 
+def rerender_from_log(log_path: str) -> None:
+    """Re-render SCALING_DECADE2.md from a completed run's stderr log
+    (the ``sfN name: {...}`` lines + the ``n_vec=`` settings line) —
+    narrative/format edits without a 30-minute re-measure."""
+    import ast
+    import re
+
+    results: dict[str, dict[str, dict]] = {}
+    emb_settings: dict[str, tuple] = {}
+    pat = re.compile(r"(sf1|sf10) ([a-z_0-9]+): (\{[^}]*\})")
+    spat = re.compile(
+        r"(sf1|sf10): n_vec=(\d+) -> EMB_BITS=(\d+), N_PLANES=(\d+),"
+        r" N_CENTROIDS=(\d+)"
+    )
+    text = open(log_path, errors="replace").read().replace("\r", "\n")
+    for m in pat.finditer(text):
+        results.setdefault(m.group(2), {})[m.group(1)] = ast.literal_eval(
+            m.group(3)
+        )
+    for m in spat.finditer(text.replace("\n", " ")):
+        emb_settings[m.group(1)] = tuple(int(x) for x in m.groups()[1:])
+    order = list(QUERIES) + list(EMB_QUERIES)
+    missing = [
+        q for q in order
+        if q not in results or {"sf1", "sf10"} - set(results[q])
+    ]
+    if missing:
+        raise SystemExit(f"log incomplete, missing: {missing}")
+    write_md({q: results[q] for q in order}, emb_settings)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--from-log":
+        rerender_from_log(sys.argv[2])
+    else:
+        main()
