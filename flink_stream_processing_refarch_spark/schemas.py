@@ -308,6 +308,30 @@ def evict_stale_stamp(
 _LIVE_PERSISTS: dict = {}
 
 
+def _leaf_file_stamps(df) -> tuple:
+    """(path, mtime_ns) of every file-relation leaf in the ANALYZED
+    logical plan — cache-state-independent (unlike ``df.inputFiles``,
+    which runs after cache substitution) and raising on any non-local
+    / unrecognized leaf so the caller falls back to never-stale
+    supersede semantics."""
+    import os as _os
+
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        cls = node.getClass().getSimpleName()
+        if cls in ("OneRowRelation", "LocalRelation", "Range"):
+            continue
+        if not cls.startswith("LogicalRelation"):
+            raise ValueError(f"unstampable leaf {cls}")
+        for f in node.relation().location().inputFiles():
+            if not f.startswith("file:"):
+                raise ValueError(f"non-local file {f}")
+            out.append((f, _os.stat(f.removeprefix("file:")).st_mtime_ns))
+    return tuple(sorted(out))
+
+
 def persist_latest(df, tag: str):
     """``persist()`` with SEMANTIC previous-generation release: at most
     one live persisted relation per tag, and a repeat call whose plan is
@@ -335,17 +359,15 @@ def persist_latest(df, tag: str):
     # regeneration (same path, same plan, new bytes — the exact event
     # evict_stale_stamp exists for), so the leaf files' (path, mtime)
     # stamps join the key; any failure to derive the key degrades to
-    # the never-stale always-supersede behavior, not to reuse.
+    # the never-stale always-supersede behavior, not to reuse. The
+    # stamps come from the ANALYZED plan's leaves, NOT df.inputFiles():
+    # inputFiles reflects cache substitution (it returns [] once the
+    # plan is served from a cached relation), which made the key
+    # cache-state-dependent — the second build after a persist saw a
+    # different key and superseded the generation it should have
+    # reused.
     try:
-        import os as _os
-
-        files = tuple(
-            sorted(
-                (f, _os.stat(f.removeprefix("file:")).st_mtime_ns)
-                for f in df.inputFiles()
-            )
-        )
-        h = (df.sparkSession, df.semanticHash(), files)
+        h = (df.sparkSession, df.semanticHash(), _leaf_file_stamps(df))
     except Exception:  # pragma: no cover - connect/legacy fallbacks
         h = None
     old = _LIVE_PERSISTS.get(tag)
