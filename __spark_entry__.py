@@ -51,19 +51,28 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r07 rotation: four NEW entries enter the window (winnow_matches — the
-# MOSS candidate join consuming the fingerprint index; large_orders /
-# top_supplier / part_promotion — TPC-H Q18/Q15/Q20 analogues), pushing
-# out four r06-green entries whose plans are UNCHANGED in r07:
-# corpus_upsert_roundtrip, trending_cells (its streaming twin stays
-# in-window), dedup_clusters (banded machinery still in-window via
-# dedup_incremental / containment_dedup), heavy_hitters_cms (its
-# streaming twin stays in-window). Every r07-CHANGED plan already holds
-# a slot: memorization_risk (skew-safe groupBy+join totals), the bm25 /
-# hybrid family incl. ext twins and bm25_mrr (per-variant persist
-# tags), knn_label_accuracy (eviction helper swap), the taxi streaming
-# entries (executor-side ES relay — q1/q2_streaming,
-# taxi_pipeline_single_pass).
+# r07 rotation: ELEVEN NEW entries enter the window — winnow_matches
+# (the MOSS candidate join consuming the fingerprint index);
+# large_orders / top_supplier / part_promotion (TPC-H Q18/Q15/Q20
+# analogues); small_lot_revenue / brand_volume_revenue / late_shipments
+# / supplier_part_variety (late adds: Q17/Q19/Q12/Q16 analogues);
+# quality_funnel + source_signature_terms (Gopher-gate curation funnel,
+# discriminative-term signatures); ann_recall_eval (ANN-index recall@K
+# vs exact kNN as a query). They push out eleven r0x-green entries
+# whose plans are UNCHANGED in r07: corpus_upsert_roundtrip,
+# trending_cells (its streaming twin stays in-window), dedup_clusters
+# (banded machinery still in-window via dedup_incremental /
+# containment_dedup), heavy_hitters_cms (its streaming twin stays
+# in-window), dup_source_matrix, feature_hashing, quantile_histogram
+# (its streaming twin stays in-window), curriculum_order,
+# vocab_coverage, corpus_build (its streaming ingest twin stays
+# in-window), decontaminate_streaming (stateless stream-static gate,
+# r03-green). Every r07-CHANGED plan already holds a slot:
+# memorization_risk (skew-safe groupBy+join totals), the bm25 / hybrid
+# family incl. ext twins and bm25_mrr (per-variant persist tags +
+# semantic reuse), knn_label_accuracy (eviction helper swap +
+# persist-reuse path), the taxi streaming entries (executor-side ES
+# relay — q1/q2_streaming, taxi_pipeline_single_pass).
 # r06 rotation: eleven NEW entries enter the window
 # (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
 # bm25_mrr, memorization_risk, winnow_fingerprints,
