@@ -223,10 +223,13 @@ PRIORITY = [
     #    bigram-LM perplexity scoring, split-leakage audit) and exact
     #    integer sketches (count-min heavy hitters, mergeable quantile
     #    histogram) --
-    "heavy_hitters_streaming",
     # -- NEW r05 (late add): the drift monitor's streaming twin
     #    (bounded |sources| x 256 state, batch oracle verbatim) --
     "source_drift_streaming",
+    # -- NEW r07 (late add): the quality funnel's streaming twin —
+    #    complete-mode running gate counts, state bounded at |sources|
+    #    rows, batch oracle verbatim --
+    "quality_funnel_streaming",
     "quantile_histogram_streaming",
     # -- NEW r04: product-quantization ANN (sample-trained codebooks,
     #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) and
@@ -284,6 +287,11 @@ PRIORITY = [
     # r03-green over a since-unchanged stateless stream-static plan; the
     # batch decontaminate stays selfchecked each round.)
     "decontaminate_streaming",
+    # (heavy_hitters_streaming rotated out late-r07 for
+    # quality_funnel_streaming: r04-green over a since-unchanged
+    # complete-mode sketch plan; quantile_histogram_streaming remains
+    # the in-window complete-mode sketch representative.)
+    "heavy_hitters_streaming",
     # r06: the DSIR/LM/leakage selection trio ceded slots to the three
     # new TPC-H analogues, and batch source_drift to the streaming
     # winnow twin (all r05-green over r06-unchanged plans; its

@@ -655,6 +655,14 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds at any scale. Scale: one narrow projection per doc (the
     gates are array expressions at the scan, no explode), then a
     |sources|-row combine — map-side-aggregated, one exchange."""
+    return quality_funnel_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def quality_funnel_from_docs(docs: DataFrame) -> DataFrame:
+    """The funnel aggregation over any (source, text) relation — shared
+    by the batch entry and the streaming twin (the per-doc gate flags
+    are stateless and the counts are associative sums, so a complete-
+    mode running aggregation's end state equals the batch result)."""
     e = _exprs("spark")
     g1 = f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})"
     g2 = (
@@ -663,7 +671,6 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g3 = f"({_distinct_stop_expr('spark')} >= {QF_MIN_STOP})"
     g4 = f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})"
-    docs = load_table(spark, sf_dir, "documents")
     flags = docs.select(
         "source",
         F.expr(g1).alias("p1"),

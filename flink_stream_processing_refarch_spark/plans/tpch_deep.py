@@ -854,11 +854,17 @@ def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale; per-brand cent sums and the Q17 ``/7`` yearly figure
     via integer DIV.
 
-    Plan shape: the brand filter LEFT SEMI-prunes the fact scan through
-    a broadcast of ~|part|/13 keys BEFORE any aggregation; the per-part
-    (sum, cnt) aggregate — |brand parts| rows — broadcasts back onto
-    the pruned fact, so the only exchanges are the partkey partial-agg
-    pair and the final 1-row-per-brand combine."""
+    Plan shape: the brand filter prunes the fact through ONE broadcast
+    join BEFORE any aggregation; the per-part (sum, cnt) comes from a
+    window OVER the partkey partition on the SAME pruned rows — the
+    textbook window decorrelation, ONE fact scan and one partkey
+    exchange total (the join-back formulation the oracle uses scans
+    the fact twice; plan-asserted single-scan in the test). Unlike the
+    rejected BM25 word-window (a corpus-wide stopword concentrates on
+    one task), the partition key here is the part: per-part line
+    counts are bounded at any corpus size, so the window is skew-safe."""
+    from pyspark.sql import Window
+
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin(*SL_BRANDS)
     )
@@ -875,12 +881,12 @@ def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents("l_extendedprice").alias("price_cents"),
         )
     )
-    avgq = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
     )
-    small = li.join(
-        F.broadcast(avgq), li.l_partkey == F.col("ap_partkey")
-    ).filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
     return (
         small.groupBy("p_brand")
         .agg(

@@ -1773,9 +1773,27 @@ def q_source_drift_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(per_src)
 
 
+def q_quality_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Gopher-gate quality funnel: the per-doc
+    gate flags are STATELESS scan expressions, and the per-source
+    survival counts are associative sums, so the running funnel is a
+    complete-mode aggregation whose state is bounded at |sources| rows
+    no matter how much corpus flows through — the curation dashboard's
+    live view (where is the pipeline losing documents, per source,
+    right now). Bounded replay's end state equals the batch aggregate
+    exactly, so the batch oracle applies verbatim."""
+    from ..operators.text import quality_funnel_from_docs
+
+    return _run_to_memory(
+        quality_funnel_from_docs(stream_documents(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
 QUERIES = {
     "pq_ingest_streaming": q_pq_ingest_streaming,
     "source_drift_streaming": q_source_drift_streaming,
+    "quality_funnel_streaming": q_quality_funnel_streaming,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
     "stream_stream_left_join": q_stream_stream_left_join,
@@ -1859,6 +1877,18 @@ def _source_drift_streaming_oracle() -> str:
 
 
 ORACLES["source_drift_streaming"] = _source_drift_streaming_oracle()
+
+
+def _quality_funnel_streaming_oracle() -> str:
+    # Complete-mode end state == the batch funnel (associative sums of
+    # stateless per-doc gate flags), so the batch oracle applies
+    # verbatim.
+    from ..operators.text import ORACLES as TEXT_ORACLES
+
+    return TEXT_ORACLES["quality_funnel"]
+
+
+ORACLES["quality_funnel_streaming"] = _quality_funnel_streaming_oracle()
 
 if _tws_available():  # pragma: no cover - environment-dependent
     ORACLES["tws_user_totals"] = TWS_USER_TOTALS_SQL

@@ -940,3 +940,21 @@ def test_winnow_streaming_multibatch_equals_batch(spark, tmp_path):
         dedup.winnow_fps_from_docs(stream), use_rocksdb=False
     )
     assert _rows(out) == _rows(dedup.q_winnow_fingerprints(spark, SF_DIR))
+
+
+def test_quality_funnel_streaming_equals_batch(spark):
+    """The complete-mode running funnel's end state must land on
+    exactly the batch aggregate (the gate flags are stateless scan
+    expressions; the survival counts are associative sums)."""
+    from flink_stream_processing_refarch_spark.operators import text
+    from flink_stream_processing_refarch_spark.streaming import jobs
+
+    batch = {
+        tuple(r) for r in text.q_quality_funnel(spark, SF_DIR).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in jobs.q_quality_funnel_streaming(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0

@@ -94,18 +94,17 @@ def test_unshipped_revenue_filters_pushed(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
 
-def test_small_lot_revenue_agg_broadcast_back(spark):
-    """Q17's decorrelated per-part AVG must join BACK as a broadcast
-    (the agg is |brand parts| rows), and the brand prefilter must
-    broadcast into the fact scan — no shuffle join anywhere except the
-    partkey aggregation pair."""
+def test_small_lot_revenue_window_decorrelation(spark):
+    """Q17's correlated scalar-AVG decorrelates to a window over the
+    partkey partition: ONE broadcast join (the brand prefilter), no
+    shuffle join, and the brand IN-list pushed to the part scan."""
     plan = (
         tpch_deep.q_small_lot_revenue(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     # the brand filter reaches the part scan
@@ -175,3 +174,22 @@ def test_small_lot_threshold_is_strict_fifth(spark):
         tpch_deep.SMALL_LOT_REVENUE_SQL
     ).fetchall()
     assert got == {r[0]: (r[1], r[3]) for r in want}
+
+
+def test_small_lot_revenue_single_fact_scan(spark):
+    """The window decorrelation must scan lineitem exactly ONCE (the
+    join-back formulation pays a second corpus scan for the per-part
+    aggregate)."""
+    plan = (
+        tpch_deep.q_small_lot_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    li_scans = {
+        m.start()
+        for m in re.finditer(r"FileScan parquet.*lineitem", plan)
+    }
+    assert len(li_scans) == 1, plan[:1500]
