@@ -1307,30 +1307,40 @@ def winnow_fps_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _winnow_fingerprints_sql() -> str:
+def _winnow_fps_cte(src: str) -> str:
+    """The ws/hs/fp CTE chain deriving the winnowing fingerprint
+    relation ``fp(doc_id, fp)`` from ``src(doc_id, text)`` — ONE
+    definition of the selection rule (k-gram hash, window minima,
+    distinct, the <W / single-hash / empty three-way CASE) shared by
+    the index oracle and the match-query oracle, so the two can never
+    desynchronize (review finding r07)."""
     from ..functions.portable import md5_int60
 
     w = words_expr("text", "duckdb")
     kh = md5_int60(
         f"array_to_string(w[i:i + {WIN_K - 1}], ' ')", "duckdb"
     )
-    return f"""
-WITH ws AS (SELECT doc_id, {w} AS w FROM documents),
+    return f"""ws AS (SELECT doc_id, {w} AS w FROM {src}),
 hs AS (SELECT doc_id,
               CASE WHEN len(w) >= {WIN_K}
                    THEN list_transform(range(1, len(w) - {WIN_K} + 2),
                                        i -> {kh})
                    ELSE [] END AS h
        FROM ws),
-fps AS (SELECT doc_id,
-               CASE WHEN len(h) >= {WIN_W}
-                    THEN list_distinct(list_transform(
-                           range(1, len(h) - {WIN_W} + 2),
-                           j -> list_min(h[j:j + {WIN_W - 1}])))
-                    WHEN len(h) > 0 THEN [list_min(h)]
-                    ELSE [] END AS fp
-        FROM hs)
-SELECT doc_id, unnest(fp) AS fp FROM fps
+fp AS (SELECT doc_id, unnest(
+           CASE WHEN len(h) >= {WIN_W}
+                THEN list_distinct(list_transform(
+                       range(1, len(h) - {WIN_W} + 2),
+                       j -> list_min(h[j:j + {WIN_W - 1}])))
+                WHEN len(h) > 0 THEN [list_min(h)]
+                ELSE [] END) AS fp
+       FROM hs)"""
+
+
+def _winnow_fingerprints_sql() -> str:
+    return f"""
+WITH {_winnow_fps_cte("documents")}
+SELECT doc_id, fp FROM fp
 """
 
 
@@ -1408,27 +1418,9 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _winnow_matches_sql() -> str:
-    from ..functions.portable import md5_int60
-
-    w = words_expr("text", "duckdb")
-    kh = md5_int60(f"array_to_string(w[i:i + {WIN_K - 1}], ' ')", "duckdb")
     return f"""
 WITH corpus AS ({corpus_sql("duckdb")}),
-ws AS (SELECT doc_id, {w} AS w FROM corpus),
-hs AS (SELECT doc_id,
-              CASE WHEN len(w) >= {WIN_K}
-                   THEN list_transform(range(1, len(w) - {WIN_K} + 2),
-                                       i -> {kh})
-                   ELSE [] END AS h
-       FROM ws),
-fp AS (SELECT doc_id, unnest(
-           CASE WHEN len(h) >= {WIN_W}
-                THEN list_distinct(list_transform(
-                       range(1, len(h) - {WIN_W} + 2),
-                       j -> list_min(h[j:j + {WIN_W - 1}])))
-                WHEN len(h) > 0 THEN [list_min(h)]
-                ELSE [] END) AS fp
-       FROM hs),
+{_winnow_fps_cte("corpus")},
 ok AS (SELECT fp FROM fp GROUP BY fp
        HAVING count(*) >= 2 AND count(*) <= {WIN_BUCKET_CAP}),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1903,7 +1903,7 @@ def run_taxi_pipeline(
     source_format: str = "parquet",
     auto_decompress: bool = False,
     collect_results: bool = True,
-) -> dict[str, DataFrame]:
+) -> dict[str, "DataFrame | str"]:
     """The full consumer job (ProcessTaxiStream.main equivalent): Q1 + Q2
     as TWO streaming queries over the same trip-stream definition, each
     with its windowed aggregation INSIDE the streaming plan — the state
@@ -1982,6 +1982,10 @@ def run_taxi_pipeline(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    # 'pickup_count'/'trip_duration' keys are ALWAYS present (the
+    # pre-r07 contract callers may rely on); collect_results=False keeps
+    # the read-back lazy by pointing both at the sink paths instead of
+    # DataFrames over them (results live only in the sink files).
     out: dict[str, DataFrame | str] = {"out_dir": out_dir, "checkpoint_dir": ckpt}
     if collect_results:
         # distributed read-back of what the executors wrote — results are
@@ -1992,4 +1996,7 @@ def run_taxi_pipeline(
         out["trip_duration"] = read_bulk_docs(
             spark, f"{out_dir}/trip_duration", TRIP_DURATION_SCHEMA
         )
+    else:
+        out["pickup_count"] = f"{out_dir}/pickup_count"
+        out["trip_duration"] = f"{out_dir}/trip_duration"
     return out

@@ -167,8 +167,17 @@ def replay(
     chunked = trips.withColumn(
         "chunk", F.expr(f"CAST((dropoff_ms - {base}) DIV {chunk_ms} AS INT)")
     ).filter(F.col("chunk") < n_chunks)
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    staging = tempfile.mkdtemp(prefix="replay_stage_", dir=shm)
+    # Stage on OUT_DIR's filesystem (a sibling dir, so the consumer's
+    # listing never sees it): the staging write holds the WHOLE
+    # serialized stream until the paced loop drains it, so it must not
+    # sit in RAM-backed /dev/shm (review finding r07 — a wire corpus
+    # larger than the tmpfs cap would ENOSPC mid-replay where the old
+    # chunk-at-a-time writer was bounded by MAX_CHUNK_ROWS); same-fs
+    # staging also makes the per-chunk move a true rename.
+    staging = tempfile.mkdtemp(
+        prefix="replay_stage_",
+        dir=os.path.dirname(os.path.abspath(out_dir)) or None,
+    )
     try:
         (
             to_wire_json(chunked, keep=("chunk",))
@@ -224,6 +233,16 @@ def replay(
                         )
                     with open(dest, "wb") as f:
                         f.write(payload)
+                # Strictly increasing mtimes in chunk order: Spark's
+                # file streaming source consumes files in MODIFICATION-
+                # TIME order (verified on 4.1), and a staged part file
+                # keeps its arbitrary task-commit mtime through the
+                # rename — without this, chunks replay out of event-time
+                # order and a 0-second-watermark consumer silently drops
+                # whole earlier chunks as late (review finding r07,
+                # reproduced: 105 of 301 result rows). Same discipline
+                # as tools/scale_streaming.build_events.
+                os.utime(dest, ns=(idx * 1_000_000_000, idx * 1_000_000_000))
                 n_total += counts.get(idx, 0)
             if pace and speedup > 0:
                 time.sleep(chunk_ms / 1000.0 / speedup)

@@ -29,7 +29,8 @@ parallel subtask (ElasticsearchJestSink.java:45-102). Nothing on the
 result path passes through the driver; ``maxRecordsPerFile`` enforces the
 reference's 500-doc bulk-request cap per output file. The buffered
 ``EsBulkFileSink.add/flush`` path remains only for ad-hoc single-process
-use (CLI demos, unit tests of the flush policy).
+use and as the direct demonstration of the reference's count/age flush
+policy (tests/test_streaming.py::test_es_buffered_flush_policy).
 """
 
 from __future__ import annotations
@@ -94,6 +95,11 @@ class EsBulkFileSink:
             self._oldest_ms = time.time() * 1000
         if self._should_flush():
             self.flush()
+
+    def flush_count(self) -> int:
+        """Flushes performed in the current epoch (policy observability;
+        the flush-policy unit test reads it)."""
+        return self._flush_seq
 
     def _should_flush(self) -> bool:
         if len(self._buf) // 2 >= self.max_docs:
@@ -166,11 +172,18 @@ def write_batch_to_es(
     redelivery — exactly-once to the transport, no driver materialization
     of result rows anywhere on this path.
     """
-    target = (
-        epoch_dir(sink.out_dir, epoch_id)
-        if epoch_id is not None
-        else os.path.join(sink.out_dir, "bulk-adhoc")
-    )
+    if epoch_id is not None:
+        target = epoch_dir(sink.out_dir, epoch_id)
+    else:
+        # ad-hoc (non-epoch) batches get a unique dir that the
+        # ``bulk-e*`` reader glob matches: a fixed 'bulk-adhoc' name was
+        # invisible to iter_bulk_lines AND overwrote the previous
+        # ad-hoc batch (review finding r07)
+        import uuid as _uuid
+
+        target = os.path.join(
+            sink.out_dir, f"bulk-e-adhoc-{_uuid.uuid4().hex[:12]}"
+        )
     (
         bulk_payload(batch_df, doc_type, sink.index)
         .write.mode("overwrite")
