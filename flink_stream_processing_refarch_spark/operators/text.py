@@ -710,11 +710,11 @@ WITH flags AS (
          {g1} AND {g2} AND {g3} AS p3,
          {g1} AND {g2} AND {g3} AND {g4} AS p4
   FROM documents)
-SELECT source, count(*) AS n_docs,
-       sum(CAST(p1 AS BIGINT)) AS pass_len,
-       sum(CAST(p2 AS BIGINT)) AS pass_word_len,
-       sum(CAST(p3 AS BIGINT)) AS pass_stopwords,
-       sum(CAST(p4 AS BIGINT)) AS admitted
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(p1 AS BIGINT)) AS BIGINT) AS pass_len,
+       CAST(sum(CAST(p2 AS BIGINT)) AS BIGINT) AS pass_word_len,
+       CAST(sum(CAST(p3 AS BIGINT)) AS BIGINT) AS pass_stopwords,
+       CAST(sum(CAST(p4 AS BIGINT)) AS BIGINT) AS admitted
 FROM flags GROUP BY source
 """
 
@@ -792,9 +792,11 @@ def _source_signature_terms_sql() -> str:
 WITH tok AS (SELECT source, unnest({w}) AS word FROM documents),
 sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
        FROM tok GROUP BY source, word),
-stot AS (SELECT source, sum(cnt) AS s_tokens FROM sw GROUP BY source),
-wtot AS (SELECT word, sum(cnt) AS w_total FROM sw GROUP BY word),
-gtot AS (SELECT sum(s_tokens) AS g_tokens FROM stot),
+stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS s_tokens
+         FROM sw GROUP BY source),
+wtot AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS w_total
+         FROM sw GROUP BY word),
+gtot AS (SELECT CAST(sum(s_tokens) AS BIGINT) AS g_tokens FROM stot),
 rated AS (
   SELECT sw.source, sw.word, cnt,
          cnt * 1000000 // s_tokens AS rate_ppm,

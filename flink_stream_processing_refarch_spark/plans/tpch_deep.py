@@ -909,16 +909,16 @@ WITH li AS (
          {CENTS.format(x='l_extendedprice')} AS price_cents
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand IN {tuple(SL_BRANDS)}),
-avgq AS (SELECT l_partkey, sum(qty) AS sum_qty,
+avgq AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM li GROUP BY l_partkey),
 small AS (
   SELECT p_brand, price_cents
   FROM li JOIN avgq USING (l_partkey)
   WHERE qty * 5 * cnt < sum_qty)
-SELECT p_brand, sum(price_cents) AS sum_rev_cents,
-       sum(price_cents) // 7 AS avg_yearly_cents,
-       count(*) AS n_lines
+SELECT p_brand, CAST(sum(price_cents) AS BIGINT) AS sum_rev_cents,
+       CAST(sum(price_cents) // 7 AS BIGINT) AS avg_yearly_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
 FROM small GROUP BY p_brand
 """
 
@@ -969,8 +969,8 @@ _BV_ARMS_SQL = " OR ".join(
 )
 
 BRAND_VOLUME_REVENUE_SQL = f"""
-SELECT p_brand, sum({CENTS.format(x=REV)}) AS rev_cents,
-       count(*) AS n_lines
+SELECT p_brand, CAST(sum({CENTS.format(x=REV)}) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {_BV_ARMS_SQL}
 GROUP BY p_brand
@@ -1016,10 +1016,10 @@ def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LATE_SHIPMENTS_SQL = f"""
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{LS_Y0} 00:00:00'
   AND l_shipdate < TIMESTAMP '{LS_Y1} 00:00:00'

@@ -28,6 +28,55 @@ def test_mixed_known_and_unknown_names_still_error(monkeypatch):
     assert check_oracle.main() == 2
 
 
+def test_hostile_columns_flags_uncast_sum():
+    """The shared type predicate: DuckDB widens sum(BIGINT) to HUGEINT,
+    which the driver's pandas canonicalizer hashes differently from
+    Spark's int64 even when every value matches (VERDICT r07 #1)."""
+    import duckdb
+
+    from tools.check_oracle_types import hostile_columns
+
+    con = duckdb.connect()
+    desc = con.execute(
+        "DESCRIBE SELECT sum(x) AS s, CAST(sum(x) AS BIGINT) AS ok"
+        " FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    ).fetchall()
+    bad = hostile_columns(desc)
+    assert [c for c, _ in bad] == ["s"], bad
+
+
+def test_uncast_oracle_fails_the_gate_even_when_values_match(
+    spark, monkeypatch
+):
+    """End-to-end proof the mandatory gate inside check_oracle.main
+    cannot be green over a driver-hostile oracle: a fixture query whose
+    Spark and DuckDB values are IDENTICAL, but whose oracle emits a
+    HUGEINT column, must FAIL (VERDICT r07 item 2's fixture test)."""
+    from tools import check_oracle
+
+    def fixture_q(spark, sf_dir):
+        return spark.sql("SELECT CAST(3 AS BIGINT) AS s")
+
+    monkeypatch.setattr(
+        check_oracle.entry, "queries", lambda: {"fixture_uncast": fixture_q}
+    )
+    monkeypatch.setattr(
+        check_oracle.entry,
+        "oracle_sql",
+        lambda: {
+            # values match Spark's exactly (one row, s=3) — only the
+            # bound type (HUGEINT from the uncast sum) is hostile
+            "fixture_uncast": (
+                "SELECT sum(x) AS s FROM (SELECT CAST(3 AS BIGINT) AS x)"
+            )
+        },
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["check_oracle.py", "/root/testdata/sf0.001"]
+    )
+    assert check_oracle.main() == 1
+
+
 def test_make_ledger_covers_every_registry_entry(tmp_path, monkeypatch):
     """LEDGER.md generation: every queries() entry gets a row, rows for
     driver-green entries carry their latest round, and entries never

@@ -22,6 +22,9 @@ import __spark_entry__ as entry  # noqa: E402
 from flink_stream_processing_refarch_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
 
+sys.path.insert(0, "/root/repo/tools")
+from check_oracle_types import hostile_columns  # noqa: E402
+
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -97,6 +100,20 @@ def main() -> int:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         try:
+            # MANDATORY type gate (VERDICT r07 item 2): an oracle whose
+            # bound output carries HUGEINT / STRUCT / LIST / INTERVAL
+            # columns hashes differently under the driver even when the
+            # values match Spark exactly — so it FAILS here regardless
+            # of the value compare below. DESCRIBE binds w/o executing.
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            bad = hostile_columns(desc)
+            if bad:
+                print(
+                    f"FAIL {name}: driver-hostile oracle column types"
+                    f" {bad} (values not compared — fix the oracle SQL)"
+                )
+                failures += 1
+                continue
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()

@@ -27,6 +27,20 @@ BAD_PREFIXES = ("STRUCT", "MAP")  # unhashable by the driver canonicalizer
 BAD_EXACT = ("INTERVAL",)
 
 
+def hostile_columns(desc: list[tuple]) -> list[tuple[str, str]]:
+    """(col, type) pairs the driver's pandas canonicalizer cannot hash
+    identically to Spark's output — the shared predicate for both this
+    standalone audit and the mandatory gate inside check_oracle.py."""
+    return [
+        (c, ty)
+        for c, ty, *_ in desc
+        if any(b in ty for b in BAD_TYPES)
+        or any(ty.startswith(p) for p in BAD_PREFIXES)
+        or ty in BAD_EXACT
+        or ty.endswith("[]")  # LIST -> python list, unhashable
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     con = duckdb.connect()
@@ -40,14 +54,7 @@ def main() -> int:
             print(f"FAIL {name}: describe error: {e}")
             failures += 1
             continue
-        bad = [
-            (c, ty)
-            for c, ty, *_ in desc
-            if any(b in ty for b in BAD_TYPES)
-            or any(ty.startswith(p) for p in BAD_PREFIXES)
-            or ty in BAD_EXACT
-            or ty.endswith("[]")  # LIST -> python list, unhashable
-        ]
+        bad = hostile_columns(desc)
         if bad:
             print(f"FAIL {name}: driver-hostile oracle column types: {bad}")
             failures += 1
