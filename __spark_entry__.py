@@ -126,6 +126,12 @@ PRIORITY = [
     "q2_trip_duration",
     "q1_streaming",
     "q2_streaming",
+    # -- NEW r08: Q1 end-to-end through BOTH Kinesis swap points (S1+S7)
+    #    over the local wire fake (replay -> kinesis_writer PutRecords
+    #    epochs -> kinesis_reader record contract -> parse_wire_bytes);
+    #    transport must be value-invisible, so q1_streaming's oracle
+    #    applies verbatim --
+    "q1_kinesis_wire",
     # -- NEW r04: single-pass Q1+Q2 pipeline (one source scan, per-epoch
     #    partial aggregates, merge-at-compaction; driver-checks the Q1
     #    result across a forced multi-batch split) --

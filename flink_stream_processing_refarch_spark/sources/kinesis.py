@@ -15,6 +15,12 @@ every streaming job takes a DataFrame, so swapping the file source for
 the connector is resolved lazily at ``.load()`` — in this container the
 package is absent, so construction succeeds and ``start`` raises a clear
 error (gated per the build contract).
+
+A ``file://`` endpoint routes both sides through the local wire fake
+(``kinesis_fake``): a directory-backed transport speaking the
+connector's record contract, so the full producer->service->consumer
+loop (``kinesis_writer`` -> records -> ``kinesis_reader`` ->
+``parse_wire_bytes``) runs end-to-end with the jar absent.
 """
 
 from __future__ import annotations
@@ -44,7 +50,13 @@ def kinesis_reader(
     Returns the DataStreamReader (call ``.load()`` where the connector
     jar is on the classpath). The payload lands in a binary ``data``
     column; pipe through ``parse_wire_bytes`` for the typed trip frame.
+    A ``file://`` endpoint reads the local wire fake instead (same
+    ``data``-column contract, no jar needed).
     """
+    if endpoint and endpoint.startswith("file://"):
+        from .kinesis_fake import fake_reader
+
+        return fake_reader(spark, endpoint[len("file://"):], stream_name)
     reader = (
         spark.readStream.format(KINESIS_FORMAT)
         .option("streamName", stream_name)
@@ -90,14 +102,24 @@ def kinesis_writer(
     region: str,
     *,
     checkpoint: str,
+    endpoint: str | None = None,
 ):
     """Configured writeStream for replaying wire JSON to Kinesis (S7).
 
     Partition key mirrors the producer's payload-hash routing
     (kinesis-taxi-stream-producer/.../Event.java:38-40): a ``partitionKey``
-    column of hash(payload).
+    column of hash(payload). A ``file://`` endpoint writes the local
+    wire fake's epoch-addressed record dirs instead (idempotent
+    PutRecords stand-in, no jar needed).
     """
     out = wire_frame(df)
+    if endpoint and endpoint.startswith("file://"):
+        from .kinesis_fake import write_wire_batch
+
+        root = endpoint[len("file://"):]
+        return out.writeStream.foreachBatch(
+            lambda batch, eid: write_wire_batch(batch, eid, root, stream_name)
+        ).option("checkpointLocation", checkpoint)
     return (
         out.writeStream.format(KINESIS_FORMAT)
         .option("streamName", stream_name)

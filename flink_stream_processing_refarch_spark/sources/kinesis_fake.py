@@ -1,0 +1,113 @@
+"""Local Kinesis wire fake — a file-backed transport that speaks the
+spark-sql-kinesis connector's record contract, so the S1/S7 swap points
+(``kinesis_reader`` / ``kinesis_writer``) run END-TO-END without the
+connector jar (VERDICT r07 item 3; same pattern as the ES bulk-file
+transport in ``streaming/sinks.py``: everything up to the network call
+is real, the network itself is a directory).
+
+Record contract (what the public connector's ``load()`` emits and what
+``PutRecords`` carries): ``data binary`` (the payload — base64 in the
+JSON files, exactly as the Kinesis REST API encodes it on the wire),
+``streamName``, ``partitionKey``, ``shardId``, ``sequenceNumber``
+(increasing per shard), ``approximateArrivalTimestamp``. The consumer
+side needs only ``data`` (``kinesis.parse_wire_bytes``); the rest lets
+tests pin the producer semantics the reference relies on:
+
+  - partition-key routing: key = hash(payload)
+    (kinesis-taxi-stream-producer/.../Event.java:38-40), records with
+    equal keys land on the SAME shard (MD5-range routing in the real
+    service; ``pmod(xxhash64(key), shards)`` here — deterministic and
+    key-stable, which is the property consumers may assume);
+  - per-shard sequence numbers increase with arrival order across
+    epochs (epoch-prefixed, zero-padded so string order = numeric).
+
+Delivery: one ``records-e{epoch}`` directory per micro-batch epoch,
+overwritten whole on redelivery — idempotent exactly like the ES sink's
+epoch dirs. Scale note: this module is a LOCAL TEST TRANSPORT; the
+production path is the real connector (``kinesis.KINESIS_FORMAT``), the
+fake's only job is to prove the engine-side plumbing with zero
+driver-side row handling (reads and writes are both distributed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# What the connector's load() emits — data first, metadata after.
+WIRE_CONTRACT = (
+    "data binary, streamName string, partitionKey string, "
+    "shardId string, sequenceNumber string, "
+    "approximateArrivalTimestamp timestamp"
+)
+
+DEFAULT_SHARDS = 4
+
+
+def stream_dir(root: str, stream_name: str) -> str:
+    return os.path.join(root, stream_name)
+
+
+def epoch_dir(root: str, stream_name: str, epoch_id: int) -> str:
+    return os.path.join(
+        stream_dir(root, stream_name), f"records-e{int(epoch_id):06d}"
+    )
+
+
+def shard_id_col(partition_key, shards: int = DEFAULT_SHARDS):
+    """Deterministic key->shard routing (stands in for the service's
+    MD5-of-key hash-range assignment): equal keys always co-locate."""
+    return F.format_string(
+        "shardId-%012d", F.pmod(F.xxhash64(partition_key), F.lit(shards))
+    )
+
+
+def write_wire_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    stream_name: str,
+    shards: int = DEFAULT_SHARDS,
+) -> None:
+    """foreachBatch body for the fake PutRecords: stamp the service-side
+    record metadata onto a (data binary, partitionKey string) frame and
+    write the epoch's records distributed (every task writes its own
+    partition; the driver only issues the job). Sequence numbers are
+    epoch-prefixed + task-monotonic (``monotonically_increasing_id``),
+    so they are unique and strictly increase per shard ACROSS epochs —
+    the guarantee Kinesis gives; like PutRecords, intra-batch order is
+    unspecified. Epoch dir overwritten whole on redelivery (idempotent).
+    """
+    records = batch_df.select(
+        F.col("data"),
+        F.lit(stream_name).alias("streamName"),
+        F.col("partitionKey"),
+        shard_id_col(F.col("partitionKey"), shards).alias("shardId"),
+        F.format_string(
+            "%010d%020d",
+            F.lit(int(epoch_id)),
+            F.monotonically_increasing_id(),
+        ).alias("sequenceNumber"),
+        F.current_timestamp().alias("approximateArrivalTimestamp"),
+    )
+    records.write.mode("overwrite").json(
+        epoch_dir(root, stream_name, epoch_id)
+    )
+
+
+def fake_reader(spark: SparkSession, root: str, stream_name: str):
+    """Configured DataStreamReader over the fake stream directory —
+    ``.load()`` yields the connector's record contract (``data`` decoded
+    from the wire base64 back to binary by the JSON source). New epoch
+    dirs appearing under the glob are picked up on each trigger, exactly
+    like new records on a shard."""
+    return (
+        spark.readStream.format("json")
+        .schema(WIRE_CONTRACT)
+        .option(
+            "path", os.path.join(stream_dir(root, stream_name), "records-e*")
+        )
+        .option("pathGlobFilter", "part-*")
+    )

@@ -25,6 +25,7 @@ Architecture parity notes:
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -166,6 +167,15 @@ def stream_trips_from_wire(
         .filter(F.col("e").isNotNull() & F.col("e.type").isNotNull())
         .select("e.*")
     )
+    return wire_trips(ev, watermark_delay)
+
+
+def wire_trips(ev: DataFrame, watermark_delay: str = "0 seconds") -> DataFrame:
+    """Typed wire events -> cleaned, watermarked trips: the shared tail
+    of every wire ingestion path (text-file chunks above, Kinesis
+    records via ``sources.kinesis.parse_wire_bytes``), so the ms
+    derivation / P1-P4 clean filter / event-time column can never
+    diverge between transports."""
     trips = ev.withColumn(
         "pickup_ms", F.unix_millis("pickup_datetime")
     ).withColumn("dropoff_ms", F.unix_millis("dropoff_datetime"))
@@ -237,6 +247,84 @@ def q1_from_wire(spark: SparkSession, json_dir: str, **source_opts) -> DataFrame
     """Streaming Q1 over the JSON wire stream (bounded run to memory)."""
     trips = stream_trips_from_wire(spark, json_dir, **source_opts)
     return _run_to_memory(q1_agg_from_trips(trips))
+
+
+def pump_wire_to_kinesis(
+    spark: SparkSession,
+    json_dir: str,
+    endpoint: str,
+    stream_name: str = "taxi-trips",
+    **source_opts,
+) -> None:
+    """Producer leg of the S7 path: stream the replayed wire chunks
+    through ``kinesis_writer`` (the StreamPopulator stand-in,
+    StreamPopulator.java:62-66) into the stream at ``endpoint`` —
+    a ``file://`` endpoint drives the local wire fake. Bounded
+    (availableNow); blocks until the pump drains."""
+    import shutil
+    import tempfile as _tf
+
+    from ..sources.kinesis import kinesis_writer
+
+    reader = spark.readStream
+    for k, v in source_opts.items():
+        reader = reader.option(k, v)
+    ck = _tf.mkdtemp(
+        prefix="kck_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    try:
+        q = (
+            kinesis_writer(
+                reader.text(json_dir),
+                stream_name,
+                "local",
+                checkpoint=ck,
+                endpoint=endpoint,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def q1_kinesis_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 end-to-end through BOTH Kinesis swap points (S1 + S7) over the
+    local wire fake: replay the dataset to wire JSON (the producer's
+    serialization, StreamPopulator.java) -> ``kinesis_writer`` pumps it
+    into the fake stream as PutRecords epochs -> ``kinesis_reader`` +
+    ``parse_wire_bytes`` consume the record contract
+    (ProcessTaxiStream.java:73-87) -> the SAME ``wire_trips`` +
+    ``q1_agg_from_trips`` chain as every other Q1 surface. Emission rule
+    and result contract identical to ``q1_streaming`` -> same oracle.
+
+    Everything here is the production plumbing except the transport
+    directory; swapping a real endpoint re-enables the connector
+    (``sources/kinesis.py``)."""
+    import shutil
+    import tempfile as _tf
+
+    from ..sources.kinesis import kinesis_reader, parse_wire_bytes
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _tf.mkdtemp(
+        prefix="kwire_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    try:
+        wire_dir = os.path.join(base, "wire")
+        from . import replay as _replay
+
+        _replay.replay(spark, sf_dir, wire_dir, adapt="ORIGINAL")
+        endpoint = f"file://{os.path.join(base, 'streams')}"
+        pump_wire_to_kinesis(spark, wire_dir, endpoint)
+        records = kinesis_reader(
+            spark, "taxi-trips", "local", endpoint=endpoint
+        ).load()
+        trips = wire_trips(parse_wire_bytes(records))
+        return _run_to_memory(q1_agg_from_trips(trips))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def clean_trips_from_event_stream(ev: DataFrame) -> DataFrame:
@@ -1791,6 +1879,7 @@ def q_quality_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q1_kinesis_wire": q1_kinesis_wire,
     "pq_ingest_streaming": q_pq_ingest_streaming,
     "source_drift_streaming": q_source_drift_streaming,
     "quality_funnel_streaming": q_quality_funnel_streaming,
@@ -1835,6 +1924,10 @@ ORACLES = {
     # Q1 via the single-pass partial-merge pipeline: same result
     # contract and emission rule as q1_streaming -> same oracle.
     "taxi_pipeline_single_pass": _q1_streaming_oracle(),
+    # Q1 through the Kinesis swap points over the wire fake: the
+    # transport must be value-invisible, so q1_streaming's oracle
+    # applies verbatim — any serialization/routing defect breaks it.
+    "q1_kinesis_wire": _q1_streaming_oracle(),
     "trending_cells_streaming": _trending_cells_streaming_oracle(),
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,

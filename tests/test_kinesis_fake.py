@@ -1,0 +1,138 @@
+"""S1/S7 end-to-end over the local Kinesis wire fake (VERDICT r07 #3):
+the producer swap point (``kinesis_writer`` — StreamPopulator.java:62-66)
+pumps wire JSON into a directory-backed stream speaking the connector's
+record contract, and the consumer swap point (``kinesis_reader`` +
+``parse_wire_bytes`` — ProcessTaxiStream.java:73-87) drives the taxi
+queries off it, with the connector jar absent throughout."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from flink_stream_processing_refarch_spark.sources import kinesis, kinesis_fake
+from flink_stream_processing_refarch_spark.streaming import jobs, replay
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_wire_frame_partition_key_routing(spark):
+    """F9: partition key = hash(payload) (producer Event.java:38-40) —
+    deterministic, equal payloads get equal keys, and the fake's
+    key->shard routing is stable and in range."""
+    df = spark.createDataFrame(
+        [("payload-a",), ("payload-a",), ("payload-b",)], "value string"
+    )
+    frame = kinesis.wire_frame(df)
+    rows = frame.collect()
+    keys = [r.partitionKey for r in rows]
+    assert keys[0] == keys[1]  # same payload -> same key -> same shard
+    assert keys[0] != keys[2]
+    # re-evaluation gives the identical keys (routing is a pure function)
+    assert keys == [r.partitionKey for r in kinesis.wire_frame(df).collect()]
+    shards = frame.select(
+        kinesis_fake.shard_id_col(F.col("partitionKey"), 4).alias("s")
+    ).collect()
+    assert all(r.s.startswith("shardId-") for r in shards)
+    assert all(0 <= int(r.s.split("-")[1]) < 4 for r in shards)
+
+
+def test_fake_records_speak_the_connector_contract(spark, tmp_path):
+    """Writer output read back through kinesis_reader carries exactly the
+    connector's columns; data round-trips byte-identical through the
+    wire base64; shard routing matches the key; per-shard sequence
+    numbers strictly increase across epochs."""
+    root = str(tmp_path / "streams")
+    payloads = [f'{{"n":{i}}}' for i in range(20)]
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    frame = kinesis.wire_frame(df)
+    kinesis_fake.write_wire_batch(frame, 0, root, "s1")
+    kinesis_fake.write_wire_batch(frame, 1, root, "s1")
+
+    rec = kinesis.kinesis_reader(
+        spark, "s1", "local", endpoint=f"file://{root}"
+    ).load()
+    assert rec.schema.simpleString() == (
+        "struct<data:binary,streamName:string,partitionKey:string,"
+        "shardId:string,sequenceNumber:string,"
+        "approximateArrivalTimestamp:timestamp>"
+    )
+    q = rec.writeStream.format("memory").queryName("kfake_contract")
+    run = q.trigger(availableNow=True).start()
+    run.awaitTermination()
+    rows = spark.table("kfake_contract").collect()
+    assert len(rows) == 2 * len(payloads)
+    got = sorted(bytes(r.data).decode() for r in rows)
+    assert got == sorted(payloads * 2)
+    assert {r.streamName for r in rows} == {"s1"}
+    # shard assignment is a pure function of the partition key
+    for r in rows:
+        assert r.shardId.startswith("shardId-")
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.partitionKey, set()).add(r.shardId)
+    assert all(len(s) == 1 for s in by_key.values())
+    # per-shard sequence numbers strictly increase across epochs
+    # (epoch-prefixed, zero-padded: string order == numeric order)
+    by_shard_epoch = {}
+    for r in rows:
+        e = int(r.sequenceNumber[:10])
+        by_shard_epoch.setdefault((r.shardId, e), []).append(r.sequenceNumber)
+    for (shard, e), seqs in by_shard_epoch.items():
+        assert len(set(seqs)) == len(seqs)  # unique
+        if (shard, e + 1) in by_shard_epoch:
+            assert max(seqs) < min(by_shard_epoch[(shard, e + 1)])
+
+
+def test_epoch_redelivery_is_idempotent(spark, tmp_path):
+    """Structured Streaming redelivers a whole epoch on recovery; the
+    fake PutRecords overwrites that epoch's directory, so a replayed
+    epoch leaves no duplicates (same guarantee as the ES bulk sink)."""
+    root = str(tmp_path / "streams")
+    df = spark.createDataFrame([("a",), ("b",)], "value string")
+    frame = kinesis.wire_frame(df)
+    kinesis_fake.write_wire_batch(frame, 7, root, "s2")
+    kinesis_fake.write_wire_batch(frame, 7, root, "s2")  # redelivery
+    dirs = glob.glob(os.path.join(root, "s2", "records-e*"))
+    assert len(dirs) == 1
+    n = (
+        spark.read.schema(kinesis_fake.WIRE_CONTRACT)
+        .option("pathGlobFilter", "part-*")
+        .json(dirs[0])
+        .count()
+    )
+    assert n == 2
+
+
+def test_q1_through_kinesis_fake_matches_wire_path(spark, tmp_path):
+    """The transport is value-invisible: Q1 through
+    replay -> kinesis_writer -> fake stream -> kinesis_reader ->
+    parse_wire_bytes equals Q1 over the same wire chunks read directly
+    (the established, oracle-checked path) — including when the pump
+    splits the chunks across MULTIPLE PutRecords epochs."""
+    wire = str(tmp_path / "wire")
+    replay.replay(spark, SF_DIR, wire, adapt="ORIGINAL")
+    direct = _rows(jobs.q1_from_wire(spark, wire))
+
+    endpoint = f"file://{tmp_path / 'streams'}"
+    # maxFilesPerTrigger=2 -> several epochs, proving multi-epoch pickup
+    jobs.pump_wire_to_kinesis(
+        spark, wire, endpoint, maxFilesPerTrigger="2"
+    )
+    epochs = glob.glob(
+        os.path.join(str(tmp_path / "streams"), "taxi-trips", "records-e*")
+    )
+    assert len(epochs) > 1
+    records = kinesis.kinesis_reader(
+        spark, "taxi-trips", "local", endpoint=endpoint
+    ).load()
+    trips = jobs.wire_trips(kinesis.parse_wire_bytes(records))
+    via_fake = _rows(jobs._run_to_memory(jobs.q1_agg_from_trips(trips)))
+    assert via_fake == direct
+    assert len(via_fake) > 0
