@@ -154,15 +154,13 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id) rows; the rollup reduces map-side to |sources| rows. The
     text column never crosses any exchange.
     """
-    from .text import _exprs
+    from .text import _exprs, gopher_gate_sql
 
     e = _exprs("spark")
     docs = load_table(spark, sf_dir, "documents")
-    keep = (
-        f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
-        f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
-        f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
-    )
+    # the shared Gopher admission rule — identical across the funnel and
+    # every corpus write path (VERDICT r07 #5)
+    keep = gopher_gate_sql("spark")
     scored = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
         F.md5("text").alias("h"),
         "doc_id",
@@ -188,17 +186,14 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_build_sql() -> str:
-    from .text import _exprs
+    from .text import _exprs, gopher_gate_sql
 
     e = _exprs("duckdb")
     return f"""
 WITH scored AS (
   SELECT md5(text) AS h, doc_id, source,
          {e['n_words']} AS n_tokens,
-         CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000
-              AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}
-                  >= CAST(0.01 AS DOUBLE)
-              THEN true ELSE false END AS keep
+         {gopher_gate_sql('duckdb')} AS keep
   FROM documents WHERE doc_id % {EVAL_MOD} <> 0
 ),
 surv AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h),

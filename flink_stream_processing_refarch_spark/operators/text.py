@@ -294,14 +294,14 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep) — never the text. Survivor selection is min_by over the content
     hash (no survivors-back-to-corpus join), and the final per-source
     rollup reduces map-side to |sources| rows.
+
+    The quality gate is the shared Gopher admission rule
+    (:func:`gopher_gate_sql`), identical across the funnel and every
+    corpus write path.
     """
     e = _exprs("spark")
     docs = load_table(spark, sf_dir, "documents")
-    keep = (
-        f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
-        f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
-        f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
-    )
+    keep = gopher_gate_sql("spark")
     scored = docs.select(
         F.md5("text").alias("h"),
         "doc_id",
@@ -331,10 +331,7 @@ def _training_mix_sql() -> str:
 WITH scored AS (
   SELECT md5(text) AS h, doc_id, source,
          {e['n_words']} AS n_tokens,
-         CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000
-              AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}
-                  >= CAST(0.01 AS DOUBLE)
-              THEN true ELSE false END AS keep
+         {gopher_gate_sql('duckdb')} AS keep
   FROM documents
 ),
 surv AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h)
@@ -639,6 +636,32 @@ QF_MIN_STOP = 2  # distinct stopword hits
 QF_MIN_DISTINCT_PCT = 20  # distinct words >= 20% of words
 
 
+def gopher_stage_exprs(dialect: str) -> list[str]:
+    """The four Gopher quality gates in funnel order — THE corpus
+    admission rule, defined once (VERDICT r07 #5: previously the funnel
+    and the corpus write paths maintained separate 'admitted'
+    expressions that could drift). ``quality_funnel`` reports per-stage
+    survival of exactly these; every corpus write path (training_mix,
+    corpus_build, corpus_ingest_streaming) admits documents by their
+    conjunction (:func:`gopher_gate_sql`). All comparisons are
+    integer-exact (cross-multiplied, no division), so Spark/DuckDB
+    hash-parity holds at any scale."""
+    e = _exprs(dialect)
+    return [
+        f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})",
+        f"({e['n_word_chars']} >= {QF_MIN_MWL} * {e['n_words']}"
+        f" AND {e['n_word_chars']} <= {QF_MAX_MWL} * {e['n_words']})",
+        f"({_distinct_stop_expr(dialect)} >= {QF_MIN_STOP})",
+        f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})",
+    ]
+
+
+def gopher_gate_sql(dialect: str) -> str:
+    """Conjunction of all four gates == the funnel's ``admitted`` — the
+    single quality-admission predicate the corpus pipelines filter on."""
+    return "(" + " AND ".join(gopher_stage_exprs(dialect)) + ")"
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-gate FUNNEL (Gopher-rule sequence, Rae et al.
     2021): how many documents survive each successive gate — word
@@ -663,14 +686,7 @@ def quality_funnel_from_docs(docs: DataFrame) -> DataFrame:
     by the batch entry and the streaming twin (the per-doc gate flags
     are stateless and the counts are associative sums, so a complete-
     mode running aggregation's end state equals the batch result)."""
-    e = _exprs("spark")
-    g1 = f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})"
-    g2 = (
-        f"({e['n_word_chars']} >= {QF_MIN_MWL} * {e['n_words']}"
-        f" AND {e['n_word_chars']} <= {QF_MAX_MWL} * {e['n_words']})"
-    )
-    g3 = f"({_distinct_stop_expr('spark')} >= {QF_MIN_STOP})"
-    g4 = f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})"
+    g1, g2, g3, g4 = gopher_stage_exprs("spark")
     flags = docs.select(
         "source",
         F.expr(g1).alias("p1"),
@@ -694,14 +710,7 @@ def _distinct_stop_expr(dialect: str) -> str:
 
 
 def _quality_funnel_sql() -> str:
-    e = _exprs("duckdb")
-    g1 = f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})"
-    g2 = (
-        f"({e['n_word_chars']} >= {QF_MIN_MWL} * {e['n_words']}"
-        f" AND {e['n_word_chars']} <= {QF_MAX_MWL} * {e['n_words']})"
-    )
-    g3 = f"({_distinct_stop_expr('duckdb')} >= {QF_MIN_STOP})"
-    g4 = f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})"
+    g1, g2, g3, g4 = gopher_stage_exprs("duckdb")
     return f"""
 WITH flags AS (
   SELECT source,

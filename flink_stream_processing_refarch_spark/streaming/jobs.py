@@ -848,14 +848,12 @@ def corpus_ingest_from_stream(docs: DataFrame) -> DataFrame:
     than a batch, derive ``ingest_ts`` from actual arrival time (Kafka
     record timestamp) or set a horizon covering the reorder bound.
     """
-    from ..operators.text import _exprs
+    from ..operators.text import _exprs, gopher_gate_sql
 
     e = _exprs("spark")
-    keep = (
-        f"CASE WHEN {e['n_words']} >= 20 AND {e['n_words']} <= 1000"
-        f" AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
-        f" >= CAST(0.01 AS DOUBLE) THEN true ELSE false END"
-    )
+    # the shared Gopher admission rule — identical across the funnel and
+    # every corpus write path (VERDICT r07 #5)
+    keep = gopher_gate_sql("spark")
     scored = (
         docs.withColumn(
             # +1s: the initial watermark is epoch 0 and the dedup
@@ -999,15 +997,14 @@ WHERE doc_id % {EVAL_MOD} <> 0
 
 
 def _corpus_ingest_sql() -> str:
-    from ..operators.text import _exprs
+    from ..operators.text import _exprs, gopher_gate_sql
 
     e = _exprs("duckdb")
     return f"""
 WITH scored AS (
   SELECT source, md5(text) AS h, {e['n_words']} AS n_tokens
   FROM documents
-  WHERE {e['n_words']} >= 20 AND {e['n_words']} <= 1000
-    AND CAST({e['n_stop']} AS DOUBLE) / {e['n_words']} >= CAST(0.01 AS DOUBLE)
+  WHERE {gopher_gate_sql('duckdb')}
 ),
 ded AS (
   SELECT source, h, min(n_tokens) AS n_tokens FROM scored GROUP BY source, h

@@ -269,6 +269,51 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_gopher_gate_single_source_of_truth(spark):
+    """VERDICT r07 #5: ONE quality-admission rule across the monitoring
+    view and the write paths. Per source: the funnel's ``admitted`` tail
+    == the count of docs passing the shared gate (the exact predicate
+    training_mix / corpus_build / corpus_ingest_streaming filter on) ==
+    the streaming ingest's n_docs after adding back within-source exact
+    duplicates (independent batch derivation)."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.schemas import load_table
+    from flink_stream_processing_refarch_spark.streaming import jobs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    funnel = {
+        r.source: r.admitted
+        for r in text.quality_funnel_from_docs(docs).collect()
+    }
+    gate = F.expr(text.gopher_gate_sql("spark"))
+    gate_counts = {
+        r.source: r.cnt
+        for r in docs.filter(gate)
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert funnel == {s: gate_counts.get(s, 0) for s in funnel}
+
+    ingest = {
+        r.source: r.n_docs
+        for r in jobs.q_corpus_ingest_streaming(spark, SF_DIR).collect()
+    }
+    dedup_admitted = {
+        r.source: r.cnt
+        for r in docs.filter(gate)
+        .select("source", F.md5("text").alias("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert ingest == dedup_admitted
+    # dedup only removes: the ingest totals are bounded by the funnel tail
+    assert all(ingest[s] <= funnel.get(s, 0) for s in ingest)
+
+
 def test_corpus_build_is_a_training_mix_subset(spark):
     """The decontamination + eval-split gates only remove docs: per
     source, corpus_build totals are bounded by training_mix totals."""
