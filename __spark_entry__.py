@@ -45,6 +45,7 @@ from flink_stream_processing_refarch_spark.operators import semantic as semantic
 from flink_stream_processing_refarch_spark.operators import similarity as sim_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import sketches as sketch_ops  # noqa: E402
 from flink_stream_processing_refarch_spark.operators import text as text_ops  # noqa: E402
+from flink_stream_processing_refarch_spark import api as api_mod  # noqa: E402
 from flink_stream_processing_refarch_spark import plancache  # noqa: E402
 from flink_stream_processing_refarch_spark.oracle import sqlgen  # noqa: E402
 from flink_stream_processing_refarch_spark.plans import funnels, relational, subqueries, taxi, tpch_deep  # noqa: E402
@@ -174,6 +175,16 @@ PRIORITY = [
     "brand_volume_revenue",
     "late_shipments",
     "supplier_part_variety",
+    # -- NEW r08: the ad-hoc ANSI SQL surface as a driver-proven entry —
+    #    a multi-statement session (two temp views composed over
+    #    register_views + final aggregate) through api.sql's path, the
+    #    one §2.8 row that previously had no driver-visible row --
+    "adhoc_sql",
+    # -- r08 (gate unification): training_mix + corpus_build re-enter
+    #    the window — their quality gate is now the shared Gopher
+    #    admission rule (identical to quality_funnel's admitted tail) --
+    "training_mix",
+    "corpus_build",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
     #    members stay in-window via dedup_incremental/containment_dedup) --
     # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
@@ -288,7 +299,7 @@ PRIORITY = [
     "quantile_histogram",
     "curriculum_order",
     "vocab_coverage",
-    "corpus_build",
+    # (corpus_build moved back in-window r08: gate unification)
     # (decontaminate_streaming rotated out late-r07 for ann_recall_eval:
     # r03-green over a since-unchanged stateless stream-static plan; the
     # batch decontaminate stays selfchecked each round.)
@@ -364,7 +375,7 @@ PRIORITY = [
     "tfidf_top_terms",
     "global_row_number",
     "passage_dedup",
-    "training_mix",
+    # (training_mix moved back in-window r08: gate unification)
     "dup_provenance",
     "bigram_lm",
     "sequence_packing",
@@ -459,6 +470,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(semantic_ops.QUERIES)
     out.update(sketch_ops.QUERIES)
     out.update(retr_ops.QUERIES)
+    out.update(api_mod.QUERIES)
     # Batch queries go through the per-session plan cache (prepared-
     # statement layer, see plancache.py): repeated identical queries pay
     # Catalyst analysis/optimization/codegen once per session, matching
@@ -526,4 +538,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(semantic_ops.ORACLES)
     out.update(sketch_ops.ORACLES)
     out.update(retr_ops.ORACLES)
+    out.update(api_mod.ORACLES)
     return _ordered(out)
