@@ -197,6 +197,12 @@ PRIORITY = [
     # -- NEW r05 (late add): asymmetric containment verify of the LSH
     #    candidates (the excerpt/quote case Jaccard misses) --
     "containment_dedup",
+    # -- r08 (payload slimming, VERDICT r07 #6): in-bucket int16
+    #    quantized pre-verify with a provable no-false-reject bound;
+    #    candidate rows never cross a shuffle, full vectors join
+    #    survivor-sized only (sf10 decade: 3347 -> 368 MB shuffle,
+    #    9.1x; oracle unchanged) — re-enters the window --
+    "dedup_embedding",
     # -- NEW r06: memorization-risk audit (total-corpus-frequency span
     #    windows over RAW documents; Carlini-style repetition signal,
     #    same no-self-join hash-window skeleton as dedup_spans) --
@@ -356,7 +362,7 @@ PRIORITY = [
     "funnel_completion",
     "stream_static_join",
     "dedup_simhash",
-    "dedup_embedding",
+    # (dedup_embedding moved back in-window r08: payload slimming)
     "vocab_stats",
     "decontaminate",
     "minhash_signatures",

@@ -831,6 +831,17 @@ EMB_BITS = EMB_BITS_BASE  # current value; see set_emb_scale
 EMB_BUCKET_CAP = 256  # degenerate-bucket guard (mirrors LSH_BUCKET_CAP)
 EMB_N_REF = 2_000    # reference vector count (driver sf0.1 embeddings)
 
+# Candidate-verify quantization scale (VERDICT r07 #6 payload slimming).
+# A POWER OF TWO so q = floor(x * S + 0.5) is computed exactly in IEEE
+# doubles (x*S is a pure exponent shift): the per-component error is
+# EXACTLY bounded by 1/(2S), which makes the no-false-reject bound below
+# provable, not heuristic. 2^14 over int16 instead of the int8 the r07
+# verdict sketched: int8 needs either a clamp (breaking the bound) or a
+# scale so coarse the accept margin-band blows up ~200x; smallint still
+# halves the float32 payload and keeps |q| <= ~2^14*|x| < 2^15 for any
+# |x| < 2 with a margin band of ~6e-4 cosine.
+EMB_QUANT_SCALE = 1 << 14
+
 
 def emb_bits_for(n_vectors: int) -> int:
     """The documented code-space sizing rule (VERDICT r06 #3): one extra
@@ -955,6 +966,56 @@ def _emb_bits_duck() -> str:
     )
 
 
+def _emb_quant_udf():
+    """Vector -> (int16 quantized copy, int64 L1 of the quantized copy):
+    the slim candidate-verify payload (see q_dedup_embedding phase A).
+    q = floor(x * S + 0.5) with S = EMB_QUANT_SCALE a power of two, so
+    the float multiply is exact and |x - q/S| <= 1/(2S) EXACTLY."""
+    import numpy as np
+    import pandas as pd
+
+    S = EMB_QUANT_SCALE
+
+    def quant(emb):
+        if len(emb) == 0:
+            return pd.DataFrame(
+                {
+                    "qv": pd.Series([], dtype=object),
+                    "l1": pd.Series([], dtype="int64"),
+                }
+            )
+        m = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        q = np.floor(m * S + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "qv": list(q.astype(np.int16)),
+                "l1": np.abs(q).sum(axis=1),
+            }
+        )
+
+    quant.__annotations__ = {"emb": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf("struct<qv: array<smallint>, l1: bigint>")(quant)
+
+
+def _emb_qdot_udf():
+    """Exact int64 dot of two int16-quantized vectors (one vectorized
+    multiply-sum per Arrow batch; |q_i| < 2^15 so |dot| < 64*2^30 —
+    overflow-free by 4 orders of magnitude)."""
+    import numpy as np
+    import pandas as pd
+
+    def qdot(qa, qb):
+        if len(qa) == 0:
+            return pd.Series([], dtype="int64")
+        a = np.array([np.asarray(v, dtype=np.int64) for v in qa])
+        b = np.array([np.asarray(v, dtype=np.int64) for v in qb])
+        return pd.Series((a * b).sum(axis=1))
+
+    qdot.__annotations__ = {"qa": pd.Series, "qb": pd.Series,
+                            "return": pd.Series}
+    return F.pandas_udf("bigint")(qdot)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded random-hyperplane LSH
     generates candidates, exact (rounded) cosine >= threshold confirms.
@@ -993,49 +1054,89 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot_spark
 
     emb = load_table(spark, sf_dir, "embeddings")
+    self_norm = F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})")
+    # Two-phase verify (VERDICT r07 #6 — the old single-phase design
+    # joined full 64-float vectors onto CANDIDATE-sized pair legs,
+    # 3.3 GB at the sf10 decade once the vector relation outgrew
+    # broadcast):
+    #
+    # Phase A (slim, in-bucket): the int16-quantized copy + |q| L1 +
+    # norm ride the ONE (band, code) bucket exchange — O(vectors x
+    # bands) slim rows, the same exchange the candidates already need —
+    # and pairs expand IN-BUCKET with their quantized payloads, so the
+    # candidate-sized relation never crosses a shuffle at all. An exact
+    # int64 quantized dot (Arrow-batched) decides every pair outside
+    # the provable error band; only SURVIVORS reach the distinct. The
+    # no-false-reject bound, with q = floor(x*S + 0.5), h = 1/(2S)
+    # exact (S a power of two):
+    #   |dot - dq/S^2| <= h*(L1(qa)+L1(qb))/S + 64*h^2
+    # so a pair is rejected only when even dot's UPPER bound leaves
+    # round6(cos) below the threshold (bound inflated 1e-9 relative +
+    # 1e-12 absolute for the double arithmetic evaluating it).
+    #
+    # Phase B (exact, survivor-sized): survivors — true pairs plus the
+    # ~6e-4-wide margin band — join back to the full vectors for the
+    # oracle's exact fold-order cosine: the IDENTICAL expression as
+    # before, so the oracle is unchanged; the survivor list is pair-ids
+    # only (AQE broadcasts it; the vector relation never shuffles on
+    # the first leg, and the second leg carries survivor rows only).
+    quant = _emb_quant_udf()(F.col("embedding")).alias("q")
     bands = emb.select(
-        "vec_id",
-        F.posexplode(_emb_codes_udf()(F.col("embedding"))).alias("band", "code"),
+        "vec_id", "embedding", quant, self_norm.alias("norm")
+    ).select(
+        F.struct("vec_id", "norm", F.col("q.qv"), F.col("q.l1")).alias("m"),
+        F.posexplode(_emb_codes_udf()(F.col("embedding"))).alias(
+            "band", "code"
+        ),
     )
-    # In-bucket pair expansion, same rewrite as q_dedup_minhash_lsh: ONE
-    # exchange on the (band, code) key instead of the two self-join
-    # shuffles (each of which also recomputed the hyperplane codes).
     bkt = (
         bands.groupBy("band", "code")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= EMB_BUCKET_CAP))
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= EMB_BUCKET_CAP))
     )
-    pairs = (
+    cand = (
         bkt.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b, "
+                    "x.norm AS norm_a, y.norm AS norm_b, "
+                    "x.qv AS qva, y.qv AS qvb, "
+                    "x.l1 AS l1a, y.l1 AS l1b))))"
                 )
             ).alias("p")
         )
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
+        .select("p.*")
+        .withColumn("dq", _emb_qdot_udf()(F.col("qva"), F.col("qvb")))
     )
-    # Norms are computed once per VECTOR (n x 64-fold), not once per
-    # candidate pair (|pairs| is ~quadratic in bucket size): only the
-    # cross dot product runs per pair. Same doubles, 3x less work.
-    self_norm = F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})")
-    ea = emb.select(
+    s2 = float(EMB_QUANT_SCALE) * float(EMB_QUANT_SCALE)
+    # |dot - dq/S^2| <= (L1(qa)+L1(qb))/(2*S^2) + 64/(4*S^2)
+    bound = (
+        f"((CAST(l1a + l1b AS DOUBLE) / (2.0 * {s2!r})"
+        f" + 16.0 / {s2!r}) * (1.0 + 1e-9) + 1e-12)"
+    )
+    keep = (
+        f"CAST(dq AS DOUBLE) / {s2!r} + {bound}"
+        f" >= ({COS_NEAR_DUP} - 1e-6) * norm_a * norm_b"
+    )
+    survivors = (
+        cand.filter(F.expr(keep)).select("vec_a", "vec_b").distinct()
+    )
+    ea_full = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emba"),
         self_norm.alias("norm_a"),
     )
-    eb = emb.select(
+    eb_full = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("embb"),
         self_norm.alias("norm_b"),
     )
     dot = _dot_spark("emba", "embb")
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        survivors.join(ea_full, "vec_a")
+        .join(eb_full, "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -44,6 +44,37 @@ def test_matches_oracle(spark, duck, mod, name):
     assert_matches_oracle(spark, duck, m.QUERIES[name], m.ORACLES[name])
 
 
+def test_emb_quant_bound_never_false_rejects():
+    """dedup_embedding phase A (int16 quantized pre-verify, VERDICT r07
+    #6): the error bound |dot - dq/S^2| <= (L1qa+L1qb)/(2S^2) + 16/S^2
+    holds for every pair — so a candidate is rejected only when even
+    dot's upper bound leaves the cosine below the threshold, and the
+    oracle-parity tests (which enumerate ALL candidates exactly) stay
+    the end-to-end no-false-reject proof. Property-checked here over
+    random pairs including near-zero and max-magnitude components."""
+    import numpy as np
+
+    S = dedup.EMB_QUANT_SCALE
+    rng = np.random.default_rng(7)
+    worst = 0.0
+    for trial in range(500):
+        x = rng.uniform(-0.99, 0.99, 64)
+        y = rng.uniform(-0.99, 0.99, 64)
+        if trial % 3 == 0:  # adversarial: components at quantization edges
+            x = (np.floor(x * S) + 0.5) / S
+        qa = np.floor(x * S + 0.5).astype(np.int64)
+        qb = np.floor(y * S + 0.5).astype(np.int64)
+        dq = int((qa * qb).sum())
+        bound = (
+            (np.abs(qa).sum() + np.abs(qb).sum()) / (2.0 * S * S)
+            + 16.0 / (S * S)
+        ) * (1 + 1e-9) + 1e-12
+        err = abs(float((x * y).sum()) - dq / (S * S))
+        assert err <= bound, (trial, err, bound)
+        worst = max(worst, err / bound)
+    assert worst > 0.1  # the bound is tight enough to be meaningful
+
+
 def test_emb_code_space_scales_in_lockstep(spark, duck):
     """VERDICT r06 #3: the embedding-family code-space constants are a
     documented function of N (emb_bits_for / lsh_planes_for /
