@@ -70,8 +70,13 @@ def set_ann_scale(n_vectors: int | None = None) -> tuple[int, int]:
     constants). Both engines read the regenerated literals at
     expression-build time, so the Spark plan and the DuckDB oracle move
     in lockstep. Clears the plan cache. Returns (N_PLANES,
-    N_CENTROIDS)."""
+    N_CENTROIDS). Also re-derives REC_EVERY (rec_every_for) so the
+    recall-eval set stays ~REC_QUERIES queries at any N."""
     global N_PLANES, HYPERPLANES, N_CENTROIDS, CENTROIDS, _HALF_NORMS
+    global REC_EVERY
+    REC_EVERY = (
+        REC_EVERY_BASE if n_vectors is None else rec_every_for(n_vectors)
+    )
     N_PLANES = (
         N_PLANES_BASE if n_vectors is None else lsh_planes_for(n_vectors)
     )
@@ -908,8 +913,21 @@ FROM pred GROUP BY qlabel
 """
 
 
-REC_EVERY = 50  # every 50th vector is a recall-eval query
+REC_EVERY_BASE = 50  # eval-query sampling rate at the reference corpus
+REC_EVERY = REC_EVERY_BASE  # current value; see set_ann_scale
 REC_K = 10      # top-k compared between exact and LSH legs
+# Eval-set size the BASE rate yields at ANN_N_REF — held ~CONSTANT as N
+# grows (ADVICE r07: a fixed sampling RATE made the scored pair relation
+# |N|^2/REC_EVERY — quadratic; a fixed eval COUNT keeps it linear,
+# matching knn_label_accuracy's bounded-eval-set discipline).
+REC_QUERIES = 40
+
+
+def rec_every_for(n_vectors: int) -> int:
+    """Sampling stride that keeps the recall eval set at ~REC_QUERIES
+    queries regardless of corpus size (integer arithmetic, both engines
+    see the same value)."""
+    return max(REC_EVERY_BASE, max(1, n_vectors) // REC_QUERIES)
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -332,6 +332,23 @@ def _leaf_file_stamps(df) -> tuple:
     return tuple(sorted(out))
 
 
+def _same_result(odf, df) -> bool:
+    """Full plan-equality confirmation behind the 32-bit semanticHash
+    (ADVICE r07: a hash collision between two different plans under the
+    same tag with identical source files would silently return the
+    wrong cached relation) — the same hash-then-sameResult pairing
+    Spark's own CacheManager uses. False (supersede, never reuse) on
+    any introspection failure."""
+    try:
+        return bool(
+            odf._jdf.queryExecution()
+            .analyzed()
+            .sameResult(df._jdf.queryExecution().analyzed())
+        )
+    except Exception:  # pragma: no cover - connect/dead-session handles
+        return False
+
+
 def persist_latest(df, tag: str):
     """``persist()`` with SEMANTIC previous-generation release: at most
     one live persisted relation per tag, and a repeat call whose plan is
@@ -373,7 +390,7 @@ def persist_latest(df, tag: str):
     old = _LIVE_PERSISTS.get(tag)
     if old is not None:
         odf, oh = old
-        if h is not None and oh == h:
+        if h is not None and oh == h and _same_result(odf, df):
             # an external clearCache()/unpersist may have dropped the
             # live entry's storage — re-register, or the twice-
             # referenced relation inlines its subtree per consumer

@@ -202,6 +202,21 @@ def replay(
                 f"{MAX_CHUNK_ROWS} rows; reduce chunk_seconds"
             )
         n_total = 0
+        # mtime anchor (ADVICE r07): chunk mtimes must be strictly
+        # increasing in chunk order AND newer than anything already in
+        # out_dir (a second replay into the same dir, or a file another
+        # producer dropped there, must not sort after the new chunks and
+        # re-trigger the out-of-order late-drop bug the idx-since-epoch
+        # stamps reintroduced). Anchor = max(now, newest existing mtime)
+        # + 1s; chunk idx offsets from there.
+        existing = [
+            os.stat(os.path.join(out_dir, f)).st_mtime_ns
+            for f in os.listdir(out_dir)
+            if os.path.isfile(os.path.join(out_dir, f))
+        ]
+        anchor_ns = max(
+            [int(time.time() * 1e9)] + existing
+        ) + 1_000_000_000
         for idx in range(n_chunks):
             parts = sorted(
                 _glob.glob(os.path.join(staging, f"chunk={idx}", "part-*"))
@@ -241,8 +256,10 @@ def replay(
                 # order and a 0-second-watermark consumer silently drops
                 # whole earlier chunks as late (review finding r07,
                 # reproduced: 105 of 301 result rows). Same discipline
-                # as tools/scale_streaming.build_events.
-                os.utime(dest, ns=(idx * 1_000_000_000, idx * 1_000_000_000))
+                # as tools/scale_streaming.build_events; anchored to
+                # recent wall-clock (see anchor_ns above).
+                t = anchor_ns + idx * 1_000_000_000
+                os.utime(dest, ns=(t, t))
                 n_total += counts.get(idx, 0)
             if pace and speedup > 0:
                 time.sleep(chunk_ms / 1000.0 / speedup)

@@ -89,6 +89,12 @@ def test_emb_code_space_scales_in_lockstep(spark, duck):
     assert similarity.lsh_planes_for(200_000) == 14
     assert similarity.ivf_centroids_for(20_000) == 32
     assert similarity.ivf_centroids_for(200_000) == 64
+    # ADVICE r07: eval COUNT (not rate) is what stays fixed — the
+    # recall-eval set is ~REC_QUERIES queries at every N, so the scored
+    # pair relation stays linear in N
+    assert similarity.rec_every_for(2_000) == 50
+    assert similarity.rec_every_for(200_000) == 5_000
+    assert 200_000 // similarity.rec_every_for(200_000) == 40
     try:
         bits = dedup.set_emb_scale(200_000)
         planes, cents = similarity.set_ann_scale(200_000)

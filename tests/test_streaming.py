@@ -1028,11 +1028,29 @@ def test_replay_chunk_mtimes_monotone_and_multibatch_correct(spark, tmp_path):
     import os as _os
 
     out = str(tmp_path / "wire")
+    # ADVICE r07: a file already in the watched dir with a real
+    # wall-clock mtime (another producer, a manual copy) must sort
+    # BEFORE every replayed chunk — idx-since-epoch stamps put all
+    # chunks in 1970 and any such file after them.
+    _os.makedirs(out)
+    foreign = out + "/zz-foreign.json"
+    with open(foreign, "w"):
+        pass
     replay.replay(spark, SF_DIR, out, adapt="ORIGINAL")
     chunks = sorted(_glob.glob(out + "/chunk-*.json"))
     assert len(chunks) > 2
     mtimes = [_os.stat(p).st_mtime_ns for p in chunks]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    assert min(mtimes) > _os.stat(foreign).st_mtime_ns
+    # a SECOND replay into the same dir anchors above the first one's
+    # chunks (no reset to the same stamps)
+    replay.replay(spark, SF_DIR, out, adapt="ORIGINAL")
+    mtimes2 = [
+        _os.stat(p).st_mtime_ns
+        for p in sorted(_glob.glob(out + "/chunk-*.json"))
+    ]
+    assert min(mtimes2) > max(mtimes)
+    _os.remove(foreign)
 
     res = _rows(jobs.q1_from_wire(spark, out, maxFilesPerTrigger="1"))
     batch = taxi.q1_pickup_count(spark, SF_DIR)
