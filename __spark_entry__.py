@@ -281,6 +281,14 @@ PRIORITY = [
     #    semantic_dedup) --
     "kmeans_clusters",
     "corpus_ingest_streaming",
+    # -- NEW r08: streaming twin of the write-path upsert (VERDICT r07
+    #    #8) — the delta arrives as a stream and merges epoch-by-epoch
+    #    through upsert_corpus in foreachBatch; per-key replacement is
+    #    epoch-composable so the batch roundtrip oracle applies
+    #    verbatim. The batch roundtrip re-enters with it (r08 refactor:
+    #    both derive the delta from one shared helper) --
+    "corpus_upsert_streaming",
+    "corpus_upsert_roundtrip",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     # -- stateful streaming + custom join/stream ops (events stream path
@@ -288,7 +296,8 @@ PRIORITY = [
     # ---- entries below are past the driver's 50-entry window ----
     # r07: four r06-green, r07-unchanged entries ceded slots to the
     # four NEW r07 entries (winnow_matches + the Q18/Q15/Q20 trio).
-    "corpus_upsert_roundtrip",
+    # (corpus_upsert_roundtrip moved back in-window r08: shared-delta
+    # refactor with the new streaming twin.)
     "trending_cells",
     "dedup_clusters",
     "heavy_hitters_cms",

@@ -311,3 +311,100 @@ def test_upsert_recovers_from_missing_manifest(spark):
         m = corpus_io.upsert_corpus(delta, out)
         assert m["total_rows"] == docs.count()
         assert corpus_io.verify_manifest(spark, out)
+
+def test_streaming_upsert_multibatch_converges_to_batch_merge(spark):
+    """The streaming upsert twin's claim (VERDICT r07 #8): per-key
+    replacement is epoch-composable — the SAME delta split across FOUR
+    micro-batches (maxFilesPerTrigger=1 over chunked delta files)
+    converges to exactly the batch merge's final state."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from flink_stream_processing_refarch_spark.streaming.jobs import (
+        DOCS_SCHEMA,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # batch reference state
+    with tempfile.TemporaryDirectory() as base:
+        out_b = os.path.join(base, "batch")
+        corpus_io.write_partitioned_corpus(docs, out_b)
+        corpus_io.upsert_corpus(corpus_io._delta_from_docs(docs), out_b)
+        expected = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_b)
+            .select("doc_id", "source", F.md5("text").alias("h"))
+            .collect()
+        )
+
+        # the same delta as four time-ordered chunk files
+        delta = corpus_io._delta_from_docs(docs)
+        lo, hi = delta.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        src = os.path.join(base, "chunks")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        n_chunks, step = 4, (hi - lo) // 4 + 1
+        for i in range(n_chunks):
+            chunk = delta.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            ).withColumn("lang", F.lit(None).cast("string")).withColumn(
+                "n_chars", F.lit(None).cast("long")
+            ).select("doc_id", "text", "lang", "source", "n_chars")
+            chunk.coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/c{i}"
+            )
+            (part,) = _glob.glob(f"{src}/c{i}/part-*.parquet")
+            os.link(part, f"{flat}/chunk-{i:03d}.parquet")
+            mt = _time.time() - (n_chunks - i) * 10
+            os.utime(f"{flat}/chunk-{i:03d}.parquet", (mt, mt))
+
+        out_s = os.path.join(base, "stream")
+        corpus_io.write_partitioned_corpus(docs, out_s)
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(flat)
+            .select("doc_id", "text", "source")
+        )
+        ck = os.path.join(base, "ck")
+        epochs = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, e: (
+                    epochs.append(e),
+                    corpus_io.upsert_corpus(b, out_s),
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(epochs) >= n_chunks  # genuinely multi-epoch
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_s)
+            .select("doc_id", "source", F.md5("text").alias("h"))
+            .collect()
+        )
+        assert got == expected
+
+        # epoch REDELIVERY (recovery replays a whole epoch): re-applying
+        # one chunk's delta leaves the converged state unchanged
+        redelivered = spark.read.parquet(f"{src}/c0").select(
+            "doc_id", "text", "source"
+        )
+        corpus_io.upsert_corpus(redelivered, out_s)
+        again = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_s)
+            .select("doc_id", "source", F.md5("text").alias("h"))
+            .collect()
+        )
+        assert again == expected
+        assert corpus_io.verify_manifest(spark, out_s)
+        shutil.rmtree(base, ignore_errors=True)
