@@ -175,6 +175,11 @@ PRIORITY = [
     "brand_volume_revenue",
     "late_shipments",
     "supplier_part_variety",
+    # -- NEW r08: Q11 analogue (important stock — group-HAVING against a
+    #    scalar over the same aggregate, avg-relative threshold) —
+    #    completes the TPC-H-analogue set at 18 deep trees + the §2.7
+    #    singles (every remaining TPC-H shape now has a registry row) --
+    "important_parts",
     # -- NEW r08: the ad-hoc ANSI SQL surface as a driver-proven entry —
     #    a multi-statement session (two temp views composed over
     #    register_views + final aggregate) through api.sql's path, the

@@ -1080,7 +1080,84 @@ GROUP BY p_brand, p_size
 """
 
 
+# Q11 knobs ("important stock"): the supplier-nation group holding the
+# inventory of interest, and the importance multiple over the average
+# per-part value. Classic Q11's FRACTION threshold (0.0001/SF) is
+# scale-dependent — value-per-part shrinks as |parts| grows — so the
+# analogue keys the HAVING off the AVERAGE part value instead
+# (value > IP_MULT x avg), which selects a stable top slice at any SF.
+IP_NATION_MOD, IP_NATION_REM = 5, 2
+IP_MULT = 2
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (important stock identification): total traded
+    value per part supplied by one nation group, keeping parts whose
+    value exceeds IP_MULT x the group's average per-part value — the
+    group-HAVING-against-a-scalar-over-the-same-aggregate shape (Q11's
+    decorrelated scalar subquery). The testdata has no partsupp
+    relation, so per-part value is derived from lineitem
+    (cents(extendedprice) x quantity, integer-exact).
+
+    Plan shape: the supplier dim broadcasts into the fact scan; ONE
+    exchange builds the per-part values, which are PERSISTED
+    (persist_latest) because the plan references them twice — as the
+    output rows and as the input of the (total, count) scalar; without
+    the persist Catalyst inlines the subtree per consumer and the fact
+    scans twice (observed in the executed plan). The 1-row scalar then
+    broadcasts back over the cached relation — one fact scan, no
+    fact-fact shuffle. Threshold compare is integer division over exact
+    cent sums, so DuckDB parity holds at any scale."""
+    from ..schemas import persist_latest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") % IP_NATION_MOD == IP_NATION_REM
+    )
+    val = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _cents("l_extendedprice")
+                * F.col("l_quantity").cast("bigint")
+            ).alias("value_cents")
+        )
+    )
+    val = persist_latest(val, "important_parts_val")
+    tot = val.agg(
+        F.sum("value_cents").alias("t"), F.count("*").alias("n")
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(
+            F.col("value_cents")
+            > F.expr(f"({IP_MULT} * t) DIV n")
+        )
+        .select("l_partkey", "value_cents")
+    )
+
+
+IMPORTANT_PARTS_SQL = f"""
+WITH val AS (
+  SELECT l_partkey,
+         CAST(sum({CENTS.format(x='l_extendedprice')}
+              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey % {IP_NATION_MOD} = {IP_NATION_REM}
+  GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n FROM val)
+SELECT l_partkey, value_cents FROM val, tot
+WHERE value_cents > ({IP_MULT} * t) // n
+"""
+
+
 QUERIES = {
+    "important_parts": q_important_parts,
     "market_share": q_market_share,
     "returned_customers": q_returned_customers,
     "order_priority": q_order_priority,
@@ -1101,6 +1178,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "important_parts": IMPORTANT_PARTS_SQL,
     "market_share": MARKET_SHARE_SQL,
     "returned_customers": RETURNED_CUSTOMERS_SQL,
     "order_priority": ORDER_PRIORITY_SQL,

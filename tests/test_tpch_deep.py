@@ -193,3 +193,18 @@ def test_small_lot_revenue_single_fact_scan(spark):
         for m in re.finditer(r"FileScan parquet.*lineitem", plan)
     }
     assert len(li_scans) == 1, plan[:1500]
+
+def test_important_parts_broadcasts_dim_and_scalar(spark):
+    """Q11 analogue: the supplier dim reaches the fact scan as a
+    broadcast, the (total, count) scalar is a 1-row broadcast back over
+    the per-part values — one fact aggregation exchange, no fact-fact
+    shuffle join, and the threshold slice is nonempty but selective."""
+    df = tpch_deep.q_important_parts(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the 1-row scalar joins as a broadcast (hash or nested-loop on the
+    # single row — both are broadcast-side)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    rows = df.collect()
+    assert 0 < len(rows) < 190  # selective top slice, never everything
