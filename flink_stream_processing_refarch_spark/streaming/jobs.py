@@ -91,9 +91,36 @@ def half_source_files(spark: SparkSession, sf_dir: str) -> int:
 
     norm = normalized_events_path(spark, sf_dir)
     if norm is None:
-        return 1  # direct single-file source: 1 file per trigger
+        # direct source: a single FILE streams as one batch either way;
+        # a DIRECTORY of parts (the at-scale shape) must still split by
+        # half its file count — the old constant 1 put ONE part per
+        # micro-batch, which at the sf10 composite meant 100 epochs of
+        # fixed checkpoint/commit cost (r08 finding: the single-pass
+        # pipeline paid 48x wall for 100x data on exactly this)
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            n = len(_glob.glob(f"{src}/*.parquet"))
+            return max(1, n // 2)
+        return 1
     n = len(_glob.glob(f"{norm}/*.parquet"))
     return max(1, n // 2)
+
+
+def _stream_table(reader, sf_dir: str, table: str) -> DataFrame:
+    """Open a file-streaming source over ``{sf_dir}/{table}.parquet``,
+    which is a single FILE in the local testdata but a DIRECTORY of
+    part files at scale. The file source requires a directory path, so
+    the single-file shape streams the parent dir with a name filter —
+    and the directory shape must NOT (the former unconditional
+    glob-filter-on-the-parent matched ZERO files inside a directory
+    table: r08 bug, hit by the sf10 taxi decade's 100-part composite,
+    where the stream silently produced no epochs)."""
+    src = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(src):
+        return reader.option("pathGlobFilter", "*.parquet").parquet(src)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(
+        sf_dir
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
@@ -121,12 +148,13 @@ def stream_events(spark: SparkSession, sf_dir: str, **source_opts) -> DataFrame:
         for k, v in source_opts.items():
             reader = reader.option(k, v)
         return reader.parquet(norm)  # ts already BIGINT nanos
-    reader = spark.readStream.schema(
-        _events_schema(spark, f"{sf_dir}/events.parquet")
-    ).option("pathGlobFilter", "events.parquet")
+    # Direct branch (the at-scale shape: the scan already has >= cores
+    # splits).
+    src = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(_events_schema(spark, src))
     for k, v in source_opts.items():
         reader = reader.option(k, v)
-    return normalize_event_ts(reader.parquet(sf_dir))
+    return normalize_event_ts(_stream_table(reader, sf_dir, "events"))
 
 
 def stream_trips_from_wire(
@@ -783,13 +811,12 @@ def stream_documents(
 ) -> DataFrame:
     """File-based streaming source over the documents table — the local
     stand-in for a corpus landing zone (S3 prefix / Kafka topic) that new
-    crawl shards arrive in."""
-    reader = spark.readStream.schema(DOCS_SCHEMA).option(
-        "pathGlobFilter", "documents.parquet"
-    )
+    crawl shards arrive in. Shape-aware via ``_stream_table`` (a single
+    file locally, a directory of parts at scale)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
     for k, v in source_opts.items():
         reader = reader.option(k, v)
-    return reader.parquet(sf_dir)
+    return _stream_table(reader, sf_dir, "documents")
 
 
 def corpus_ingest_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,17 +1432,20 @@ def run_taxi_pipeline_single_pass(
             # q1 partials double as the watermark carrier: these groups
             # cover every clean trip in the batch, so max(dropoff_ms)
             # over all q1 partials = the final watermark.
-            # Partial outputs are O(active windows x cells) — coalesce(1)
-            # writes one file per epoch (at real scale: a handful, sized
-            # to the partial volume), keeping the compaction scan from
-            # drowning in per-epoch shuffle-partition shards.
+            # Partial outputs are O(active windows x cells); they write
+            # at the aggregation's own partition width (a handful —
+            # STREAM_STATE_PARTITIONS during bounded replays) so the
+            # write is parallel. The former coalesce(1) serialized each
+            # epoch's partial write through ONE task — at the sf10
+            # composite (~1M partial rows/epoch) that single-threaded
+            # funnel was measurable (r08 finding); a few files per epoch
+            # still keeps the compaction scan shard count bounded.
             (
                 b.groupBy("location", "wend")
                 .agg(
                     F.count("*").alias("cnt"),
                     F.max("dropoff_ms").alias("max_ms"),
                 )
-                .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(f"{pdir}/q1/epoch={int(epoch_id)}")
             )
@@ -1440,7 +1470,6 @@ def run_taxi_pipeline_single_pass(
                     F.sum("duration_min").alias("sum_dur"),
                     F.count("*").alias("cnt"),
                 )
-                .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(f"{pdir}/q2/epoch={int(epoch_id)}")
             )
