@@ -229,6 +229,87 @@ def upsert_corpus(
     return manifest
 
 
+def _parse_pkey(partition_cols: tuple[str, ...], pkey: str) -> tuple:
+    """Inverse of :func:`_pkey`: 'source=web/split=train' -> values,
+    with the Hive null token mapped back to None."""
+    vals = []
+    for part, col in zip(pkey.split("/"), partition_cols):
+        k, _, v = part.partition("=")
+        assert k == col, (pkey, partition_cols)
+        vals.append(None if v == HIVE_NULL else v)
+    return tuple(vals)
+
+
+def compact_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    partition_cols: tuple[str, ...] = ("source",),
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Small-file compaction — the corpus MAINTENANCE operator a living
+    100 TB corpus needs: streaming ingest and per-shard upserts each
+    leave a few files per touched partition, and after enough epochs a
+    partition holds hundreds of KB-sized files whose per-file open/footer
+    cost dominates every scan. Rewrites ONLY the partitions whose file
+    count exceeds what their row count needs (ceil(rows /
+    target_rows_per_file)), leaving every other partition's files
+    byte-untouched.
+
+    Scale shape: the work list comes from the manifest + a directory
+    listing (no data scan); the rewrite reads a partition-PRUNED scan of
+    just the fragmented partitions, repartitions by the partition
+    columns (one task -> one file per partition, with
+    ``maxRecordsPerFile`` re-splitting past the target), and commits via
+    dynamic partition overwrite — the same idempotent, localCheckpoint-
+    decoupled write discipline as :func:`upsert_corpus`. Content is
+    preserved exactly: the post-write pruned read-back counts are
+    CHECKED against the manifest (which does not change) and a mismatch
+    raises instead of blessing a partial commit.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    plan = []
+    for pkey, rows in manifest["partitions"].items():
+        pdir = os.path.join(out_dir, pkey)
+        nf = len(_glob.glob(os.path.join(pdir, "*.parquet")))
+        need = max(1, -(-rows // target_rows_per_file))
+        if nf > need:
+            plan.append(pkey)
+    if not plan:
+        return {"compacted": [], "manifest": manifest}
+    pred = None
+    for pkey in plan:
+        clause = None
+        for c, v in zip(partition_cols, _parse_pkey(partition_cols, pkey)):
+            eq = F.col(c).eqNullSafe(F.lit(v))
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+    merged = (
+        spark.read.parquet(out_dir).filter(pred)
+    ).localCheckpoint(eager=True)  # decouple from the path being rewritten
+    (
+        merged.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(target_rows_per_file))
+        .partitionBy(*partition_cols)
+        .parquet(out_dir)
+    )
+    back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
+    expected = {k: manifest["partitions"][k] for k in plan}
+    if back["partitions"] != expected:
+        raise RuntimeError(
+            "compact_corpus: post-write read-back does not match the "
+            f"manifest (expected {expected}, found {back['partitions']})"
+            " — partial commit"
+        )
+    return {"compacted": plan, "manifest": manifest}
+
+
 def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     """True iff the manifest on disk matches a fresh read-back — the
     consumer-side integrity check before a corpus is used."""
@@ -373,9 +454,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h FROM merged
 """
 
 
+def q_corpus_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the compaction path: build a corpus
+    deliberately FRAGMENTED (50-row files — the many-small-files state a
+    streaming ingest leaves), compact it, and return the committed
+    files' content. The oracle is simply the documents table — the
+    operator's whole contract is that compaction changes LAYOUT, never
+    content; the file-count collapse and untouched-partition
+    byte-identity are pinned by tests/test_corpus_io.py."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_cp_")
+    write_partitioned_corpus(docs, out, max_records_per_file=50)
+    report = compact_corpus(spark, out)
+    if not report["compacted"]:
+        raise RuntimeError("compaction roundtrip: nothing was fragmented")
+    return spark.read.parquet(out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_compact_roundtrip.stateful_build = True
+
+
+_CORPUS_COMPACT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
+FROM documents
+"""
+
+
 QUERIES = {
     "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
+    "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
 }
 
 ORACLES = {
@@ -383,4 +499,6 @@ ORACLES = {
     # per-key replacement is epoch-composable: any micro-batch split of
     # the same delta converges to the batch merge — oracle verbatim
     "corpus_upsert_streaming": _corpus_upsert_roundtrip_sql(),
+    # compaction changes LAYOUT only: the committed content is the table
+    "corpus_compact_roundtrip": _CORPUS_COMPACT_SQL,
 }

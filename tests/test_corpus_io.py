@@ -408,3 +408,64 @@ def test_streaming_upsert_multibatch_converges_to_batch_merge(spark):
         assert again == expected
         assert corpus_io.verify_manifest(spark, out_s)
         shutil.rmtree(base, ignore_errors=True)
+
+def test_compact_corpus_collapses_files_and_leaves_others_untouched(spark):
+    """compact_corpus rewrites ONLY fragmented partitions: file counts
+    collapse to ceil(rows/target), content is unchanged, and a partition
+    already at its target file count keeps its exact files (same inodes
+    and mtimes — never rewritten)."""
+    import glob
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    sources = sorted(r.source for r in docs.select("source").distinct().collect())
+    frag_src = sources[0]
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)  # 1 file/partition
+        # fragment ONE partition the way an ingest/upsert sequence does:
+        # rewrite it with tiny files via dynamic overwrite
+        part = docs.filter(F.col("source") == frag_src).localCheckpoint()
+        (
+            part.repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", "3")
+            .partitionBy("source")
+            .parquet(out)
+        )
+        frag_dir = os.path.join(out, f"source={frag_src}")
+        assert len(glob.glob(f"{frag_dir}/*.parquet")) > 1
+        other = sources[1]
+        other_dir = os.path.join(out, f"source={other}")
+        before = {
+            p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+            for p in glob.glob(f"{other_dir}/*.parquet")
+        }
+
+        report = corpus_io.compact_corpus(spark, out)
+        assert report["compacted"] == [f"source={frag_src}"]
+        assert len(glob.glob(f"{frag_dir}/*.parquet")) == 1
+        after = {
+            p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+            for p in glob.glob(f"{other_dir}/*.parquet")
+        }
+        assert after == before  # untouched partition: same files
+        # content preserved exactly
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "source", F.md5("text").alias("h"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in docs.select(
+                "doc_id", "source", F.md5("text").alias("h")
+            ).collect()
+        )
+        assert got == want
+        assert corpus_io.verify_manifest(spark, out)
+        # idempotent: a second compact finds nothing to do
+        assert corpus_io.compact_corpus(spark, out)["compacted"] == []

@@ -27,7 +27,9 @@ state ~= one replica band's in-flight (window, key) population — an
 order of magnitude below total windows x keys — with evictions ~= total
 emitted groups (every closed window leaves the store).
 
-Run: python tools/scale_taxi_streaming.py  (appends to SCALING_STREAMING.md)
+Run: python tools/scale_taxi_streaming.py [SCALE REPLICAS]
+  (appends to SCALING_STREAMING.md; default sf1 10 — the r07 decade;
+  r08 ran `sf10 100` for the 10M-event, 100-micro-batch stream)
 """
 
 from __future__ import annotations
@@ -55,17 +57,29 @@ def stream_source(spark, events_dir: str):
 
 def main() -> None:
     sys.path.insert(0, "/root/repo/tools")
+    import scale_taxi
     from scale_streaming import build_events, run_stream, state_metrics
     from scale_taxi import build_composite
 
     from flink_stream_processing_refarch_spark.plans import taxi
     from flink_stream_processing_refarch_spark.schemas import load_table
 
-    events_dir = build_events("sf1", 10)
+    scale = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    scale_taxi.SCALE, scale_taxi.REPLICAS = scale, replicas
+    scale_taxi.OUT = f"/dev/shm/graft_taxi_{scale}"
+    events_dir = build_events(scale, replicas)
     comp = build_composite()  # same events + sf0.1 dims, for the batch twin
 
     spark = get_spark("scale_taxi_streaming")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the progress ring buffer retains 100 updates by default — a
+    # 100-micro-batch run would silently drop its OLDEST progresses,
+    # undercounting input rows/batches/evictions (hit by the first r08
+    # sf10 run: 98 of 100 batches visible)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", "2000"
+    )
     n_events = load_table(spark, comp, "events").count()
 
     cases = {
@@ -112,12 +126,15 @@ def main() -> None:
 
     lines = [
         "",
-        "## Streaming-taxi decade at sf1 (r07, VERDICT r06 item 6)",
+        f"## Streaming-taxi decade at {scale}",
         "",
-        "Generated by `tools/scale_taxi_streaming.py`: the registry's",
+        f"Generated by `tools/scale_taxi_streaming.py {scale}"
+        f" {replicas}`: the registry's",
         "own q1/q2 streaming plans (`clean_trips_from_event_stream` ->",
-        "`q{1,2}_agg_from_trips`) over the composite sf1 events corpus",
-        "(10 time-shifted sf0.1 replicas, mtime-ordered), one replica",
+        f"`q{{1,2}}_agg_from_trips`) over the composite {scale} events"
+        " corpus",
+        f"({replicas} time-shifted sf0.1 replicas, mtime-ordered), one"
+        " replica",
         "per micro-batch (`maxFilesPerTrigger=1`), RocksDB state,",
         "availableNow -> noop. Median wall of "
         f"{N_RUNS}; batch twin measured on the same corpus in the same",
@@ -139,7 +156,7 @@ def main() -> None:
         "(window, key) population; the watermark advancing between",
         "micro-batches drains every closed window (evictions ~= total",
         "finalized groups). Peak state FLAT per batch while the stream",
-        "is 10x longer than sf0.1's single-batch replay is the",
+        f"is {replicas}x longer than sf0.1's single-batch replay is the",
         "certificate: window state is O(rate x window), never",
         "O(history).",
     ]
