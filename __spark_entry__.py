@@ -221,13 +221,11 @@ PRIORITY = [
     #    survivor-sized only (sf10 decade: 3347 -> 368 MB shuffle,
     #    9.1x; oracle unchanged) — re-enters the window --
     "dedup_embedding",
-    # -- NEW r06: memorization-risk audit (total-corpus-frequency span
-    #    windows over RAW documents; Carlini-style repetition signal,
-    #    same no-self-join hash-window skeleton as dedup_spans) --
-    "memorization_risk",
-    # -- NEW r06: winnowing fingerprint extraction (MOSS; the sublinear
-    #    substring match index dedup_spans' exhaustive audit feeds) --
-    "winnow_fingerprints",
+    # (memorization_risk + batch winnow_fingerprints rotated out r08
+    # for corpus_compact_roundtrip + quantile_histogram_streaming's
+    # return: both r07-green over r08-unchanged batch plans; the
+    # winnowing family stays in-window via the streaming twin +
+    # winnow_matches, the span machinery via dedup_spans.)
     # -- NEW r06 (late): fingerprinting-at-ingest — the same winnowing
     #    extraction as a stateless append-mode streaming job --
     "winnow_fingerprints_streaming",
@@ -271,9 +269,9 @@ PRIORITY = [
     #    complete-mode running gate counts, state bounded at |sources|
     #    rows, batch oracle verbatim --
     "quality_funnel_streaming",
-    # (quantile_histogram_streaming rotated out r08 for
-    # corpus_upsert_roundtrip: r07-green over an r08-unchanged
-    # complete-mode sketch plan.)
+    # -- back in-window r08: its stream_events source path carries the
+    #    r08 _stream_table shape fix (directory tables at scale) --
+    "quantile_histogram_streaming",
     # -- NEW r04: product-quantization ANN (sample-trained codebooks,
     #    exact-int ADC, PQ_CAND exact re-rank; stateful_build) and
     #    multi-probe LSH (Hamming-1 bucket fan-out recall knob) --
@@ -299,6 +297,10 @@ PRIORITY = [
     #    both derive the delta from one shared helper) --
     "corpus_upsert_streaming",
     "corpus_upsert_roundtrip",
+    # -- NEW r08: small-file compaction — the corpus MAINTENANCE op
+    #    (rewrite only fragmented partitions, content-identical, manifest
+    #    checked; oracle = the documents table itself) --
+    "corpus_compact_roundtrip",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     # -- stateful streaming + custom join/stream ops (events stream path
@@ -324,7 +326,10 @@ PRIORITY = [
     "ann_lsh_multiprobe",
     "semantic_dedup",
     "kmeans_clusters",
-    "quantile_histogram_streaming",
+    # and the two late-r08 evictions (slots ceded to
+    # corpus_compact_roundtrip + quantile_histogram_streaming's return):
+    "memorization_risk",
+    "winnow_fingerprints",
     # r07: four r06-green, r07-unchanged entries ceded slots to the
     # four NEW r07 entries (winnow_matches + the Q18/Q15/Q20 trio).
     # (corpus_upsert_roundtrip moved back in-window r08: shared-delta

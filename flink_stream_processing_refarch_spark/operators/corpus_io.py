@@ -456,7 +456,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h FROM merged
 
 def q_corpus_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable proof of the compaction path: build a corpus
-    deliberately FRAGMENTED (50-row files — the many-small-files state a
+    deliberately FRAGMENTED (5-row files — the many-small-files state a
     streaming ingest leaves), compact it, and return the committed
     files' content. The oracle is simply the documents table — the
     operator's whole contract is that compaction changes LAYOUT, never
@@ -470,7 +470,7 @@ def q_corpus_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     out = scratch_dir("corpus_cp_")
-    write_partitioned_corpus(docs, out, max_records_per_file=50)
+    write_partitioned_corpus(docs, out, max_records_per_file=5)
     report = compact_corpus(spark, out)
     if not report["compacted"]:
         raise RuntimeError("compaction roundtrip: nothing was fragmented")
