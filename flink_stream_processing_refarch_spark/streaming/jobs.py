@@ -2022,6 +2022,8 @@ def run_taxi_pipeline(
     source_format: str = "parquet",
     auto_decompress: bool = False,
     collect_results: bool = True,
+    endpoint: str | None = None,
+    stream_name: str = "taxi-trips",
 ) -> dict[str, "DataFrame | str"]:
     """The full consumer job (ProcessTaxiStream.main equivalent): Q1 + Q2
     as TWO streaming queries over the same trip-stream definition, each
@@ -2067,6 +2069,18 @@ def run_taxi_pipeline(
         trips = stream_trips_from_wire(
             spark, sf_dir, auto_decompress=auto_decompress, **src_opts
         )
+    elif source_format == "kinesis":
+        # the reference's own topology: consume the Kinesis record
+        # stream (ProcessTaxiStream.java:73-87) — sf_dir is ignored,
+        # ``endpoint`` selects the transport (file:// = the local wire
+        # fake, sources/kinesis_fake.py; a real endpoint = the
+        # connector)
+        from ..sources.kinesis import kinesis_reader, parse_wire_bytes
+
+        reader = kinesis_reader(spark, stream_name, "local", endpoint=endpoint)
+        for k, v in src_opts.items():
+            reader = reader.option(k, v)
+        trips = wire_trips(parse_wire_bytes(reader.load()))
     else:
         raise ValueError(f"unknown source_format: {source_format!r}")
 

@@ -136,3 +136,42 @@ def test_q1_through_kinesis_fake_matches_wire_path(spark, tmp_path):
     via_fake = _rows(jobs._run_to_memory(jobs.q1_agg_from_trips(trips)))
     assert via_fake == direct
     assert len(via_fake) > 0
+
+
+def test_full_reference_topology_end_to_end(spark, tmp_path):
+    """The WHOLE reference architecture, locally: producer replay
+    (StreamPopulator) -> Kinesis (wire fake) -> the consumer job's two
+    continuous queries (ProcessTaxiStream.main) -> ES bulk sink files.
+    Both result document sets must equal the oracle-checked streaming
+    entries' results over the same data."""
+    from flink_stream_processing_refarch_spark.schemas import (
+        PICKUP_COUNT_SCHEMA,
+        TRIP_DURATION_SCHEMA,
+    )
+
+    wire = str(tmp_path / "wire")
+    replay.replay(spark, SF_DIR, wire, adapt="ORIGINAL")
+    endpoint = f"file://{tmp_path / 'streams'}"
+    jobs.pump_wire_to_kinesis(spark, wire, endpoint)
+
+    res = jobs.run_taxi_pipeline(
+        spark,
+        sf_dir="",  # unused for the kinesis source
+        out_dir=str(tmp_path / "es"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        source_format="kinesis",
+        endpoint=endpoint,
+    )
+    got_q1 = _rows(res["pickup_count"])
+    got_q2 = _rows(res["trip_duration"])
+    assert got_q1 == _rows(jobs.q1_streaming(spark, SF_DIR))
+    assert got_q2 == _rows(jobs.q2_streaming(spark, SF_DIR))
+    assert len(got_q1) > 0 and len(got_q2) > 0
+    # the ES transport files carry the documents (the serving layer's
+    # input), schema-checked through the distributed read-back
+    assert res["pickup_count"].schema == spark.createDataFrame(
+        [], PICKUP_COUNT_SCHEMA
+    ).schema
+    assert res["trip_duration"].schema == spark.createDataFrame(
+        [], TRIP_DURATION_SCHEMA
+    ).schema
