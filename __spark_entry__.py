@@ -204,10 +204,10 @@ PRIORITY = [
     "training_mix",
     "corpus_build",
     # -- LLM-data-pipeline: dedup family (r04-green; the banded/blocked
-    #    members stay in-window via dedup_incremental/containment_dedup) --
-    # -- NEW r04: delta-vs-corpus incremental dedup gate (exact + LSH
-    #    probe of a corpus signature index + candidate-only verify) --
-    "dedup_incremental",
+    #    members stay in-window via containment_dedup) --
+    # (dedup_incremental rotated out late-r08 for corpus_layout_roundtrip:
+    # r07-green over an r08-unchanged delta-gate plan; the LSH probe
+    # machinery stays in-window via containment_dedup + winnow_matches.)
     # -- NEW r05 (late add): span-level substring-dedup audit (stride-1
     #    hashed word windows, cross-doc recurrence via hash-partition
     #    window count — no self-join) --
@@ -297,10 +297,13 @@ PRIORITY = [
     #    both derive the delta from one shared helper) --
     "corpus_upsert_streaming",
     "corpus_upsert_roundtrip",
-    # -- NEW r08: small-file compaction — the corpus MAINTENANCE op
+    # -- NEW r08: the corpus MAINTENANCE pair — small-file compaction
     #    (rewrite only fragmented partitions, content-identical, manifest
-    #    checked; oracle = the documents table itself) --
+    #    checked; oracle = the documents table itself) and range-layout
+    #    clustering (disjoint per-file key ranges proven from parquet
+    #    footer stats in-entry; same content oracle) --
     "corpus_compact_roundtrip",
+    "corpus_layout_roundtrip",
     # -- event-consuming relational entries rotated back IN r04 (their
     #    source scan now goes through the normalized materialization) --
     # -- stateful streaming + custom join/stream ops (events stream path
@@ -326,10 +329,11 @@ PRIORITY = [
     "ann_lsh_multiprobe",
     "semantic_dedup",
     "kmeans_clusters",
-    # and the two late-r08 evictions (slots ceded to
-    # corpus_compact_roundtrip + quantile_histogram_streaming's return):
+    # and the late-r08 evictions (slots ceded to the corpus maintenance
+    # pair + quantile_histogram_streaming's return):
     "memorization_risk",
     "winnow_fingerprints",
+    "dedup_incremental",
     # r07: four r06-green, r07-unchanged entries ceded slots to the
     # four NEW r07 entries (winnow_matches + the Q18/Q15/Q20 trio).
     # (corpus_upsert_roundtrip moved back in-window r08: shared-delta

@@ -310,6 +310,80 @@ def compact_corpus(
     return {"compacted": plan, "manifest": manifest}
 
 
+def cluster_corpus_layout(
+    spark: SparkSession,
+    out_dir: str,
+    cluster_col: str = "doc_id",
+    partition_cols: tuple[str, ...] = ("source",),
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Range-cluster the corpus files on ``cluster_col`` — the data-
+    LAYOUT lever for 100 TB scans: after ingest/upserts, each file spans
+    nearly the whole key range, so a key-range predicate (a doc_id
+    slice, a time band) opens every file. Rewriting with
+    ``repartitionByRange(partition_cols + cluster_col)`` +
+    ``sortWithinPartitions`` gives every committed file a narrow,
+    pairwise-disjoint min/max range on ``cluster_col`` (parquet
+    file/row-group statistics), so Spark's parquet reader skips the
+    row groups — and a format with file-level stats pruning skips the
+    files — that a range predicate cannot match.
+
+    Content-preserving like :func:`compact_corpus`: dynamic-overwrite
+    commit, post-write counts checked against the (unchanged) manifest;
+    a mismatch raises. Cost: one full read + range-shuffle + write of
+    the corpus — the classic offline OPTIMIZE job, run at much lower
+    frequency than compaction."""
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    total = manifest["total_rows"]
+    n = max(1, -(-total // target_rows_per_file))
+    merged = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    cols = [F.col(c) for c in partition_cols] + [F.col(cluster_col)]
+    (
+        merged.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(target_rows_per_file))
+        .partitionBy(*partition_cols)
+        .parquet(out_dir)
+    )
+    back = _manifest_from_files(spark, out_dir, partition_cols)
+    if back["partitions"] != manifest["partitions"]:
+        raise RuntimeError(
+            "cluster_corpus_layout: post-write read-back does not match "
+            f"the manifest (expected {manifest['partitions']}, found "
+            f"{back['partitions']}) — partial commit"
+        )
+    return {"range_tasks": n, "manifest": manifest}
+
+
+def file_column_ranges(dir_path: str, column: str) -> list[tuple]:
+    """(min, max) of ``column`` per parquet file under ``dir_path``,
+    from footer statistics only (no data read) — the evidence surface
+    for layout clustering (and exactly the stats a pruning reader
+    uses)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    out = []
+    for p in sorted(_glob.glob(os.path.join(dir_path, "*.parquet"))):
+        md = _pq.ParquetFile(p).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        out.append((lo, hi))
+    return out
+
+
 def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     """True iff the manifest on disk matches a fresh read-back — the
     consumer-side integrity check before a corpus is used."""
@@ -488,10 +562,50 @@ FROM documents
 """
 
 
+def q_corpus_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the layout-clustering path: build a
+    corpus from hash-scattered rows (every small file spans ~the whole
+    doc_id range), range-cluster it, VERIFY from parquet footer stats
+    that every partition's file ranges are pairwise disjoint (raising
+    otherwise, so a silently-broken layout fails the driver row), and
+    return the committed content — the oracle is the documents table
+    (layout changes bytes' placement, never the bytes)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_ly_")
+    write_partitioned_corpus(
+        docs.repartition(4, "doc_id"), out, max_records_per_file=5
+    )
+    cluster_corpus_layout(spark, out, target_rows_per_file=10)
+    for pdir in _glob.glob(os.path.join(out, "source=*")):
+        ranges = file_column_ranges(pdir, "doc_id")
+        for i, (lo1, hi1) in enumerate(ranges):
+            for lo2, hi2 in ranges[i + 1:]:
+                if not (hi1 < lo2 or hi2 < lo1):
+                    raise RuntimeError(
+                        f"layout roundtrip: overlapping file ranges in "
+                        f"{pdir}: {ranges}"
+                    )
+    return spark.read.parquet(out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_layout_roundtrip.stateful_build = True
+
+
 QUERIES = {
     "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
+    "corpus_layout_roundtrip": q_corpus_layout_roundtrip,
 }
 
 ORACLES = {
@@ -501,4 +615,6 @@ ORACLES = {
     "corpus_upsert_streaming": _corpus_upsert_roundtrip_sql(),
     # compaction changes LAYOUT only: the committed content is the table
     "corpus_compact_roundtrip": _CORPUS_COMPACT_SQL,
+    # likewise for range clustering (the disjointness proof is in-entry)
+    "corpus_layout_roundtrip": _CORPUS_COMPACT_SQL,
 }

@@ -469,3 +469,58 @@ def test_compact_corpus_collapses_files_and_leaves_others_untouched(spark):
         assert corpus_io.verify_manifest(spark, out)
         # idempotent: a second compact finds nothing to do
         assert corpus_io.compact_corpus(spark, out)["compacted"] == []
+
+def test_cluster_corpus_layout_makes_file_ranges_disjoint(spark):
+    """cluster_corpus_layout: before — files written from hash-scattered
+    rows each span ~the whole doc_id range (every range predicate opens
+    every file); after — per-partition file ranges are pairwise disjoint
+    (footer stats, the exact evidence a pruning reader uses), content
+    byte-equal, manifest intact."""
+    import glob
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        # hash-scatter rows first so small files interleave doc_ids
+        corpus_io.write_partitioned_corpus(
+            docs.repartition(4, "doc_id"), out, max_records_per_file=5
+        )
+        src = sorted(
+            r.source for r in docs.select("source").distinct().collect()
+        )[0]
+        pdir = os.path.join(out, f"source={src}")
+        before = corpus_io.file_column_ranges(pdir, "doc_id")
+        assert len(before) > 1
+        overlaps = sum(
+            1
+            for i, (lo1, hi1) in enumerate(before)
+            for lo2, hi2 in before[i + 1:]
+            if not (hi1 < lo2 or hi2 < lo1)
+        )
+        assert overlaps > 0  # the scattered layout genuinely interleaves
+
+        report = corpus_io.cluster_corpus_layout(
+            spark, out, target_rows_per_file=10
+        )
+        assert report["range_tasks"] >= 1
+        after = corpus_io.file_column_ranges(pdir, "doc_id")
+        assert len(after) >= 1
+        for i, (lo1, hi1) in enumerate(after):
+            for lo2, hi2 in after[i + 1:]:
+                assert hi1 < lo2 or hi2 < lo1, (after,)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "source", F.md5("text").alias("h"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in docs.select(
+                "doc_id", "source", F.md5("text").alias("h")
+            ).collect()
+        )
+        assert got == want
+        assert corpus_io.verify_manifest(spark, out)
