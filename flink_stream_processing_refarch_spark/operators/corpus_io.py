@@ -544,7 +544,11 @@ def q_corpus_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     out = scratch_dir("corpus_cp_")
-    write_partitioned_corpus(docs, out, max_records_per_file=5)
+    # fragment size scaled to the corpus (~10 files per partition at any
+    # SF): a CONSTANT tiny size produced 1000 files at sf0.1, paying
+    # ~10 s of pure file-open overhead per bench run for no extra proof
+    frag = max(2, docs.count() // (10 * 20))
+    write_partitioned_corpus(docs, out, max_records_per_file=frag)
     report = compact_corpus(spark, out)
     if not report["compacted"]:
         raise RuntimeError("compaction roundtrip: nothing was fragmented")
@@ -580,10 +584,12 @@ def q_corpus_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     out = scratch_dir("corpus_ly_")
+    n_docs = docs.count()
+    frag = max(2, n_docs // (10 * 20))  # ~10 files/partition at any SF
     write_partitioned_corpus(
-        docs.repartition(4, "doc_id"), out, max_records_per_file=5
+        docs.repartition(4, "doc_id"), out, max_records_per_file=frag
     )
-    cluster_corpus_layout(spark, out, target_rows_per_file=10)
+    cluster_corpus_layout(spark, out, target_rows_per_file=2 * frag)
     for pdir in _glob.glob(os.path.join(out, "source=*")):
         ranges = file_column_ranges(pdir, "doc_id")
         for i, (lo1, hi1) in enumerate(ranges):
