@@ -332,7 +332,13 @@ def cluster_corpus_layout(
     commit, post-write counts checked against the (unchanged) manifest;
     a mismatch raises. Cost: one full read + range-shuffle + write of
     the corpus — the classic offline OPTIMIZE job, run at much lower
-    frequency than compaction."""
+    frequency than compaction. The ``localCheckpoint`` decoupling the
+    read from the path being overwritten materializes the corpus to
+    executor storage once (the same write-safety pattern as
+    ``upsert_corpus``, where it is delta-sized); at true 100 TB scale a
+    metastore-backed deployment stages the clustered copy to a fresh
+    location and swaps pointers instead — the checkpoint is the
+    local-filesystem stand-in for that staging step."""
     from pyspark.sql import functions as F
 
     with open(os.path.join(out_dir, MANIFEST)) as f:
