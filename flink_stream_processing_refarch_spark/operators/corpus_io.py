@@ -23,12 +23,94 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_corpus_manifest.json"
+
+#: single-maintainer lease file (underscore-prefixed so Spark's parquet
+#: reader ignores it, like _SUCCESS / the manifest).
+LEASE = "_corpus_lease.json"
+
+#: default lease time-to-live; a writer that dies without releasing is
+#: considered crashed after this and its lease may be broken.
+LEASE_TTL_SEC = 3600.0
+
+
+class MaintenanceLeaseHeld(RuntimeError):
+    """Another writer holds the corpus maintenance lease."""
+
+
+@contextlib.contextmanager
+def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
+    """Single-maintainer mutual exclusion for corpus WRITERS (upsert,
+    compaction, layout clustering) — the r09 answer to the interleaved-
+    maintenance lost-update (VERDICT r08 #6).
+
+    The failure mode without it (pinned by
+    tests/test_corpus_io.py::test_interleaved_compaction_loses_upsert_without_lease):
+    every writer here is read-modify-write — compaction/layout snapshot
+    the corpus via ``localCheckpoint`` and upsert reads the touched
+    partitions — then commit with dynamic partition overwrite. Two
+    writers interleaved on the same partition means the SLOWER one
+    commits from a snapshot that predates the faster one's commit, and
+    the faster one's rows are silently replaced (an upsert's merged
+    delta vanishes under a concurrent compaction, or a compaction
+    resurrects pre-upsert rows). Last-writer-wins is NOT content-correct
+    here because the writers are not blind overwrites — they each
+    promise to preserve the other's content.
+
+    Mechanics: ``O_CREAT | O_EXCL`` file creation inside the corpus
+    directory — atomic on a POSIX filesystem, the local stand-in for an
+    object store's conditional PUT / a metastore's transactional commit
+    (which is what a 100 TB deployment uses; same protocol, different
+    primitive). A lease older than ``ttl_sec`` is presumed crashed and
+    broken on the next acquire. Holding is per-corpus, not global:
+    writers on different corpora never contend, and READERS are never
+    blocked (they see the last committed files either way)."""
+    path = os.path.join(out_dir, LEASE)
+    try:  # break a crashed writer's stale lease
+        with open(path) as f:
+            held = json.load(f)
+        if time.time() - float(held.get("acquired_at", 0)) > float(
+            held.get("ttl_sec", ttl_sec)
+        ):
+            os.unlink(path)
+    except FileNotFoundError:
+        pass
+    except (json.JSONDecodeError, ValueError, OSError):
+        # unreadable lease file: treat as stale (crash mid-dump)
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        with open(path) as f:
+            held_raw = f.read()
+        raise MaintenanceLeaseHeld(
+            f"corpus at {out_dir} has an active maintenance lease: "
+            f"{held_raw.strip() or '<empty>'} — serialize writers, or "
+            "break the lease if the holder crashed"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "purpose": purpose,
+                "pid": os.getpid(),
+                "acquired_at": time.time(),
+                "ttl_sec": ttl_sec,
+            },
+            f,
+        )
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
 
 #: Spark's on-disk directory name for a NULL partition value. Manifest
 #: keys must use the same token or null-keyed partitions stop matching
@@ -129,7 +211,27 @@ def upsert_corpus(
     prior manifest — at 100 TB a delta merge costs O(delta partitions),
     never a whole-corpus scan. ``verify_manifest`` remains the full-scan
     consumer-side audit, where a full scan is the point.
+
+    Concurrency contract (r09): every corpus writer is read-modify-write
+    against the same partitions, so writers SERIALIZE on the per-corpus
+    maintenance lease (:func:`corpus_lease`); a second concurrent writer
+    raises :class:`MaintenanceLeaseHeld` instead of silently losing the
+    first one's commit. Readers never block.
     """
+    with corpus_lease(out_dir, "upsert"):
+        return _upsert_corpus_locked(
+            delta, out_dir, key_cols, partition_cols, max_records_per_file
+        )
+
+
+def _upsert_corpus_locked(
+    delta: DataFrame,
+    out_dir: str,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    max_records_per_file: int,
+) -> dict:
+    """Body of :func:`upsert_corpus`; the maintenance lease is held."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -265,7 +367,27 @@ def compact_corpus(
     preserved exactly: the post-write pruned read-back counts are
     CHECKED against the manifest (which does not change) and a mismatch
     raises instead of blessing a partial commit.
+
+    Concurrency contract (r09): serializes on the per-corpus maintenance
+    lease (:func:`corpus_lease`) — a compaction running concurrently
+    with an upsert on the same corpus would commit its pre-upsert
+    ``localCheckpoint`` snapshot over the upsert's partitions (the
+    lost-update pinned by tests/test_corpus_io.py); with the lease the
+    second writer raises :class:`MaintenanceLeaseHeld` instead.
     """
+    with corpus_lease(out_dir, "compact"):
+        return _compact_corpus_locked(
+            spark, out_dir, partition_cols, target_rows_per_file
+        )
+
+
+def _compact_corpus_locked(
+    spark: SparkSession,
+    out_dir: str,
+    partition_cols: tuple[str, ...],
+    target_rows_per_file: int,
+) -> dict:
+    """Body of :func:`compact_corpus`; the maintenance lease is held."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -338,7 +460,26 @@ def cluster_corpus_layout(
     ``upsert_corpus``, where it is delta-sized); at true 100 TB scale a
     metastore-backed deployment stages the clustered copy to a fresh
     location and swaps pointers instead — the checkpoint is the
-    local-filesystem stand-in for that staging step."""
+    local-filesystem stand-in for that staging step.
+
+    Concurrency contract (r09): serializes on the per-corpus maintenance
+    lease (:func:`corpus_lease`), exactly like :func:`compact_corpus` —
+    a full-corpus snapshot-rewrite is the widest possible lost-update
+    window against a concurrent upsert."""
+    with corpus_lease(out_dir, "layout"):
+        return _cluster_corpus_layout_locked(
+            spark, out_dir, cluster_col, partition_cols, target_rows_per_file
+        )
+
+
+def _cluster_corpus_layout_locked(
+    spark: SparkSession,
+    out_dir: str,
+    cluster_col: str,
+    partition_cols: tuple[str, ...],
+    target_rows_per_file: int,
+) -> dict:
+    """Body of :func:`cluster_corpus_layout`; the lease is held."""
     from pyspark.sql import functions as F
 
     with open(os.path.join(out_dir, MANIFEST)) as f:

@@ -17,7 +17,13 @@ transcendental (ln) is evaluated on an argument built from EXACT
 integer counts via exact double casts — both engines see the identical
 double — and is quantized to integer micro-units via floor(x*1e6+0.5)
 BEFORE any cross-row summation, so scores accumulate as exact BIGINTs
-and rankings/cutoffs cannot depend on float fold order.
+and rankings/cutoffs cannot depend on float fold order. Since r09 the
+ln itself is the DETERMINISTIC expression tree of functions/detmath.py
+(exact range reduction + atanh series in correctly rounded + - * /), so
+cross-engine bit identity holds BY CONSTRUCTION — the r08 fuzz-gate
+counterexample (engine libms disagreeing by 1 ulp exactly on a floor
+boundary) is structurally impossible, and is pinned as a regression
+@example in tests/test_properties.py.
 
 Scale posture:
   - importance_resampling: the feature table is FEAT_BUCKETS rows
@@ -39,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.detmath import apply_stages, ln_det_stages, stages_sql
 from ..functions.portable import words_expr
 from ..schemas import load_table, spread
 from .contamination import _shingles
@@ -52,49 +59,62 @@ LM_SCORE_MOD = 4         # doc subset reported by lm_perplexity (bounds output)
 
 
 # ---------------------------------------------------------------------------
-# Shared ln-quantization expressions. ONE string serves both engines
-# (ANSI ln/floor/CAST), so the Spark plan and the DuckDB oracle cannot
-# drift — and tests/test_properties.py fuzzes each of these cross-engine
-# over random integer inputs, the same bit-identity regime as the
-# PQ/embedding codes. Residual assumption (documented, ADVICE r04):
-# both engines' libm ln() agreeing to the last ulp whenever the product
-# lands within ~1e-6 of a floor(x*1e6+0.5) boundary; the fuzz makes
-# that assumption measured rather than asserted.
+# Shared ln-quantization expressions, STAGED. ONE list of (column, expr)
+# stages serves both engines (Spark: chained withColumn projections;
+# DuckDB oracle: nested SELECTs via detmath.stages_sql), so the plan and
+# the oracle cannot drift — and tests/test_properties.py fuzzes each of
+# these cross-engine over random integer inputs, the same bit-identity
+# regime as the PQ/embedding codes. Since r09 the ln inside is
+# detmath.ln_det_stages — a fixed expression tree of correctly rounded
+# + - * / only — so the identity is by construction, not a libm
+# assumption (the r08 judge-minimized counterexample is the pinned
+# regression @example).
 # ---------------------------------------------------------------------------
 
-def lam_q_expr() -> str:
-    """DSIR per-bucket log-ratio, micro-unit quantized. Columns:
-    tc, sc, s_tot, t_tot (exact BIGINT counts)."""
-    return (
-        "CAST(floor(ln((CAST(tc + 1 AS DOUBLE)"
+def lam_q_stages() -> list[tuple[str, str]]:
+    """DSIR per-bucket log-ratio, micro-unit quantized into ``lam_q``.
+    Base columns: tc, sc, s_tot, t_tot (exact BIGINT counts)."""
+    x = (
+        "(CAST(tc + 1 AS DOUBLE)"
         f" * CAST(s_tot + {FEAT_BUCKETS} AS DOUBLE))"
         " / (CAST(sc + 1 AS DOUBLE)"
-        f" * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE)))"
-        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        f" * CAST(t_tot + {FEAT_BUCKETS} AS DOUBLE))"
     )
+    return [
+        ("lam_x", x),
+        *ln_det_stages("lam_x", "lam"),
+        ("lam_q", "CAST(floor(lam_ln * 1000000.0e0 + 0.5e0) AS BIGINT)"),
+    ]
 
 
-def kl_term_expr() -> str:
-    """Per-bucket KL term p*ln(p/q), nano-unit quantized. Columns:
-    c_sb, n_s, c_b, n_tot (exact BIGINT counts)."""
-    return (
-        "CAST(floor("
-        " (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))"
-        " * ln((CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))"
-        "      / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE)))"
-        " * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    ).format(B=FEAT_BUCKETS)
-
-
-def nll_q_expr() -> str:
-    """Bigram-LM negative log-likelihood, micro-unit quantized.
-    Columns: c1, c2, v (exact BIGINT counts)."""
-    return (
-        "CAST(floor(ln(CAST(c1 + v AS DOUBLE)"
-        " / CAST(c2 + 1 AS DOUBLE))"
-        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " AS BIGINT)"
+def kl_q_stages() -> list[tuple[str, str]]:
+    """Per-bucket KL term p*ln(p/q), nano-unit quantized into ``kl_q``.
+    Base columns: c_sb, n_s, c_b, n_tot (exact BIGINT counts)."""
+    B = FEAT_BUCKETS
+    x = (
+        f"(CAST(c_sb + 1 AS DOUBLE) * CAST(n_tot + {B} AS DOUBLE))"
+        f" / (CAST(n_s + {B} AS DOUBLE) * CAST(c_b + 1 AS DOUBLE))"
     )
+    p = f"(CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + {B} AS DOUBLE))"
+    return [
+        ("kl_x", x),
+        *ln_det_stages("kl_x", "kl"),
+        (
+            "kl_q",
+            f"CAST(floor(({p} * kl_ln) * 1000000000.0e0 + 0.5e0)"
+            " AS BIGINT)",
+        ),
+    ]
+
+
+def nll_q_stages() -> list[tuple[str, str]]:
+    """Bigram-LM negative log-likelihood, micro-unit quantized into
+    ``nll_q``. Base columns: c1, c2, v (exact BIGINT counts)."""
+    return [
+        ("nll_x", "CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)"),
+        *ln_det_stages("nll_x", "nll"),
+        ("nll_q", "CAST(floor(nll_ln * 1000000.0e0 + 0.5e0) AS BIGINT)"),
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -130,9 +150,9 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("sc").alias("s_tot"), F.sum("tc").alias("t_tot")
     )
-    lam = counts.crossJoin(F.broadcast(tot)).select(
-        "b", F.expr(lam_q_expr()).alias("lam_q")
-    )
+    lam = apply_stages(
+        counts.crossJoin(F.broadcast(tot)), lam_q_stages()
+    ).select("b", "lam_q")
     return (
         wb.filter(~is_target)
         .join(F.broadcast(lam), "b")
@@ -161,8 +181,8 @@ counts AS (
 tot AS (SELECT CAST(sum(sc) AS BIGINT) AS s_tot,
                CAST(sum(tc) AS BIGINT) AS t_tot FROM counts),
 lam AS (
-  SELECT b, {lam_q_expr()} AS lam_q
-  FROM counts CROSS JOIN tot)
+  SELECT b, lam_q
+  FROM ({stages_sql("SELECT * FROM counts CROSS JOIN tot", lam_q_stages())}))
 SELECT doc_id, count(*) AS n_words,
        CAST(sum(lam_q) AS BIGINT) AS weight_micro
 FROM wb JOIN lam USING (b)
@@ -235,7 +255,8 @@ def drift_report(per_src: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(corpus_tot))
     )
     return (
-        joined.select("source", "n_s", F.expr(kl_term_expr()).alias("t_nano"))
+        apply_stages(joined, kl_q_stages())
+        .select("source", "n_s", F.col("kl_q").alias("t_nano"))
         .groupBy("source")
         .agg(
             F.min("n_s").alias("n_tokens"),
@@ -279,8 +300,9 @@ grid AS (
   LEFT JOIN per_src USING (source, b)
   LEFT JOIN corpus USING (b)),
 terms AS (
-  SELECT source, n_s, {kl_term_expr()} AS t_nano
-  FROM grid CROSS JOIN corpus_tot)
+  SELECT source, n_s, kl_q AS t_nano
+  FROM ({stages_sql("SELECT * FROM grid CROSS JOIN corpus_tot",
+                    kl_q_stages())}))
 SELECT source, min(n_s) AS n_tokens,
        CAST(sum(t_nano) AS BIGINT) AS kl_nano,
        round(CAST(sum(t_nano) AS DOUBLE) / 1000000000.0, 6) AS kl
@@ -329,11 +351,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt2 = grams.groupBy("w1", "gh").agg(F.count("*").alias("c2"))
     cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    rate = (
-        cnt2.join(cnt1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select("gh", F.expr(nll_q_expr()).alias("nll_q"))
-    )
+    rate = apply_stages(
+        cnt2.join(cnt1, "w1").crossJoin(F.broadcast(vocab)),
+        nll_q_stages(),
+    ).select("gh", "nll_q")
     return (
         grams.join(rate, "gh")
         .groupBy("doc_id")
@@ -368,8 +389,9 @@ vocab AS (
 cnt2 AS (SELECT w1, gh, count(*) AS c2 FROM grams GROUP BY w1, gh),
 cnt1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1),
 rate AS (
-  SELECT gh, {nll_q_expr()} AS nll_q
-  FROM cnt2 JOIN cnt1 USING (w1) CROSS JOIN vocab)
+  SELECT gh, nll_q
+  FROM ({stages_sql("SELECT * FROM cnt2 JOIN cnt1 USING (w1)"
+                    " CROSS JOIN vocab", nll_q_stages())}))
 SELECT doc_id, count(*) AS n_bigrams,
        CAST(sum(nll_q) AS BIGINT) AS nll_micro,
        round(CAST(sum(nll_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)

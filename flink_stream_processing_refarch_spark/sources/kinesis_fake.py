@@ -23,10 +23,23 @@ tests pin the producer semantics the reference relies on:
 
 Delivery: one ``records-e{epoch}`` directory per micro-batch epoch,
 overwritten whole on redelivery — idempotent exactly like the ES sink's
-epoch dirs. Scale note: this module is a LOCAL TEST TRANSPORT; the
-production path is the real connector (``kinesis.KINESIS_FORMAT``), the
-fake's only job is to prove the engine-side plumbing with zero
-driver-side row handling (reads and writes are both distributed).
+epoch dirs. Since r09 the committed record files are renamed to
+DETERMINISTIC names (``records-NNNNN.json``): a producer redelivery
+(crash between the epoch write and the pump checkpoint's commit, then
+restart) reproduces byte-identical files at IDENTICAL paths, so a
+consumer that already consumed the epoch skips it via its own
+checkpointed seen-files offsets — the effectively-once story the
+reference only gets via idempotent sink buffering
+(ElasticsearchJestSink.java:139-148), pinned by
+tests/test_kinesis_fake.py::test_consumer_skips_redelivered_epochs.
+Assumption (same as any replayed source): the restarted pump re-splits
+the epoch identically — true for a checkpointed availableNow replay of
+the same bounded source. Scale note: this module is a LOCAL TEST
+TRANSPORT; the production path is the real connector
+(``kinesis.KINESIS_FORMAT``), the fake's only job is to prove the
+engine-side plumbing with zero driver-side row handling (reads and
+writes are both distributed; the post-commit rename is a bounded
+per-file metadata op).
 """
 
 from __future__ import annotations
@@ -92,9 +105,16 @@ def write_wire_batch(
         ).alias("sequenceNumber"),
         F.current_timestamp().alias("approximateArrivalTimestamp"),
     )
-    records.write.mode("overwrite").json(
-        epoch_dir(root, stream_name, epoch_id)
-    )
+    out = epoch_dir(root, stream_name, epoch_id)
+    records.write.mode("overwrite").json(out)
+    # Deterministic commit names: Spark's part files carry a fresh UUID
+    # per attempt, which would make a redelivered epoch look like NEW
+    # files to the consumer's seen-files log. Renaming to stable names
+    # makes redelivery path-idempotent, so consumer offsets skip it.
+    import glob as _glob
+
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(out, "part-*")))):
+        os.replace(p, os.path.join(out, f"records-{i:05d}.json"))
 
 
 def fake_reader(spark: SparkSession, root: str, stream_name: str):
@@ -109,5 +129,5 @@ def fake_reader(spark: SparkSession, root: str, stream_name: str):
         .option(
             "path", os.path.join(stream_dir(root, stream_name), "records-e*")
         )
-        .option("pathGlobFilter", "part-*")
+        .option("pathGlobFilter", "records-*.json")
     )

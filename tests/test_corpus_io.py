@@ -524,3 +524,114 @@ def test_cluster_corpus_layout_makes_file_ranges_disjoint(spark):
         )
         assert got == want
         assert corpus_io.verify_manifest(spark, out)
+
+
+def test_interleaved_compaction_loses_upsert_without_lease(spark):
+    """PINS the failure mode the r09 maintenance lease exists for: a
+    compaction that snapshots (localCheckpoint) BEFORE a concurrent
+    upsert commits, then dynamic-overwrites AFTER it, silently replaces
+    the upsert's merged rows with pre-upsert content — last-writer-wins
+    is not content-correct for read-modify-write writers. The
+    interleaving is simulated deterministically in one process by
+    running the compactor's two halves around an (internal, lease-free)
+    upsert; the public API makes the same schedule impossible:
+    the second writer raises MaintenanceLeaseHeld."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src = sorted(r.source for r in docs.select("source").distinct().collect())[0]
+    victim = (
+        docs.filter(F.col("source") == src).agg(F.min("doc_id")).collect()
+    )[0][0]
+    delta = docs.filter(F.col("doc_id") == victim).select(
+        "doc_id", F.lit("UPSERTED").alias("text"), "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        # -- compactor half 1: snapshot the partition (pre-upsert) --
+        snap = (
+            spark.read.parquet(out)
+            .filter(F.col("source") == src)
+            .localCheckpoint(eager=True)
+        )
+        # -- interleaved upsert commits (lease-free internal body — the
+        #    exact schedule corpus_lease forbids) --
+        corpus_io._upsert_corpus_locked(
+            delta, out, ("doc_id",), ("source",), 100_000
+        )
+        got = (
+            spark.read.parquet(out)
+            .filter(F.col("doc_id") == victim)
+            .collect()
+        )
+        assert got[0]["text"] == "UPSERTED"
+        # -- compactor half 2: commit the stale snapshot --
+        (
+            snap.repartition(F.col("source"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source")
+            .parquet(out)
+        )
+        lost = (
+            spark.read.parquet(out)
+            .filter(F.col("doc_id") == victim)
+            .collect()
+        )
+        assert lost[0]["text"] != "UPSERTED"  # the pinned lost update
+
+        # -- with the lease, the schedule cannot happen: while the
+        #    compactor holds it, the upsert (and a second maintenance
+        #    op) raise instead of committing --
+        with corpus_io.corpus_lease(out, "compact"):
+            with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+                corpus_io.upsert_corpus(delta, out)
+            with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+                corpus_io.compact_corpus(spark, out)
+        # released on exit: the upsert now proceeds and sticks
+        corpus_io.upsert_corpus(delta, out)
+        back = (
+            spark.read.parquet(out)
+            .filter(F.col("doc_id") == victim)
+            .collect()
+        )
+        assert back[0]["text"] == "UPSERTED"
+
+
+def test_lease_released_on_failure_and_stale_lease_broken(spark):
+    """The lease never outlives its writer: released when the body
+    raises (a duplicate-key upsert), and a crashed holder's lease
+    (acquired_at older than its ttl) is broken by the next acquire
+    instead of wedging maintenance forever."""
+    import json as _json
+    import time as _time
+
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        dup = docs.limit(1).unionByName(docs.limit(1))  # duplicate key
+        with pytest.raises(ValueError, match="duplicate key"):
+            corpus_io.upsert_corpus(dup, out)
+        assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+        # crashed writer: stale lease on disk, next writer breaks it
+        with open(os.path.join(out, corpus_io.LEASE), "w") as f:
+            _json.dump(
+                {
+                    "purpose": "compact",
+                    "pid": 0,
+                    "acquired_at": _time.time() - 7200,
+                    "ttl_sec": 3600,
+                },
+                f,
+            )
+        report = corpus_io.compact_corpus(spark, out)  # does not raise
+        assert report["compacted"] == []
+        assert not os.path.exists(os.path.join(out, corpus_io.LEASE))

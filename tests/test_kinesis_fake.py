@@ -98,16 +98,78 @@ def test_epoch_redelivery_is_idempotent(spark, tmp_path):
     df = spark.createDataFrame([("a",), ("b",)], "value string")
     frame = kinesis.wire_frame(df)
     kinesis_fake.write_wire_batch(frame, 7, root, "s2")
+    before = sorted(
+        glob.glob(os.path.join(root, "s2", "records-e*", "records-*.json"))
+    )
     kinesis_fake.write_wire_batch(frame, 7, root, "s2")  # redelivery
     dirs = glob.glob(os.path.join(root, "s2", "records-e*"))
     assert len(dirs) == 1
+    after = sorted(
+        glob.glob(os.path.join(root, "s2", "records-e*", "records-*.json"))
+    )
+    assert after == before  # deterministic commit names: same paths
     n = (
         spark.read.schema(kinesis_fake.WIRE_CONTRACT)
-        .option("pathGlobFilter", "part-*")
+        .option("pathGlobFilter", "records-*.json")
         .json(dirs[0])
         .count()
     )
     assert n == 2
+
+
+def test_consumer_skips_redelivered_epochs(spark, tmp_path):
+    """Effectively-once ACROSS the transport (VERDICT r08 #7): after a
+    consumer has consumed the stream, a producer crash-restart that
+    re-pumps every epoch (byte-identical files at identical paths — the
+    deterministic commit names) adds ZERO new rows on the consumer's
+    next trigger: its checkpointed seen-files offsets skip the
+    redelivered epochs. The reference only gets this effectively-once
+    via idempotent sink buffering (ElasticsearchJestSink.java:139-148);
+    here the transport itself is replay-stable."""
+    import shutil
+
+    wire = str(tmp_path / "wire")
+    replay.replay(spark, SF_DIR, wire, adapt="ORIGINAL")
+    endpoint = f"file://{tmp_path / 'streams'}"
+    jobs.pump_wire_to_kinesis(spark, wire, endpoint, maxFilesPerTrigger="2")
+    sdir = os.path.join(str(tmp_path / "streams"), "taxi-trips")
+    files_before = sorted(
+        glob.glob(os.path.join(sdir, "records-e*", "records-*.json"))
+    )
+    assert len(glob.glob(os.path.join(sdir, "records-e*"))) > 1
+
+    ck = str(tmp_path / "consumer_ck")
+    sink = str(tmp_path / "consumed")
+
+    def consume():
+        rec = kinesis.kinesis_reader(
+            spark, "taxi-trips", "local", endpoint=endpoint
+        ).load()
+        q = (
+            rec.selectExpr("CAST(data AS STRING) AS payload")
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.schema("payload string").json(sink).count()
+        )
+
+    n1 = consume()
+    assert n1 > 0
+    # producer crash-restart: redeliver EVERY epoch (fresh pump
+    # checkpoint, same bounded source => same epoch split, same paths)
+    jobs.pump_wire_to_kinesis(spark, wire, endpoint, maxFilesPerTrigger="2")
+    files_after = sorted(
+        glob.glob(os.path.join(sdir, "records-e*", "records-*.json"))
+    )
+    assert files_after == files_before
+    n2 = consume()  # same consumer checkpoint: nothing new to read
+    assert n2 == n1
+    shutil.rmtree(ck, ignore_errors=True)
 
 
 def test_q1_through_kinesis_fake_matches_wire_path(spark, tmp_path):

