@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import words_expr
+from ..functions.detmath import apply_stages, ln_det_stages, stages_sql
 from ..schemas import load_table, persist_latest, spread
 
 CHUNK_WORDS = 40   # words per chunk (the "context window")
@@ -153,35 +154,41 @@ BM25_B = "0.75"
 BM25_TOP = 20
 
 
-def _bm25_term_micros(dialect: str) -> str:
-    """Per-(doc, term) BM25 contribution in integer MICRO-units, identical
-    operation order in both engines:
-    idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), with
-    idf = ln((N - df + 0.5) / (df + 0.5) + 1) — the standard "plus one"
-    form that keeps idf positive for terms in most documents. ln() is not
-    correctly-rounded IEEE, so the raw double carries a 1-ulp cross-engine
-    exposure; quantizing each TERM's score to BIGINT micro-units right
-    here (floor(x*1e6 + 0.5), the mixture_weights discipline) confines
-    that exposure to the quantization boundary and makes everything
-    downstream — the per-doc sum, the ranking, and the top-20 cutoff —
-    exact integer arithmetic that cannot reorder or flip membership on
-    the last ulp.
-    """
+def bm25_term_stages() -> list[tuple[str, str]]:
+    """Per-(doc, term) BM25 contribution in integer MICRO-units as a
+    STAGE LIST (detmath discipline, r09), identical expression text in
+    both engines: idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf = ln((N - df + 0.5) / (df + 0.5) + 1) — the standard "plus
+    one" form that keeps idf positive for terms in most documents.
+
+    The ln is ``detmath.ln_det_stages`` (correctly rounded + - * / only),
+    so the quantized term score — and with it the per-doc sum, the
+    ranking, and the top-k cutoff, all exact integer arithmetic — is
+    bit-identical across engines BY CONSTRUCTION. (Until r09 this
+    quantized a libm ln, which carries a 1-ulp cross-engine exposure
+    exactly at the floor boundary — the same class the r08 fuzz gate
+    caught in kl_term; migrated with it.) Base columns consumed:
+    tf, dl, df, n_docs, avgdl; final column: ``ts_u``."""
     k1 = f"CAST({BM25_K1} AS DOUBLE)"
     b = f"CAST({BM25_B} AS DOUBLE)"
-    idf = (
-        f"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    idf_x = (
+        "(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)"
     )
     raw = (
-        f"({idf} * (CAST(tf AS DOUBLE) * ({k1} + CAST(1.0 AS DOUBLE)))"
+        f"(idf_ln * (CAST(tf AS DOUBLE) * ({k1} + CAST(1.0 AS DOUBLE)))"
         f" / (CAST(tf AS DOUBLE) + {k1} * (CAST(1.0 AS DOUBLE) - {b}"
         f" + {b} * CAST(dl AS DOUBLE) / avgdl)))"
     )
-    return (
-        f"CAST(floor({raw} * CAST(1000000.0 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    )
+    return [
+        ("idf_x", idf_x),
+        *ln_det_stages("idf_x", "idf"),
+        (
+            "ts_u",
+            f"CAST(floor({raw} * CAST(1000000.0 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)",
+        ),
+    ]
 
 
 def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +198,7 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the (doc, term) aggregate, so the exchange carries only
     matching-term rows — O(matching tokens), never text. doc-frequency
     (|terms| rows) and corpus stats (1 row) are broadcast back. Per-term
-    scores are quantized to BIGINT micro-units (``_bm25_term_micros``),
+    scores are quantized to BIGINT micro-units (``bm25_term_stages``),
     so the per-doc total is a plain integer SUM — order-independent and
     map-side combinable, no array fold needed — and the top-20 cutoff
     ranks on exact integers with doc_id as the tiebreak.
@@ -212,13 +219,10 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
-        )
-    )
+    scored = apply_stages(
+        tf.join(F.broadcast(dfreq), "word").crossJoin(F.broadcast(stats)),
+        bm25_term_stages(),
+    ).select("doc_id", "word", "ts_u")
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -240,7 +244,10 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_sql() -> str:
     w = words_expr("text", "duckdb")
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    score = _bm25_term_micros("duckdb")
+    staged = stages_sql(
+        "SELECT * FROM tf JOIN dfreq USING (word) CROSS JOIN st",
+        bm25_term_stages(),
+    )
     return f"""
 WITH d AS (SELECT doc_id, len({w}) AS dl, {w} AS words FROM documents),
 tok AS (SELECT doc_id, dl, unnest(words) AS word FROM d),
@@ -249,8 +256,7 @@ tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
 dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
 scored AS (
-  SELECT tf.doc_id, tf.word, {score} AS ts_u
-  FROM tf JOIN dfreq USING (word) CROSS JOIN st),
+  SELECT doc_id, word, ts_u FROM ({staged})),
 ranked AS (
   SELECT doc_id, CAST(sum(ts_u) AS BIGINT) AS bm25_micro,
          count(*) AS n_terms
@@ -301,7 +307,7 @@ def q_bm25_topk_batch(
     so the token explode ships only matching-term rows into the (doc,
     term, tf) combine, once to fan scored (doc, term) rows out to their
     queries. df/corpus stats broadcast back as in bm25_score. Per-term
-    scores are exact BIGINT micro-units (shared ``_bm25_term_micros``),
+    scores are exact BIGINT micro-units (shared ``bm25_term_stages``),
     so per-(query, doc) totals and the top-k cutoff are exact integer
     arithmetic; the final rank is a window over query_id — shuffle keys
     are (query_id, doc_id), never text."""
@@ -400,7 +406,7 @@ def bm25_topk_from_queries(
             F.count("*").alias("n_docs"),
             F.avg(F.col("dl").cast("double")).alias("avgdl"),
         )
-    scored = (
+    scored = apply_stages(
         tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
         .filter(
@@ -408,11 +414,9 @@ def bm25_topk_from_queries(
                 f"NOT (df >= {BM25_DF_MIN}"
                 f" AND df * 100 >= n_docs * {COMMON_DF_PCT})"
             )
-        )
-        .select(
-            "doc_id", "word", F.expr(_bm25_term_micros("spark")).alias("ts_u")
-        )
-    )
+        ),
+        bm25_term_stages(),
+    ).select("doc_id", "word", "ts_u")
     pairs = (
         scored.join(F.broadcast(queries), "word")
         .groupBy("query_id", "doc_id")
@@ -567,7 +571,12 @@ FROM q LEFT JOIN hits h ON q.query_id = h.query_id
 
 def _bm25_topk_batch_sql() -> str:
     w = words_expr("text", "duckdb")
-    score = _bm25_term_micros("duckdb")
+    staged = stages_sql(
+        "SELECT * FROM tf JOIN dfreq USING (word) CROSS JOIN st"
+        f" WHERE NOT (df >= {BM25_DF_MIN}"
+        f" AND df * 100 >= n_docs * {COMMON_DF_PCT})",
+        bm25_term_stages(),
+    )
     qend = BM25B_QSTART + BM25B_QWORDS - 1
     return f"""
 WITH d AS (SELECT doc_id, len(words) AS dl, words
@@ -581,9 +590,7 @@ tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
 dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
 scored AS (
-  SELECT tf.doc_id, tf.word, {score} AS ts_u
-  FROM tf JOIN dfreq USING (word) CROSS JOIN st
-  WHERE NOT (df >= {BM25_DF_MIN} AND df * 100 >= n_docs * {COMMON_DF_PCT})),
+  SELECT doc_id, word, ts_u FROM ({staged})),
 pairs AS (
   SELECT q.query_id, s.doc_id, CAST(sum(ts_u) AS BIGINT) AS bm25_micro,
          count(*) AS n_terms

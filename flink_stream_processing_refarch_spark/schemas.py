@@ -307,6 +307,11 @@ def evict_stale_stamp(
 #: tag -> (live persisted DataFrame, semantic hash) for that builder site
 _LIVE_PERSISTS: dict = {}
 
+#: lifecycle counters for the persist audit (tools/persist_audit.py):
+#: register = new generation persisted, reuse = identical-plan live hit,
+#: supersede = previous generation unpersisted (the eviction).
+PERSIST_STATS = {"register": 0, "reuse": 0, "supersede": 0}
+
 
 def _leaf_file_stamps(df) -> tuple:
     """(path, mtime_ns) of every file-relation leaf in the ANALYZED
@@ -398,12 +403,15 @@ def persist_latest(df, tag: str):
             lvl = odf.storageLevel
             if not (lvl.useMemory or lvl.useDisk):
                 odf.persist()
+            PERSIST_STATS["reuse"] += 1
             return odf
         try:
             odf.unpersist(False)
         except Exception:  # pragma: no cover - dead session handles
             pass
+        PERSIST_STATS["supersede"] += 1
     _LIVE_PERSISTS[tag] = (df.persist(), h)
+    PERSIST_STATS["register"] += 1
     return df
 
 

@@ -513,18 +513,20 @@ def test_ann_pq_on_table_smaller_than_codebook(spark, tmp_path):
 )
 @settings(max_examples=15, deadline=None)
 def test_bm25_term_micros_cross_engine_bit_identical(spark, rows):
-    """The shared BM25 per-term micro-unit expression (bm25_score AND
-    bm25_topk_batch rank on it) has the same ln() 1-ulp exposure as the
-    selection trio — fuzz the identical expression through both engines
-    on the same integer-derived inputs (avgdl is a double, but derived
-    as int/int so both engines construct the identical IEEE value)."""
+    """The shared BM25 per-term micro-unit stages (bm25_score AND
+    bm25_topk_batch rank on the result) had the same ln() 1-ulp
+    exposure as the selection trio; since r09 both walk the detmath
+    staged ln, so this fuzz checks a by-construction property — through
+    the REAL stage application on both engines (avgdl is a double, but
+    derived as int/int so both engines construct the identical IEEE
+    value)."""
     import duckdb as ddb
     import pyarrow as pa
 
+    from flink_stream_processing_refarch_spark.functions import detmath
     from flink_stream_processing_refarch_spark.operators import retrieval
 
-    expr = retrieval._bm25_term_micros("spark")
-    assert expr == retrieval._bm25_term_micros("duckdb")  # one shared string
+    stages = retrieval.bm25_term_stages()
     data = {
         "tf": [r[0] for r in rows],
         "df": [r[1] for r in rows],
@@ -536,9 +538,10 @@ def test_bm25_term_micros_cross_engine_bit_identical(spark, rows):
     sdf = spark.createDataFrame(
         list(zip(*[data[c] for c in cols])), schema=cols
     )
-    from pyspark.sql import functions as F
-
-    got = [r[0] for r in sdf.select(F.expr(expr)).collect()]
+    got = [
+        r[0]
+        for r in detmath.apply_stages(sdf, stages).select("ts_u").collect()
+    ]
     con = ddb.connect()
     con.register(
         "t",
@@ -552,7 +555,13 @@ def test_bm25_term_micros_cross_engine_bit_identical(spark, rows):
             }
         ),
     )
-    expect = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    expect = [
+        r[0]
+        for r in con.execute(
+            "SELECT ts_u FROM"
+            f" ({detmath.stages_sql('SELECT * FROM t', stages)})"
+        ).fetchall()
+    ]
     assert got == expect
 
 

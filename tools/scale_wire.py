@@ -1,0 +1,181 @@
+"""Wire-loop scaling decade (VERDICT r08 #4): the S7->S1 Kinesis
+transport fake end-to-end at sf0.1 -> sf1.
+
+`q1_kinesis_wire` had only run at driver scale; the transport writes one
+record dir per PutRecords epoch and the consumer re-lists the
+``records-e*`` glob every trigger, so listing cost grows with epoch
+count. This measures each leg a decade up, on the same composite corpus
+as the taxi decade (tools/scale_taxi.build_composite — 10 time-shifted
+replicas of the driver's sf0.1 events):
+
+  replay  : dataset -> wire JSON chunks (the producer's serialization)
+  pump    : wire chunks -> fake PutRecords epochs (kinesis_writer,
+            maxFilesPerTrigger=10, so epoch count grows ~10x per decade
+            exactly like a longer-running producer)
+  consume : kinesis_reader -> parse_wire_bytes -> wire_trips -> Q1
+            (the registry plan), vs the DIRECT wire-file path
+            (q1_from_wire) over the same chunks as the control
+
+Pass criterion (the VERDICT's "done"): per-decade growth of the
+wire-loop legs <= the direct-source path's growth, and the Q1 result via
+the fake is row-identical to the direct path at both scales.
+
+Run: python tools/scale_wire.py [SCALE REPLICAS]   (appends SCALING.md)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SCALE = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+WORK = f"/dev/shm/graft_wire_{SCALE}"
+PUMP_FILES_PER_EPOCH = "10"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def run_leg(label: str, fn) -> tuple[float, object]:
+    t0 = time.time()
+    out = fn()
+    w = time.time() - t0
+    print(f"  {label}: {w:.2f}s", flush=True)
+    return w, out
+
+
+def main() -> None:
+    from scale_taxi import build_composite
+
+    from flink_stream_processing_refarch_spark.sources import kinesis
+    from flink_stream_processing_refarch_spark.streaming import jobs, replay
+
+    comp = build_composite()
+    spark = get_spark("scale_wire")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # warm pass at sf0.001: absorb session/JIT/codegen one-time costs so
+    # the sf0.1 leg (which runs first) isn't charged for them
+    wbase = os.path.join(WORK, "warm")
+    shutil.rmtree(wbase, ignore_errors=True)
+    os.makedirs(wbase)
+    wwire = os.path.join(wbase, "wire")
+    wend = f"file://{os.path.join(wbase, 'streams')}"
+    replay.replay(spark, "/root/testdata/sf0.001", wwire, adapt="ORIGINAL")
+    jobs.pump_wire_to_kinesis(
+        spark, wwire, wend, maxFilesPerTrigger=PUMP_FILES_PER_EPOCH
+    )
+    wrec = kinesis.kinesis_reader(
+        spark, "taxi-trips", "local", endpoint=wend
+    ).load()
+    jobs._run_to_memory(
+        jobs.q1_agg_from_trips(jobs.wire_trips(kinesis.parse_wire_bytes(wrec)))
+    ).count()
+    jobs.q1_from_wire(spark, wwire).count()
+    shutil.rmtree(wbase, ignore_errors=True)
+    print("[warm pass done]", flush=True)
+    res: dict[str, dict[str, float]] = {}
+    meta: dict[str, dict[str, int]] = {}
+    for label, sf_dir in (("sf0.1", SF01), (SCALE, comp)):
+        print(f"[{label}]", flush=True)
+        base = os.path.join(WORK, label)
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        wire = os.path.join(base, "wire")
+        endpoint = f"file://{os.path.join(base, 'streams')}"
+        r = res.setdefault(label, {})
+        m = meta.setdefault(label, {})
+
+        r["replay"], m["events"] = run_leg(
+            "replay", lambda: replay.replay(spark, sf_dir, wire, adapt="ORIGINAL")
+        )
+        m["chunks"] = len(glob.glob(os.path.join(wire, "*")))
+
+        r["pump"], _ = run_leg(
+            "pump",
+            lambda: jobs.pump_wire_to_kinesis(
+                spark, wire, endpoint, maxFilesPerTrigger=PUMP_FILES_PER_EPOCH
+            ),
+        )
+        sdir = os.path.join(base, "streams", "taxi-trips")
+        m["epochs"] = len(glob.glob(os.path.join(sdir, "records-e*")))
+        m["record_files"] = len(
+            glob.glob(os.path.join(sdir, "records-e*", "records-*.json"))
+        )
+
+        def consume():
+            records = kinesis.kinesis_reader(
+                spark, "taxi-trips", "local", endpoint=endpoint
+            ).load()
+            trips = jobs.wire_trips(kinesis.parse_wire_bytes(records))
+            return _rows(jobs._run_to_memory(jobs.q1_agg_from_trips(trips)))
+
+        r["consume"], via_fake = run_leg("consume", consume)
+        r["direct"], direct = run_leg(
+            "direct", lambda: _rows(jobs.q1_from_wire(spark, wire))
+        )
+        assert via_fake == direct, (
+            f"{label}: wire-fake Q1 diverged from the direct path"
+        )
+        m["q1_rows"] = len(direct)
+        print(f"  chunks={m['chunks']} epochs={m['epochs']}"
+              f" files={m['record_files']} q1_rows={m['q1_rows']}",
+              flush=True)
+
+    g = {
+        k: res[SCALE][k] / res["sf0.1"][k]
+        for k in ("replay", "pump", "consume", "direct")
+    }
+    loop0 = sum(res["sf0.1"][k] for k in ("replay", "pump", "consume"))
+    loop1 = sum(res[SCALE][k] for k in ("replay", "pump", "consume"))
+    lines = [
+        "",
+        f"## Wire-loop decade (sf0.1 -> {SCALE}) — the S7->S1 transport fake",
+        "",
+        f"Generated by `tools/scale_wire.py {SCALE} {REPLICAS}` on the same",
+        "composite corpus as the taxi decade. The pump cuts one PutRecords",
+        f"epoch per {PUMP_FILES_PER_EPOCH} wire chunks"
+        " (maxFilesPerTrigger), so epoch count — and the",
+        "consumer's per-trigger `records-e*` listing — grows with the decade",
+        "exactly like a long-running producer's would. Q1 via the fake is",
+        "asserted row-identical to the direct wire-file path at both scales.",
+        "",
+        f"| leg | sf0.1 wall | {SCALE} wall | growth ({REPLICAS}x data) |",
+        "|---|---|---|---|",
+    ]
+    for k in ("replay", "pump", "consume", "direct"):
+        lines.append(
+            f"| {k} | {res['sf0.1'][k]:.2f}s | {res[SCALE][k]:.2f}s |"
+            f" {g[k]:.1f}x |"
+        )
+    lines += [
+        "",
+        f"Scale meta: chunks {meta['sf0.1']['chunks']} ->"
+        f" {meta[SCALE]['chunks']}, epochs {meta['sf0.1']['epochs']} ->"
+        f" {meta[SCALE]['epochs']}, record files"
+        f" {meta['sf0.1']['record_files']} ->"
+        f" {meta[SCALE]['record_files']}, events"
+        f" {meta['sf0.1']['events']:,} -> {meta[SCALE]['events']:,},"
+        f" Q1 rows {meta['sf0.1']['q1_rows']} -> {meta[SCALE]['q1_rows']}.",
+        f"Whole loop {loop0:.2f}s -> {loop1:.2f}s"
+        f" ({loop1 / loop0:.1f}x); consume growth {g['consume']:.1f}x vs"
+        f" direct-path growth {g['direct']:.1f}x.",
+    ]
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended wire-loop decade to SCALING.md")
+    print({k: {kk: round(vv, 2) for kk, vv in v.items()} for k, v in res.items()})
+
+
+if __name__ == "__main__":
+    main()
