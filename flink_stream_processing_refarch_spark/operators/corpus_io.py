@@ -134,19 +134,27 @@ def write_partitioned_corpus(
 ) -> dict:
     """Write ``df`` partitioned by ``partition_cols`` with dynamic
     partition overwrite, then read back the committed files and write a
-    manifest of per-partition row counts. Returns the manifest dict."""
+    manifest of per-partition row counts. Returns the manifest dict.
+
+    Serializes on the per-corpus maintenance lease like every other
+    writer (r09): a (re)build racing a concurrent upsert on the same
+    directory is the same read-modify-write lost-update class the lease
+    exists for — the build's read-back manifest would bless whichever
+    writer's partitions landed last."""
     spark = df.sparkSession
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(out_dir)
-    )
-    manifest = _manifest_from_files(spark, out_dir, partition_cols)
-    with open(os.path.join(out_dir, MANIFEST), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    return manifest
+    os.makedirs(out_dir, exist_ok=True)
+    with corpus_lease(out_dir, "build"):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(*partition_cols)
+            .parquet(out_dir)
+        )
+        manifest = _manifest_from_files(spark, out_dir, partition_cols)
+        with open(os.path.join(out_dir, MANIFEST), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        return manifest
 
 
 def _manifest_from_files(

@@ -591,6 +591,8 @@ def test_interleaved_compaction_loses_upsert_without_lease(spark):
                 corpus_io.upsert_corpus(delta, out)
             with pytest.raises(corpus_io.MaintenanceLeaseHeld):
                 corpus_io.compact_corpus(spark, out)
+            with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+                corpus_io.write_partitioned_corpus(docs, out)  # rebuild too
         # released on exit: the upsert now proceeds and sticks
         corpus_io.upsert_corpus(delta, out)
         back = (
