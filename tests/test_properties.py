@@ -397,6 +397,11 @@ _counts = st.integers(min_value=0, max_value=10**9)
     )
 )
 @example(rows=[(424080447, 111, 29683, 46597)])  # r08 judge counterexample
+# detmath boundary pins: (1,0,0,0) puts lam's argument at exactly 2.0
+# (the exponent-cascade comparison boundary) and nll's at exactly 1.5
+# (the secondary-reduction threshold); (0,0,0,0) puts kl's at exactly
+# 1.0 (ln = 0, the domain floor after the +1/+B smoothing)
+@example(rows=[(1, 0, 0, 0), (0, 0, 0, 0), (2, 1, 1, 0)])
 @settings(max_examples=25, deadline=None)
 def test_ln_quantized_exprs_cross_engine_bit_identical(spark, rows):
     import duckdb as ddb
