@@ -97,3 +97,20 @@ def test_make_ledger_covers_every_registry_entry(tmp_path, monkeypatch):
     text = open("/root/repo/LEDGER.md").read()
     for name in entry.queries():
         assert f"| {name} |" in text, name
+
+
+def test_float_audit_no_raw_transcendentals_in_oracles():
+    """The determinism tripwire (tools/float_audit.py): no oracle-paired
+    expression may call a non-correctly-rounded function (ln/exp/pow/...)
+    outside the explicit allowlist — those must go through
+    functions/detmath.py, or the driver hash can flip on a cross-engine
+    ulp at a quantization boundary (the r08 fuzz counterexample). The
+    allowlist must also stay live: a stale row (entry no longer hitting)
+    fails too, so the r10 tfidf migration cannot silently leave its
+    exception behind."""
+    from tools import float_audit
+
+    hits = float_audit.audit()
+    unexpected = {n: f for n, f in hits.items() if n not in float_audit.ALLOW}
+    assert not unexpected, unexpected
+    assert all(n in hits for n in float_audit.ALLOW), "stale allowlist row"
