@@ -51,6 +51,20 @@ linear); the DuckDB oracle nests them as ``SELECT *, expr AS name``
 subqueries. Domain: x in [2^-64, 2^64), x > 0 — callers' arguments are
 ratios of add-smoothed exact integer counts, always inside.
 
+Domain at 100 TB (why [2^-64, 2^64) is ample, not just locally true):
+each caller's argument has one factor bounded by <= 1 via an operator
+invariant — KL: (c_sb+1)/(n_s+B) <= ~1 since a source's bucket count
+never exceeds the source total; DSIR lambda: (tc+1)/(t_tot+B) <= ~1
+likewise — leaving the other factor bounded by the smoothed corpus
+total (n_tot+B, s_tot+B, c1+v <= total bigrams + vocab). A 100 TB
+corpus is ~1e13-1e14 tokens, so arguments live in ~[1e-14, 1e14],
+five orders inside both domain edges (2^-64 ~ 5.4e-20, 2^64 ~ 1.8e19);
+the domain runs out only past ~1e19 tokens — a million times today's
+largest corpora. Outside the domain the result is still bit-identical
+across engines (same expression tree), only no longer a good ln
+approximation. Pinned by
+tests/test_properties.py::test_ln_det_at_100tb_scale_counts.
+
 The reference engine has no counterpart (its two queries are
 count/sum/avg only, flink-taxi-stream-processor/.../ProcessTaxiStream.java:96-136);
 this backs the LLM-pipeline selection operators (DSIR / KL drift /

@@ -639,3 +639,54 @@ def test_word_bucket_pipeline_cross_engine_on_arbitrary_text(spark, texts):
         ).fetchall()
     )
     assert got == expect
+
+
+def test_ln_det_at_100tb_scale_counts(spark):
+    """The detmath domain claim at 100 TB: with the operators' own
+    invariants enforced (a source's bucket count never exceeds its
+    total, a bucket's count never exceeds the corpus), counts at
+    1e13-1e14 — a 100 TB corpus — keep every ln argument well inside
+    [2^-64, 2^64), and the quantized scores stay (a) bit-identical
+    across engines and (b) accurate: the staged ln is within 1e-12
+    relative of math.log at the extreme arguments those counts
+    produce."""
+    import math
+
+    import duckdb as ddb
+    import pyarrow as pa
+
+    from flink_stream_processing_refarch_spark.functions import detmath
+    from flink_stream_processing_refarch_spark.operators import selection
+
+    T = 10**14  # ~100 TB of tokens
+    # (c_sb, n_s, c_b, n_tot) rows at the domain's extremes under the
+    # invariants c_sb <= n_s <= n_tot and c_sb <= c_b <= n_tot
+    kl_rows = [
+        (0, 110, 0, T),            # rare bucket, tiny source, huge corpus
+        (110, 110, 110, T),        # source-exclusive bucket -> max ratio
+        (0, T, T - 1, T),          # big source missing a stopword bucket
+        (T // 256, T, T // 256, T),  # uniform
+        (1, 1, 1, T),              # 1-token source
+    ]
+    data = {
+        c: [r[i] for r in kl_rows]
+        for i, c in enumerate(("c_sb", "n_s", "c_b", "n_tot"))
+    }
+    sdf = spark.createDataFrame(
+        list(zip(*[data[c] for c in data])), schema=list(data)
+    )
+    staged = detmath.apply_stages(sdf, selection.kl_q_stages())
+    got = staged.select("kl_x", "kl_ln", "kl_q").collect()
+    con = ddb.connect()
+    con.register(
+        "t", pa.table({c: pa.array(v, type=pa.int64()) for c, v in data.items()})
+    )
+    exp = con.execute(
+        "SELECT kl_x, kl_ln, kl_q FROM"
+        f" ({detmath.stages_sql('SELECT * FROM t', selection.kl_q_stages())})"
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    for r in got:
+        assert 2.0 ** -64 <= r["kl_x"] < 2.0 ** 64  # domain holds
+        ref = math.log(r["kl_x"])
+        assert abs(r["kl_ln"] - ref) <= 1e-12 * max(abs(ref), 1.0)
