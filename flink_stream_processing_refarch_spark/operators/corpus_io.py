@@ -71,7 +71,18 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
     primitive). A lease older than ``ttl_sec`` is presumed crashed and
     broken on the next acquire. Holding is per-corpus, not global:
     writers on different corpora never contend, and READERS are never
-    blocked (they see the last committed files either way)."""
+    blocked (they see the last committed files either way).
+
+    Release is TOKEN-CHECKED: a holder that outlived its TTL may have
+    had its lease broken and re-acquired by another writer, and must
+    not delete THAT writer's lease on exit — each acquire stamps a
+    unique token and the release unlinks only if the on-disk token is
+    still its own (pinned by
+    tests/test_corpus_io.py::test_expired_holder_does_not_release_successors_lease).
+    Residual (documented, inherent to delete-based locks): the
+    read-then-unlink in release is not atomic, so a break-and-acquire
+    landing inside that microsecond window could still be deleted — a
+    real deployment's conditional-delete primitive closes it."""
     path = os.path.join(out_dir, LEASE)
     try:  # break a crashed writer's stale lease
         with open(path) as f:
@@ -96,6 +107,7 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
             f"{held_raw.strip() or '<empty>'} — serialize writers, or "
             "break the lease if the holder crashed"
         ) from None
+    token = f"{os.getpid()}-{time.time_ns()}"
     with os.fdopen(fd, "w") as f:
         json.dump(
             {
@@ -103,14 +115,21 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
                 "pid": os.getpid(),
                 "acquired_at": time.time(),
                 "ttl_sec": ttl_sec,
+                "token": token,
             },
             f,
         )
     try:
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        # token-checked release: only our own generation is removed
+        try:
+            with open(path) as f:
+                cur = json.load(f)
+            if cur.get("token") == token:
+                os.unlink(path)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            pass
 
 #: Spark's on-disk directory name for a NULL partition value. Manifest
 #: keys must use the same token or null-keyed partitions stop matching

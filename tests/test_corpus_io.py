@@ -637,3 +637,33 @@ def test_lease_released_on_failure_and_stale_lease_broken(spark):
         report = corpus_io.compact_corpus(spark, out)  # does not raise
         assert report["compacted"] == []
         assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+
+
+def test_expired_holder_does_not_release_successors_lease(spark):
+    """Token-checked release: a holder whose lease expired (TTL) and was
+    broken + re-acquired by another writer must NOT delete the new
+    holder's lease on exit — the classic delete-based-lock bug. The
+    successor's lease survives the expired holder's exit and keeps
+    excluding writers until the successor itself releases."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        lease_path = os.path.join(out, corpus_io.LEASE)
+
+        slow = corpus_io.corpus_lease(out, "slow", ttl_sec=0.0)
+        slow.__enter__()  # immediately stale: any successor may break it
+        fast = corpus_io.corpus_lease(out, "fast")
+        fast.__enter__()  # breaks the stale lease, acquires its own
+        try:
+            slow.__exit__(None, None, None)  # expired holder exits...
+            assert os.path.exists(lease_path)  # ...successor's lease intact
+            with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+                corpus_io.compact_corpus(spark, out)
+        finally:
+            fast.__exit__(None, None, None)
+        assert not os.path.exists(lease_path)  # successor's own release
