@@ -64,51 +64,67 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
     here because the writers are not blind overwrites — they each
     promise to preserve the other's content.
 
-    Mechanics: ``O_CREAT | O_EXCL`` file creation inside the corpus
-    directory — atomic on a POSIX filesystem, the local stand-in for an
-    object store's conditional PUT / a metastore's transactional commit
-    (which is what a 100 TB deployment uses; same protocol, different
-    primitive). A lease older than ``ttl_sec`` is presumed crashed and
-    broken on the next acquire. Holding is per-corpus, not global:
-    writers on different corpora never contend, and READERS are never
-    blocked (they see the last committed files either way).
+    Mechanics (hardened after an r09 review found the naive
+    O_EXCL-then-write version acquirable over a mid-dump lease):
 
-    Release is TOKEN-CHECKED: a holder that outlived its TTL may have
-    had its lease broken and re-acquired by another writer, and must
-    not delete THAT writer's lease on exit — each acquire stamps a
-    unique token and the release unlinks only if the on-disk token is
-    still its own (pinned by
-    tests/test_corpus_io.py::test_expired_holder_does_not_release_successors_lease).
-    Residual (documented, inherent to delete-based locks): the
-    read-then-unlink in release is not atomic, so a break-and-acquire
-    landing inside that microsecond window could still be deleted — a
-    real deployment's conditional-delete primitive closes it."""
+    - CREATE is atomic **with content**: the lease json is fully
+      written and fsynced to a private temp name, then hard-linked to
+      the lease name — ``os.link`` fails if a lease exists, and the
+      published file is never observably empty or partial, so a
+      concurrent acquirer can never misread a live lease as a crashed
+      one. The local stand-in for an object store's conditional PUT /
+      a metastore's transactional commit (what a 100 TB deployment
+      uses; same protocol, different primitive).
+    - BREAK (a lease older than ``ttl_sec``, presumed crashed) is a
+      rename-aside: ``os.rename`` to a breaker-unique name — atomic,
+      exactly one concurrent breaker wins — then unlink of the aside;
+      never a blind unlink of the shared name. An UNREADABLE lease
+      (impossible via this module's writer; external corruption) is
+      broken only when its mtime is also past the TTL.
+    - RELEASE is token-checked: each acquire stamps a unique token and
+      the exit unlinks only if the on-disk token is still its own, so
+      a holder that outlived its TTL cannot delete its successor's
+      lease (tests: test_expired_holder_does_not_release_successors_lease).
+    - COMMIT FENCE: the locked bodies call :func:`check_lease` with
+      the yielded token immediately before every destructive step
+      (the dynamic-overwrite write, the manifest dump) — a slow but
+      alive holder whose lease was TTL-broken ABORTS instead of
+      committing a stale snapshot over its successor's work.
+
+    Residuals (documented, inherent to filesystem locks — a real
+    deployment's storage-side conditional ops close both): release's
+    read-then-unlink and the fence-then-write each leave a window the
+    size of one small operation; and ``ttl_sec`` must exceed the
+    longest expected maintenance job, or the fence turns honest
+    slowness into honest aborts (never into lost updates).
+
+    Yields the fence token. Holding is per-corpus, not global: writers
+    on different corpora never contend, and READERS are never blocked
+    (they see the last committed files either way)."""
     path = os.path.join(out_dir, LEASE)
-    try:  # break a crashed writer's stale lease
+    token = f"{os.getpid()}-{time.time_ns()}"
+    stale = False
+    try:
         with open(path) as f:
             held = json.load(f)
-        if time.time() - float(held.get("acquired_at", 0)) > float(
+        stale = time.time() - float(held.get("acquired_at", 0)) > float(
             held.get("ttl_sec", ttl_sec)
-        ):
-            os.unlink(path)
+        )
     except FileNotFoundError:
         pass
     except (json.JSONDecodeError, ValueError, OSError):
-        # unreadable lease file: treat as stale (crash mid-dump)
+        # unreadable: link-based creation never publishes a partial
+        # lease, so this is external corruption — break only if also
+        # time-stale, never because a writer might be mid-dump
         with contextlib.suppress(OSError):
-            os.unlink(path)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        with open(path) as f:
-            held_raw = f.read()
-        raise MaintenanceLeaseHeld(
-            f"corpus at {out_dir} has an active maintenance lease: "
-            f"{held_raw.strip() or '<empty>'} — serialize writers, or "
-            "break the lease if the holder crashed"
-        ) from None
-    token = f"{os.getpid()}-{time.time_ns()}"
-    with os.fdopen(fd, "w") as f:
+            stale = time.time() - os.path.getmtime(path) > ttl_sec
+    if stale:
+        aside = f"{path}.broken.{token}"
+        with contextlib.suppress(FileNotFoundError, OSError):
+            os.rename(path, aside)  # atomic: one breaker wins
+            os.unlink(aside)
+    tmp = f"{path}.{token}.tmp"
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "purpose": purpose,
@@ -119,8 +135,25 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
             },
             f,
         )
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        yield
+        os.link(tmp, path)  # atomic create WITH complete content
+    except FileExistsError:
+        os.unlink(tmp)
+        try:
+            with open(path) as f:
+                held_raw = f.read()
+        except OSError:
+            held_raw = ""
+        raise MaintenanceLeaseHeld(
+            f"corpus at {out_dir} has an active maintenance lease: "
+            f"{held_raw.strip() or '<unreadable>'} — serialize writers, "
+            "or break the lease if the holder crashed"
+        ) from None
+    os.unlink(tmp)
+    try:
+        yield token
     finally:
         # token-checked release: only our own generation is removed
         try:
@@ -130,6 +163,25 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
                 os.unlink(path)
         except (FileNotFoundError, json.JSONDecodeError, OSError):
             pass
+
+
+def check_lease(out_dir: str, token: str) -> None:
+    """Commit fence: raise unless ``token``'s lease is still on disk.
+    Called by the locked bodies immediately before each destructive
+    step, so a holder whose lease was TTL-broken by a successor aborts
+    instead of overwriting the successor's commit (r09 review #2)."""
+    try:
+        with open(os.path.join(out_dir, LEASE)) as f:
+            if json.load(f).get("token") == token:
+                return
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        pass
+    raise MaintenanceLeaseHeld(
+        f"maintenance lease for {out_dir} was lost mid-operation (TTL "
+        "expired and a successor broke it?) — aborting before the "
+        "commit instead of clobbering the successor's work; raise "
+        "ttl_sec above the longest expected job"
+    )
 
 #: Spark's on-disk directory name for a NULL partition value. Manifest
 #: keys must use the same token or null-keyed partitions stop matching
@@ -162,7 +214,8 @@ def write_partitioned_corpus(
     writer's partitions landed last."""
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
-    with corpus_lease(out_dir, "build"):
+    with corpus_lease(out_dir, "build") as tok:
+        check_lease(out_dir, tok)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -171,6 +224,7 @@ def write_partitioned_corpus(
             .parquet(out_dir)
         )
         manifest = _manifest_from_files(spark, out_dir, partition_cols)
+        check_lease(out_dir, tok)
         with open(os.path.join(out_dir, MANIFEST), "w") as f:
             json.dump(manifest, f, sort_keys=True)
         return manifest
@@ -245,9 +299,10 @@ def upsert_corpus(
     raises :class:`MaintenanceLeaseHeld` instead of silently losing the
     first one's commit. Readers never block.
     """
-    with corpus_lease(out_dir, "upsert"):
+    with corpus_lease(out_dir, "upsert") as tok:
         return _upsert_corpus_locked(
-            delta, out_dir, key_cols, partition_cols, max_records_per_file
+            delta, out_dir, key_cols, partition_cols, max_records_per_file,
+            tok,
         )
 
 
@@ -257,6 +312,7 @@ def _upsert_corpus_locked(
     key_cols: tuple[str, ...],
     partition_cols: tuple[str, ...],
     max_records_per_file: int,
+    token: str,
 ) -> dict:
     """Body of :func:`upsert_corpus`; the maintenance lease is held."""
     from pyspark.sql import Window
@@ -328,6 +384,7 @@ def _upsert_corpus_locked(
         _pkey(partition_cols, r): r["count"]
         for r in merged.groupBy(*partition_cols).count().collect()
     }
+    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-merge
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -353,6 +410,7 @@ def _upsert_corpus_locked(
         }
     else:  # recovery: rebuild from all committed files
         manifest = _manifest_from_files(spark, out_dir, partition_cols)
+    check_lease(out_dir, token)  # fence the manifest dump as well
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
     return manifest
@@ -402,9 +460,9 @@ def compact_corpus(
     lost-update pinned by tests/test_corpus_io.py); with the lease the
     second writer raises :class:`MaintenanceLeaseHeld` instead.
     """
-    with corpus_lease(out_dir, "compact"):
+    with corpus_lease(out_dir, "compact") as tok:
         return _compact_corpus_locked(
-            spark, out_dir, partition_cols, target_rows_per_file
+            spark, out_dir, partition_cols, target_rows_per_file, tok
         )
 
 
@@ -413,6 +471,7 @@ def _compact_corpus_locked(
     out_dir: str,
     partition_cols: tuple[str, ...],
     target_rows_per_file: int,
+    token: str,
 ) -> dict:
     """Body of :func:`compact_corpus`; the maintenance lease is held."""
     import glob as _glob
@@ -440,6 +499,7 @@ def _compact_corpus_locked(
     merged = (
         spark.read.parquet(out_dir).filter(pred)
     ).localCheckpoint(eager=True)  # decouple from the path being rewritten
+    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
     (
         merged.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
@@ -493,9 +553,10 @@ def cluster_corpus_layout(
     lease (:func:`corpus_lease`), exactly like :func:`compact_corpus` —
     a full-corpus snapshot-rewrite is the widest possible lost-update
     window against a concurrent upsert."""
-    with corpus_lease(out_dir, "layout"):
+    with corpus_lease(out_dir, "layout") as tok:
         return _cluster_corpus_layout_locked(
-            spark, out_dir, cluster_col, partition_cols, target_rows_per_file
+            spark, out_dir, cluster_col, partition_cols,
+            target_rows_per_file, tok,
         )
 
 
@@ -505,6 +566,7 @@ def _cluster_corpus_layout_locked(
     cluster_col: str,
     partition_cols: tuple[str, ...],
     target_rows_per_file: int,
+    token: str,
 ) -> dict:
     """Body of :func:`cluster_corpus_layout`; the lease is held."""
     from pyspark.sql import functions as F
@@ -514,6 +576,7 @@ def _cluster_corpus_layout_locked(
     total = manifest["total_rows"]
     n = max(1, -(-total // target_rows_per_file))
     merged = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
     cols = [F.col(c) for c in partition_cols] + [F.col(cluster_col)]
     (
         merged.repartitionByRange(n, *cols)

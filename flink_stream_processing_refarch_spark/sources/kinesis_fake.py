@@ -26,11 +26,14 @@ overwritten whole on redelivery — idempotent exactly like the ES sink's
 epoch dirs. Since r09 the committed record files are renamed to
 DETERMINISTIC names (``records-NNNNN.json``): a producer redelivery
 (crash between the epoch write and the pump checkpoint's commit, then
-restart) reproduces byte-identical files at IDENTICAL paths, so a
-consumer that already consumed the epoch skips it via its own
-checkpointed seen-files offsets — the effectively-once story the
-reference only gets via idempotent sink buffering
-(ElasticsearchJestSink.java:139-148), pinned by
+restart) reproduces files at IDENTICAL paths — identical in content
+too except ``approximateArrivalTimestamp``, which is service-assigned
+per arrival exactly like real Kinesis (a redelivered record is a new
+arrival), so do NOT build a consumer on byte-level checksums of record
+files. Path identity is what matters: a consumer that already consumed
+the epoch skips it via its own checkpointed seen-files offsets — the
+effectively-once story the reference only gets via idempotent sink
+buffering (ElasticsearchJestSink.java:139-148), pinned by
 tests/test_kinesis_fake.py::test_consumer_skips_redelivered_epochs.
 Assumption (same as any replayed source): the restarted pump re-splits
 the epoch identically — true for a checkpointed availableNow replay of

@@ -557,11 +557,10 @@ def test_interleaved_compaction_loses_upsert_without_lease(spark):
             .filter(F.col("source") == src)
             .localCheckpoint(eager=True)
         )
-        # -- interleaved upsert commits (lease-free internal body — the
-        #    exact schedule corpus_lease forbids) --
-        corpus_io._upsert_corpus_locked(
-            delta, out, ("doc_id",), ("source",), 100_000
-        )
+        # -- interleaved upsert commits (takes and releases the lease;
+        #    the "compactor" here deliberately is not holding it — the
+        #    exact schedule the public API forbids) --
+        corpus_io.upsert_corpus(delta, out)
         got = (
             spark.read.parquet(out)
             .filter(F.col("doc_id") == victim)
@@ -667,3 +666,56 @@ def test_expired_holder_does_not_release_successors_lease(spark):
         finally:
             fast.__exit__(None, None, None)
         assert not os.path.exists(lease_path)  # successor's own release
+
+
+def test_fresh_empty_lease_is_held_not_broken(spark):
+    """The r09 review's counterexample: an (externally created) EMPTY
+    lease file must read as HELD, not as 'crashed mid-dump' — the
+    module's own creation is link-based and never publishes a partial
+    file, so unreadable content is broken only when it is also
+    time-stale."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        open(os.path.join(out, corpus_io.LEASE), "w").close()  # empty
+        with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+            with corpus_io.corpus_lease(out, "second"):
+                pass
+        # still breakable once time-stale: backdate the mtime past TTL
+        old = os.path.join(out, corpus_io.LEASE)
+        os.utime(old, (1, 1))
+        with corpus_io.corpus_lease(out, "after-stale"):
+            pass
+        assert not os.path.exists(old)
+
+
+def test_commit_fence_aborts_expired_holder(spark):
+    """check_lease (the commit fence): a holder whose lease was
+    TTL-broken and re-acquired by a successor must get
+    MaintenanceLeaseHeld from the fence instead of committing over the
+    successor — and the successor's own fence passes."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        slow = corpus_io.corpus_lease(out, "slow", ttl_sec=0.0)
+        slow_tok = slow.__enter__()  # immediately stale
+        fast = corpus_io.corpus_lease(out, "fast")
+        fast_tok = fast.__enter__()  # breaks + acquires
+        try:
+            corpus_io.check_lease(out, fast_tok)  # successor: fine
+            with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+                corpus_io.check_lease(out, slow_tok)  # expired: abort
+        finally:
+            fast.__exit__(None, None, None)
+            slow.__exit__(None, None, None)
+        assert not os.path.exists(os.path.join(out, corpus_io.LEASE))

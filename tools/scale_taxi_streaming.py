@@ -57,7 +57,6 @@ def stream_source(spark, events_dir: str):
 
 def main() -> None:
     sys.path.insert(0, "/root/repo/tools")
-    import scale_taxi
     from scale_streaming import build_events, run_stream, state_metrics
     from scale_taxi import build_composite
 
@@ -66,10 +65,8 @@ def main() -> None:
 
     scale = sys.argv[1] if len(sys.argv) > 1 else "sf1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    scale_taxi.SCALE, scale_taxi.REPLICAS = scale, replicas
-    scale_taxi.OUT = f"/dev/shm/graft_taxi_{scale}"
     events_dir = build_events(scale, replicas)
-    comp = build_composite()  # same events + sf0.1 dims, for the batch twin
+    comp = build_composite(scale, replicas)  # same events + sf0.1 dims
 
     spark = get_spark("scale_taxi_streaming")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

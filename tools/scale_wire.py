@@ -61,7 +61,7 @@ def main() -> None:
     from flink_stream_processing_refarch_spark.sources import kinesis
     from flink_stream_processing_refarch_spark.streaming import jobs, replay
 
-    comp = build_composite()
+    comp = build_composite(SCALE, REPLICAS)
     spark = get_spark("scale_wire")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # warm pass at sf0.001: absorb session/JIT/codegen one-time costs so
