@@ -50,6 +50,12 @@ HEADLINE = ("q1_pickup_count", "q2_trip_duration")
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-condition context (r09): same-day full-bench runs have
+    # spanned a ~1.2x WHOLE-REGISTRY wall ratio with identical code
+    # (README r09 notes: median 1.17x across 105 untouched entries), so
+    # the box's load before/after rides along in the artifact — noise
+    # attribution becomes data instead of a re-measure request.
+    load_before = os.getloadavg()
     spark = get_spark("bench")
 
     # Warm the JVM (codegen/JIT), python workers, and parquet footer caches
@@ -109,6 +115,8 @@ def main() -> None:
         "total_sec": round(total, 3),
         "events_rows": n_events,
         "events_per_sec_headline": round(2 * n_events / headline) if headline else None,
+        "loadavg_before": [round(v, 2) for v in load_before],
+        "loadavg_after": [round(v, 2) for v in os.getloadavg()],
     }
     # Self-contained per-round artifact (VERDICT r06 #4: the driver's
     # stdout capture truncated BENCH_r06.json's tail, losing ~60 early
