@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.detmath import apply_stages, ln_det_stages, stages_sql
 from ..functions.portable import words_expr
 from ..schemas import load_table
 from .dedup import corpus_df, corpus_sql
@@ -36,22 +37,55 @@ BIGRAM_TOP_K = 3       # continuations kept per head word
 # TF-IDF salient terms (keyword extraction for corpus QA / indexing)
 # ---------------------------------------------------------------------------
 
+def tfidf_micro_stages() -> list[tuple[str, str]]:
+    """Per-(doc, term) TF-IDF score in integer MICRO-units as a STAGE
+    LIST (detmath discipline): tf * ln(N / df), quantized to BIGINT via
+    floor(x*1e6 + 0.5) — round-half-up, exact for these non-negative
+    scores (N >= df always, so ln >= 0).
+
+    The ln is ``detmath.ln_det_stages`` (correctly rounded + - * /
+    only), identical expression text in both engines, so the quantized
+    score — and with it the rank and the emitted 6-decimal value — is
+    bit-identical across engines BY CONSTRUCTION. (Until r10 this
+    rounded a raw libm ln to 6 decimals; a 1-ulp cross-engine ln
+    divergence landing exactly on a rounding boundary flips the hashed
+    output — the same class the r08 fuzz gate falsified for kl_term.
+    This was the float_audit allowlist's one row; now empty.)
+    Domain: idf_x = N/df in [1, N] — inside detmath's [2^-64, 2^64) for
+    any corpus below ~1.8e19 docs. Base columns consumed: tf, doc_freq,
+    n_docs; final column: ``tfidf_u``."""
+    return [
+        ("idf_x", "CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE)"),
+        *ln_det_stages("idf_x", "idf"),
+        (
+            "tfidf_u",
+            "CAST(floor(CAST(tf AS DOUBLE) * idf_ln"
+            " * CAST(1000000.0 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)",
+        ),
+    ]
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``TFIDF_TOP_K`` terms per document by TF-IDF.
 
     tf = in-doc occurrences, idf = ln(N / doc_freq) with N = corpus doc
-    count; score is rounded to 6 decimals BEFORE ranking (ties then break
-    on the word) because mathematically-equal scores from different
-    (tf, df) pairs — e.g. 2*ln(2) vs ln(4) — can differ in the last ulp
-    between engines, which would make an unrounded rank nondeterministic
-    across them.
+    count; the score is quantized to 6-decimal micro-units BEFORE
+    ranking (ties then break on the word) because mathematically-equal
+    scores from different (tf, df) pairs — e.g. 2*ln(2) vs ln(4) — can
+    differ in the last ulp, which would make an unquantized rank
+    nondeterministic. Both the quantization and the ln itself are the
+    shared deterministic stage pipeline (``tfidf_micro_stages``), so
+    rank and emitted value are engine-identical by construction.
 
     Scale shape: explode is narrow at the scan; the (doc_id, word) tf
     aggregate and the |vocab|-sized df aggregate are both map-side
     combinable; df and N (a 1-row aggregate) broadcast back onto the tf
     relation, so the only wide exchange carries (doc_id, word, count)
     pairs. The per-doc top-k window partitions on doc_id — the same key
-    the tf aggregate already hashed on.
+    the tf aggregate already hashed on. The staged ln adds ~40 scalar
+    flops per surviving row inside whole-stage codegen — zero new
+    exchanges (the doc_id % mod filter still runs before the stages).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -62,31 +96,38 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("doc_freq")
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
+    scored = apply_stages(
         tf.join(F.broadcast(df), "word")
         .join(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs") / F.col("doc_freq")),
-                6,
-            ),
-        )
-        .filter(F.col("doc_id") % TFIDF_DOC_MOD == 0)
+        .filter(F.col("doc_id") % TFIDF_DOC_MOD == 0),
+        tfidf_micro_stages(),
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("word").asc()
+        F.col("tfidf_u").desc(), F.col("word").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)
-        .select("doc_id", "rank", "word", "tf", "doc_freq", "tfidf")
+        .select(
+            "doc_id",
+            "rank",
+            "word",
+            "tf",
+            "doc_freq",
+            (F.col("tfidf_u").cast("double") / F.lit(1000000.0)).alias(
+                "tfidf"
+            ),
+        )
     )
 
 
 def _tfidf_sql() -> str:
     w = words_expr("text", "duckdb")
+    staged = stages_sql(
+        "SELECT * FROM tf JOIN df USING (word) CROSS JOIN n"
+        f" WHERE tf.doc_id % {TFIDF_DOC_MOD} = 0",
+        tfidf_micro_stages(),
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({w}) AS word FROM documents
@@ -96,18 +137,15 @@ df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
        FROM tok GROUP BY word),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
-  SELECT tf.doc_id, tf.word, tf.tf, df.doc_freq,
-         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6)
-           AS tfidf
-  FROM tf JOIN df USING (word) CROSS JOIN n
-  WHERE tf.doc_id % {TFIDF_DOC_MOD} = 0
+  SELECT doc_id, word, tf, doc_freq, tfidf_u FROM ({staged})
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
-                               ORDER BY tfidf DESC, word ASC) AS rank
+                               ORDER BY tfidf_u DESC, word ASC) AS rank
   FROM scored
 )
-SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, doc_freq, tfidf
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, doc_freq,
+       CAST(tfidf_u AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 

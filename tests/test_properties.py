@@ -571,6 +571,64 @@ def test_bm25_term_micros_cross_engine_bit_identical(spark, rows):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**4),   # tf
+            st.integers(min_value=1, max_value=10**9),   # df
+            st.integers(min_value=0, max_value=10**9),   # n_docs extra over df
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+# boundary pins: df == n_docs puts the ln argument at exactly 1.0 (the
+# domain floor, ln = 0 -> tfidf_u = 0); n_docs = 2*df puts it at exactly
+# 2.0, the exponent-cascade comparison boundary
+@example(rows=[(1, 5, 0), (3, 5, 5), (7, 1, 10**9 - 1)])
+@settings(max_examples=15, deadline=None)
+def test_tfidf_micros_cross_engine_bit_identical(spark, rows):
+    """The shared TF-IDF per-(doc, term) micro-unit stages
+    (tfidf_top_terms ranks AND emits the result) were the LAST raw libm
+    ln in any oracle-hashed expression — the float_audit allowlist's one
+    row until r10. Since the migration both engines walk the detmath
+    staged ln, so this fuzz checks a by-construction property through
+    the REAL stage application on both engines (same harness as the
+    selection quartet and BM25 gates above)."""
+    import duckdb as ddb
+    import pyarrow as pa
+
+    from flink_stream_processing_refarch_spark.functions import detmath
+    from flink_stream_processing_refarch_spark.operators import corpus
+
+    stages = corpus.tfidf_micro_stages()
+    data = {
+        "tf": [r[0] for r in rows],
+        "doc_freq": [r[1] for r in rows],
+        "n_docs": [r[1] + r[2] for r in rows],  # n_docs >= df, invariant
+    }
+    cols = list(data)
+    sdf = spark.createDataFrame(
+        list(zip(*[data[c] for c in cols])), schema=cols
+    )
+    got = [
+        r[0]
+        for r in detmath.apply_stages(sdf, stages).select("tfidf_u").collect()
+    ]
+    con = ddb.connect()
+    con.register(
+        "t", pa.table({c: pa.array(data[c], type=pa.int64()) for c in cols})
+    )
+    expect = [
+        r[0]
+        for r in con.execute(
+            "SELECT tfidf_u FROM"
+            f" ({detmath.stages_sql('SELECT * FROM t', stages)})"
+        ).fetchall()
+    ]
+    assert got == expect
+
+
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.characters(

@@ -40,13 +40,10 @@ FORBIDDEN = (
     "atan2", "sinh", "cosh", "tanh", "cbrt",
 )
 
-#: entry -> reason. The ONLY standing exception: tfidf's detmath
-#: migration is deferred to r10 (VERDICT-visible decision, README r09
-#: notes): its ln feeds a round-6 DOUBLE output — no integer
-#: quantization boundary — the weakest exposure class, green since r03.
-ALLOW = {
-    "tfidf_top_terms": "ln — detmath migration deferred to r10",
-}
+#: entry -> reason. EMPTY since r10: tfidf_top_terms — the last raw
+#: transcendental in any oracle — migrated to the detmath staged ln
+#: (operators/corpus.py::tfidf_micro_stages), closing VERDICT r09 #1.
+ALLOW: dict[str, str] = {}
 
 _PAT = re.compile(
     r"(?<![A-Za-z0-9_])(" + "|".join(FORBIDDEN) + r")\s*\(",
