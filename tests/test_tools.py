@@ -114,3 +114,40 @@ def test_float_audit_no_raw_transcendentals_in_oracles():
     unexpected = {n: f for n, f in hits.items() if n not in float_audit.ALLOW}
     assert not unexpected, unexpected
     assert all(n in hits for n in float_audit.ALLOW), "stale allowlist row"
+
+
+def test_float_audit_source_scan_covers_spark_only_expressions(tmp_path):
+    """The r10 extension of the tripwire (ADVICE r09 #4): the oracle
+    scan only sees text shared with ``oracle_sql()``; a Spark-side-only
+    ``F.expr("... ln(x) ...")`` or a direct ``F.log`` call in a plan
+    builder would reintroduce the cross-engine ulp exposure unseen.
+    ``audit_sources`` walks every package module's AST. Two assertions:
+    the real package is clean, and the scanner actually CATCHES both
+    violation shapes (planted in a temp package) while ignoring
+    docstrings and comments that merely mention ln()."""
+    from tools import float_audit
+
+    hits = float_audit.audit_sources()
+    unexpected = {
+        rel: [t for t in toks if (rel, t) not in float_audit.ALLOW_SOURCES]
+        for rel, toks in hits.items()
+    }
+    assert not {r: t for r, t in unexpected.items() if t}, unexpected
+    assert all(
+        k[1] in hits.get(k[0], []) for k in float_audit.ALLOW_SOURCES
+    ), "stale source allowlist row"
+
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "dirty.py").write_text(
+        '"""Docstring mentioning ln(x) — must NOT be flagged."""\n'
+        "from pyspark.sql import functions as F\n"
+        "# a comment with exp(y) — must NOT be flagged\n"
+        'EXPR = "a + ln(b / c)"\n'
+        "COL = F.log(2.0)\n"
+    )
+    (pkg / "clean.py").write_text(
+        '"""exp(z) in a docstring only."""\nX = "floor(a * 1e6 + 0.5)"\n'
+    )
+    planted = float_audit.audit_sources(str(pkg))
+    assert planted == {"fakepkg/dirty.py": ["F.log", "ln"]}, planted

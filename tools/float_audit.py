@@ -63,6 +63,68 @@ def audit() -> dict[str, list[str]]:
     return hits
 
 
+#: (relpath, token) -> reason, for the SOURCE scan below. Empty.
+ALLOW_SOURCES: dict[tuple[str, str], str] = {}
+
+_PKG = "/root/repo/flink_stream_processing_refarch_spark"
+
+
+def audit_sources(pkg_root: str = _PKG) -> dict[str, list[str]]:
+    """relpath -> forbidden tokens in PLAN-BUILDER sources (r10, closing
+    an r09 review gap): the oracle scan above only covers text shared
+    with ``oracle_sql()``; a Spark-side-only expression — a forbidden
+    function inside an ``F.expr``/``selectExpr`` STRING, or a direct
+    ``pyspark.sql.functions`` call like ``F.log`` — would reintroduce
+    the cross-engine ulp exposure without tripping it. This walks every
+    package module's AST and flags (a) forbidden tokens inside string
+    constants (docstrings excluded — the AST, unlike a raw grep, knows
+    which strings are documentation) and (b) ``F.<forbidden>(...)``
+    attribute calls. Python-level ``math.log`` etc. are deliberately NOT
+    flagged: a driver-side constant is computed once and embedded
+    identically in both engines' plans — no cross-engine divergence."""
+    import ast
+    import glob
+    import os
+
+    hits: dict[str, set[str]] = {}
+    for path in sorted(glob.glob(f"{pkg_root}/**/*.py", recursive=True)):
+        rel = os.path.relpath(path, os.path.dirname(pkg_root))
+        tree = ast.parse(open(path).read())
+        docstrings = set()
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                       ast.ClassDef)
+            ):
+                body = node.body
+                if (
+                    body
+                    and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)
+                ):
+                    docstrings.add(id(body[0].value))
+        found: set[str] = set()
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and id(node) not in docstrings
+            ):
+                found |= {m.group(1).lower() for m in _PAT.finditer(node.value)}
+            elif (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr.lower() in FORBIDDEN
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                found.add(f"F.{node.func.attr}")
+        if found:
+            hits[rel] = sorted(found)
+    return hits
+
+
 def main() -> int:
     hits = audit()
     unexpected = {n: f for n, f in hits.items() if n not in ALLOW}
@@ -73,13 +135,36 @@ def main() -> int:
         print(f"{tag} {n}: {', '.join(f)}{why}")
     if stale_allow:
         print(f"STALE ALLOWLIST (no hits — remove): {stale_allow}")
+    src_hits = audit_sources()
+    src_unexpected = {
+        rel: [t for t in toks if (rel, t) not in ALLOW_SOURCES]
+        for rel, toks in src_hits.items()
+    }
+    src_unexpected = {r: t for r, t in src_unexpected.items() if t}
+    src_stale = [
+        k for k in ALLOW_SOURCES
+        if k[1] not in src_hits.get(k[0], [])
+    ]
+    for rel, toks in sorted(src_hits.items()):
+        for t in toks:
+            tag = "ALLOWED" if (rel, t) in ALLOW_SOURCES else "FORBIDDEN"
+            why = (
+                f" ({ALLOW_SOURCES[(rel, t)]})"
+                if (rel, t) in ALLOW_SOURCES else ""
+            )
+            print(f"{tag} source {rel}: {t}{why}")
+    if src_stale:
+        print(f"STALE SOURCE ALLOWLIST (no hits — remove): {src_stale}")
+    bad = unexpected or stale_allow or src_unexpected or src_stale
     print(
         "RESULT:",
-        "FAIL" if unexpected or stale_allow else "PASS",
-        f"({len(unexpected)} unexpected, {len(hits)} total hits,"
-        f" {len(stale_allow)} stale allowlist rows)",
+        "FAIL" if bad else "PASS",
+        f"({len(unexpected)} unexpected oracle, {len(hits)} oracle hits,"
+        f" {len(stale_allow)} stale allow rows;"
+        f" {len(src_unexpected)} unexpected source files,"
+        f" {len(src_hits)} source hits, {len(src_stale)} stale source rows)",
     )
-    return 1 if unexpected or stale_allow else 0
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
