@@ -45,6 +45,14 @@ class MaintenanceLeaseHeld(RuntimeError):
     """Another writer holds the corpus maintenance lease."""
 
 
+#: diagnostic counters (process-local): how often the TTL-break path
+#: actually destroyed an expired lease, and how often a break attempt
+#: discovered it had stolen a LIVE lease and restored it instead. The
+#: hammer test asserts 0 breaks under normal-TTL contention.
+BREAK_COUNT = 0
+BREAK_RESTORED_COUNT = 0
+
+
 @contextlib.contextmanager
 def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
     """Single-maintainer mutual exclusion for corpus WRITERS (upsert,
@@ -77,10 +85,21 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
       uses; same protocol, different primitive).
     - BREAK (a lease older than ``ttl_sec``, presumed crashed) is a
       rename-aside: ``os.rename`` to a breaker-unique name — atomic,
-      exactly one concurrent breaker wins — then unlink of the aside;
-      never a blind unlink of the shared name. An UNREADABLE lease
-      (impossible via this module's writer; external corruption) is
-      broken only when its mtime is also past the TTL.
+      exactly one concurrent breaker wins — then the aside file is
+      RE-JUDGED ON ITS OWN CONTENT before the unlink (r10, closing an
+      r09 review TOCTOU): if another breaker already broke the stale
+      lease and a successor acquired a fresh one in the gap between
+      this breaker's staleness read and its rename, the rename stole
+      the successor's LIVE lease — the re-read detects that (the aside
+      is not TTL-expired), hard-links it back to the lease name, and
+      falls through to the normal already-held failure instead of
+      unlinking it. Only a lease that is expired AT THE MOMENT THE
+      BREAKER EXCLUSIVELY OWNS IT is ever destroyed. An UNREADABLE
+      lease (impossible via this module's writer; external corruption)
+      is broken only when its mtime is also past the TTL. Residual: if
+      a THIRD acquirer slips into the rename-to-restore gap, the
+      restore's link fails and the displaced live holder aborts at its
+      next commit fence — an honest abort, never a lost update.
     - RELEASE is token-checked: each acquire stamps a unique token and
       the exit unlinks only if the on-disk token is still its own, so
       a holder that outlived its TTL cannot delete its successor's
@@ -92,11 +111,28 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
       committing a stale snapshot over its successor's work.
 
     Residuals (documented, inherent to filesystem locks — a real
-    deployment's storage-side conditional ops close both): release's
-    read-then-unlink and the fence-then-write each leave a window the
-    size of one small operation; and ``ttl_sec`` must exceed the
-    longest expected maintenance job, or the fence turns honest
-    slowness into honest aborts (never into lost updates).
+    deployment's storage-side conditional ops close these): release's
+    read-then-unlink leaves a window the size of one small operation.
+    The fence-then-write window is NOT small (r10 doc correction, r09
+    review): ``check_lease`` runs before the Spark write job starts,
+    but dynamic partition overwrite performs its destructive swap at
+    JOB COMMIT, so the unguarded span is the entire write. A TTL that
+    expires mid-job lets a successor break the lease, and whichever of
+    the two write jobs commits LAST silently wins — a lost update, not
+    an abort. Therefore ``ttl_sec`` MUST exceed the longest expected
+    maintenance job INCLUDING its write; the post-write fence each
+    writer runs converts a detected mid-job break into a loud failure
+    (manifest not updated, error says the corpus needs an audit), but
+    it cannot undo a clobbered commit. At 100 TB the storage layer's
+    conditional commit (object-store conditional PUT, metastore
+    transaction) replaces this residual entirely.
+
+    Observed under contention (tests/test_corpus_io.py hammer: 3 upsert
+    threads + 1 compact/layout thread, 3 cycles each, one corpus): all
+    15 writes serialize through retry-on-held, the final content equals
+    the serial merge, and with the default TTL the break path fires 0
+    times — ``BREAK_COUNT`` / ``BREAK_RESTORED_COUNT`` are the
+    process-local counters a deployment would export as metrics.
 
     Yields the fence token. Holding is per-corpus, not global: writers
     on different corpora never contend, and READERS are never blocked
@@ -119,10 +155,39 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
         with contextlib.suppress(OSError):
             stale = time.time() - os.path.getmtime(path) > ttl_sec
     if stale:
+        global BREAK_COUNT, BREAK_RESTORED_COUNT
         aside = f"{path}.broken.{token}"
+        renamed = False
         with contextlib.suppress(FileNotFoundError, OSError):
             os.rename(path, aside)  # atomic: one breaker wins
-            os.unlink(aside)
+            renamed = True
+        if renamed:
+            # TOCTOU guard (r10): the staleness verdict above predates
+            # the rename — re-judge the file we now exclusively own. If
+            # a concurrent breaker already broke the stale lease and a
+            # successor acquired a FRESH one in that gap, the rename
+            # stole the successor's live lease: restore it and fall
+            # through to the normal already-held failure.
+            live = False
+            try:
+                with open(aside) as f:
+                    taken = json.load(f)
+                live = time.time() - float(
+                    taken.get("acquired_at", 0)
+                ) <= float(taken.get("ttl_sec", ttl_sec))
+            except (json.JSONDecodeError, ValueError, OSError):
+                live = False  # unreadable: already mtime-judged stale
+            if live:
+                BREAK_RESTORED_COUNT += 1
+                # link (not rename): if a third acquirer re-created the
+                # lease name meanwhile, restoring must not clobber it —
+                # the displaced holder then aborts at its commit fence
+                with contextlib.suppress(OSError):
+                    os.link(aside, path)
+            else:
+                BREAK_COUNT += 1
+            with contextlib.suppress(OSError):
+                os.unlink(aside)
     tmp = f"{path}.{token}.tmp"
     with open(tmp, "w") as f:
         json.dump(
@@ -392,6 +457,7 @@ def _upsert_corpus_locked(
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )
+    check_lease(out_dir, token)  # post-write fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
     if back["partitions"] != expected:
         raise RuntimeError(
@@ -508,6 +574,10 @@ def _compact_corpus_locked(
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )
+    # post-write fence: a TTL break DURING the write job cannot be
+    # undone (the dynamic overwrite already committed) but must fail
+    # loudly here instead of returning success (corpus_lease docstring)
+    check_lease(out_dir, token)
     back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
     expected = {k: manifest["partitions"][k] for k in plan}
     if back["partitions"] != expected:
@@ -587,6 +657,7 @@ def _cluster_corpus_layout_locked(
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )
+    check_lease(out_dir, token)  # post-write fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols)
     if back["partitions"] != manifest["partitions"]:
         raise RuntimeError(

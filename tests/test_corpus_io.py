@@ -719,3 +719,144 @@ def test_commit_fence_aborts_expired_holder(spark):
             fast.__exit__(None, None, None)
             slow.__exit__(None, None, None)
         assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+
+
+def test_break_restores_stolen_live_lease(monkeypatch, tmp_path):
+    """The r09 review's TOCTOU: breaker A judges the lease stale, but
+    between A's read and A's rename-aside another breaker B breaks it
+    and a successor acquires a FRESH lease — A's rename then steals the
+    successor's LIVE lease. Since r10 the break re-judges the aside
+    file on its own content: A must detect liveness, hard-link it back,
+    and fail with MaintenanceLeaseHeld; the successor's lease survives
+    on disk untouched."""
+    import json as _json
+    import time as _time
+
+    import pytest
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    lease_path = os.path.join(out, corpus_io.LEASE)
+    with open(lease_path, "w") as f:  # the crashed holder's stale lease
+        _json.dump(
+            {"purpose": "old", "pid": 0, "acquired_at": _time.time() - 7200,
+             "ttl_sec": 3600, "token": "crashed-tok"}, f,
+        )
+    real_rename = os.rename
+    fired = []
+
+    def rename_with_race(src, dst):
+        if src == lease_path and not fired:
+            fired.append(True)
+            # inside A's read->rename gap: B breaks the stale lease and
+            # a successor acquires a fresh one at the same path
+            with open(lease_path, "w") as f:
+                _json.dump(
+                    {"purpose": "successor", "pid": 1,
+                     "acquired_at": _time.time(), "ttl_sec": 3600,
+                     "token": "successor-tok"}, f,
+                )
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(corpus_io.os, "rename", rename_with_race)
+    restored0 = corpus_io.BREAK_RESTORED_COUNT
+    with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+        with corpus_io.corpus_lease(out, "thief"):
+            pass
+    assert fired, "race injection never ran"
+    assert corpus_io.BREAK_RESTORED_COUNT == restored0 + 1
+    with open(lease_path) as f:  # successor's live lease is back intact
+        assert _json.load(f)["token"] == "successor-tok"
+    assert not [p for p in os.listdir(out) if ".broken." in p]
+
+
+def test_lease_hammer_serializes_concurrent_writers(spark):
+    """Hammer (VERDICT r09 #5): N threads x M upsert/compact/layout
+    cycles on ONE corpus, each retrying on MaintenanceLeaseHeld. The
+    serialized schedule must converge to the serial merge: thread t owns
+    the disjoint key set doc_id % 3 == t and its last cycle's delta wins,
+    so the final content is deterministic REGARDLESS of interleaving —
+    exactly the property the lease exists to protect (without it, a
+    compaction snapshot clobbers a concurrent upsert). Also asserts the
+    TTL-break path never fired (default TTL >> test wall) and no lease
+    or aside file is left behind."""
+    import threading
+    import time as _time
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("base "), F.col("id").cast("string")).alias("text"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias(
+            "source"
+        ),
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        breaks0 = corpus_io.BREAK_COUNT
+        restored0 = corpus_io.BREAK_RESTORED_COUNT
+        errors: list[Exception] = []
+        held_retries = [0]
+        CYCLES = 3
+
+        def retry(op):
+            deadline = _time.monotonic() + 180
+            while True:
+                try:
+                    return op()
+                except corpus_io.MaintenanceLeaseHeld:
+                    held_retries[0] += 1
+                    if _time.monotonic() > deadline:
+                        raise
+                    _time.sleep(0.05)
+
+        def upserter(t):
+            try:
+                for c in range(CYCLES):
+                    delta = docs.filter(F.col("doc_id") % 3 == t).select(
+                        "doc_id",
+                        F.concat(
+                            F.lit(f"T{t}C{c} "), F.col("text")
+                        ).alias("text"),
+                        "source",
+                    )
+                    retry(lambda d=delta: corpus_io.upsert_corpus(d, out))
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errors.append(e)
+
+        def maintainer():
+            try:
+                for _ in range(CYCLES):
+                    retry(lambda: corpus_io.compact_corpus(spark, out))
+                    retry(
+                        lambda: corpus_io.cluster_corpus_layout(
+                            spark, out, target_rows_per_file=50
+                        )
+                    )
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=upserter, args=(t,)) for t in (0, 1, 2)
+        ] + [threading.Thread(target=maintainer)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert not errors, errors
+        last = CYCLES - 1
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out).collect()
+        }
+        expect = {
+            i: f"T{i % 3}C{last} base {i}" for i in range(120)
+        }
+        assert got == expect
+        assert corpus_io.verify_manifest(spark, out)
+        assert corpus_io.BREAK_COUNT == breaks0  # TTL never fired
+        assert corpus_io.BREAK_RESTORED_COUNT == restored0
+        assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+        assert not [p for p in os.listdir(out) if ".broken." in p]
+        # contention really happened: at least one writer had to wait
+        assert held_retries[0] > 0
