@@ -37,7 +37,14 @@ buffering (ElasticsearchJestSink.java:139-148), pinned by
 tests/test_kinesis_fake.py::test_consumer_skips_redelivered_epochs.
 Assumption (same as any replayed source): the restarted pump re-splits
 the epoch identically — true for a checkpointed availableNow replay of
-the same bounded source. Scale note: this module is a LOCAL TEST
+the same bounded source. Since r10 this assumption is ENFORCED, not
+just documented (r09 review): each epoch commit writes a tiny
+``_epoch_manifest.json`` (file count + per-sorted-position record
+counts, computed distributed), and a redelivery whose split differs —
+different restart parallelism, changed shuffle partitioning — FAILS
+the rename step instead of silently shifting file indices and
+duplicating rows past the consumer's seen-files log
+(tests/test_kinesis_fake.py::test_redelivery_with_different_split_fails). Scale note: this module is a LOCAL TEST
 TRANSPORT; the production path is the real connector
 (``kinesis.KINESIS_FORMAT``), the fake's only job is to prove the
 engine-side plumbing with zero driver-side row handling (reads and
@@ -60,6 +67,10 @@ WIRE_CONTRACT = (
 )
 
 DEFAULT_SHARDS = 4
+
+#: per-epoch commit manifest (underscore-prefixed: invisible to the
+#: consumer glob ``records-*.json`` and to Spark's directory listing).
+EPOCH_MANIFEST = "_epoch_manifest.json"
 
 
 def stream_dir(root: str, stream_name: str) -> str:
@@ -109,15 +120,53 @@ def write_wire_batch(
         F.current_timestamp().alias("approximateArrivalTimestamp"),
     )
     out = epoch_dir(root, stream_name, epoch_id)
+    # A prior manifest means this is a REDELIVERY: read it before the
+    # overwrite wipes the epoch dir, so the new split can be checked.
+    import glob as _glob
+    import json as _json
+
+    mpath = os.path.join(out, EPOCH_MANIFEST)
+    prior = None
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prior = _json.load(f)
     records.write.mode("overwrite").json(out)
     # Deterministic commit names: Spark's part files carry a fresh UUID
     # per attempt, which would make a redelivered epoch look like NEW
     # files to the consumer's seen-files log. Renaming to stable names
     # makes redelivery path-idempotent, so consumer offsets skip it.
-    import glob as _glob
-
-    for i, p in enumerate(sorted(_glob.glob(os.path.join(out, "part-*")))):
+    # Path idempotence assumes the redelivered epoch splits into the
+    # SAME files — enforced here (r10): per-sorted-position record
+    # counts (computed distributed; the driver collects one bounded row
+    # per file) must match the first delivery's manifest, or the rename
+    # fails loudly instead of shifting indices and duplicating rows.
+    parts = sorted(_glob.glob(os.path.join(out, "part-*")))
+    spark = batch_df.sparkSession
+    by_file = {
+        r["f"]: r["count"]
+        for r in spark.read.text(parts)
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    } if parts else {}
+    counts = [
+        int(by_file.get("file://" + p, by_file.get(p, 0))) for p in parts
+    ]
+    if prior is not None and prior["counts"] != counts:
+        raise RuntimeError(
+            f"wire epoch {epoch_id} redelivery split mismatch: first "
+            f"delivery committed {prior['counts']} records per file, "
+            f"this attempt produced {counts} — restart parallelism or "
+            "partitioning changed; consumer seen-file offsets would "
+            "silently duplicate rows. Re-run the pump with the original "
+            "partitioning (or wipe the epoch dir AND the consumer "
+            "checkpoint together)."
+        )
+    for i, p in enumerate(parts):
         os.replace(p, os.path.join(out, f"records-{i:05d}.json"))
+    with open(mpath, "w") as f:
+        _json.dump({"n_files": len(parts), "counts": counts}, f)
 
 
 def fake_reader(spark: SparkSession, root: str, stream_name: str):

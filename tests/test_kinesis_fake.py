@@ -117,6 +117,39 @@ def test_epoch_redelivery_is_idempotent(spark, tmp_path):
     assert n == 2
 
 
+def test_redelivery_with_different_split_fails(spark, tmp_path):
+    """Path-idempotent redelivery assumes the restarted pump reproduces
+    the SAME per-file split; since r10 the epoch manifest enforces it
+    (r09 review): a redelivery arriving with different partitioning must
+    FAIL the commit instead of shifting file indices — shifted names
+    would look NEW to the consumer's seen-files log and silently
+    duplicate rows. Same-split redelivery (the legitimate recovery
+    path) still succeeds, manifest intact."""
+    import json as _json
+
+    import pytest
+
+    root = str(tmp_path / "streams")
+    df = spark.createDataFrame([(f"p{i}",) for i in range(8)], "value string")
+    frame = kinesis.wire_frame(df).repartition(2)
+    kinesis_fake.write_wire_batch(frame, 3, root, "s3")
+    mpath = os.path.join(
+        kinesis_fake.epoch_dir(root, "s3", 3), kinesis_fake.EPOCH_MANIFEST
+    )
+    with open(mpath) as f:
+        first = _json.load(f)
+    assert first["n_files"] == 2 and sum(first["counts"]) == 8
+    # legitimate redelivery: identical split -> same names, no error
+    kinesis_fake.write_wire_batch(frame, 3, root, "s3")
+    with open(mpath) as f:
+        assert _json.load(f) == first
+    # restart with DIFFERENT parallelism: the rename step must fail
+    with pytest.raises(RuntimeError, match="split mismatch"):
+        kinesis_fake.write_wire_batch(
+            kinesis.wire_frame(df).repartition(4), 3, root, "s3"
+        )
+
+
 def test_consumer_skips_redelivered_epochs(spark, tmp_path):
     """Effectively-once ACROSS the transport (VERDICT r08 #7): after a
     consumer has consumed the stream, a producer crash-restart that
