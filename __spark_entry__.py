@@ -52,140 +52,93 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r09 rotation: the window carries (a) the FIFTEEN r09-CHANGED entries
-# — the ln-quantized selection quartet (source_drift,
-# source_drift_streaming, importance_resampling, lm_perplexity) AND the
-# six BM25-ranked entries (bm25_score, bm25_topk_batch,
-# hybrid_retrieval, the ext twins, bm25_mrr), whose plans and oracles
-# now walk the deterministic staged ln of functions/detmath.py; the
-# four corpus write-path entries (writers serialize on the per-corpus
-# maintenance lease, operators/corpus_io.py); and q1_kinesis_wire
-# (deterministic epoch commit names in the wire fake) — plus (b) a
-# STALENESS sweep (VERDICT r08 #2): all 19 r02-green and 16 r01-green
-# rows re-enter, so after r09 no registry entry's external-driver
-# evidence predates r03. Everything rotated out — including the five
-# unchanged flagship taxi surfaces that lead the tail — is r08-green
-# over an r09-unchanged plan (see the tail comments and LEDGER.md).
-# tfidf_top_terms' detmath migration is deliberately deferred to r10
-# for window budget (round-6 double output, the weakest exposure).
-# r08 rotation: EIGHT NEW/changed entries enter the window —
-# q1_kinesis_wire (Q1 through both Kinesis swap points over the local
-# wire fake), important_parts (Q11 analogue), adhoc_sql (the ANSI SQL
-# surface as a driver row), training_mix + corpus_build (quality gate
-# unified on the shared Gopher rule), dedup_embedding (in-bucket int16
-# pre-verify payload slimming), corpus_upsert_streaming (NEW write-path
-# streaming twin) + corpus_upsert_roundtrip (shared-delta refactor).
-# They displace eight r07-green entries whose plans are UNCHANGED in
-# r08: large_orders, top_supplier, part_promotion,
-# supplier_part_variety, ann_lsh_multiprobe, semantic_dedup,
-# kmeans_clusters, quantile_histogram_streaming (see the rotation-out
-# comments below). Every other r08-CHANGED plan already holds a slot:
-# the six CAST-fixed oracles (small_lot_revenue, brand_volume_revenue,
-# late_shipments, quality_funnel, source_signature_terms,
-# quality_funnel_streaming), corpus_ingest_streaming (shared gate),
-# ann_recall_eval (REC_EVERY now derived from N; identical at driver
-# scale).
-# r07 rotation: ELEVEN NEW entries enter the window — winnow_matches
-# (the MOSS candidate join consuming the fingerprint index);
-# large_orders / top_supplier / part_promotion (TPC-H Q18/Q15/Q20
-# analogues); small_lot_revenue / brand_volume_revenue / late_shipments
-# / supplier_part_variety (late adds: Q17/Q19/Q12/Q16 analogues);
-# quality_funnel + source_signature_terms (Gopher-gate curation funnel,
-# discriminative-term signatures); ann_recall_eval (ANN-index recall@K
-# vs exact kNN as a query). They push out eleven r0x-green entries
-# whose plans are UNCHANGED in r07: corpus_upsert_roundtrip,
-# trending_cells (its streaming twin stays in-window), dedup_clusters
-# (banded machinery still in-window via dedup_incremental /
-# containment_dedup), heavy_hitters_cms (its streaming twin stays
-# in-window), dup_source_matrix, feature_hashing, quantile_histogram
-# (its streaming twin stays in-window), curriculum_order,
-# vocab_coverage, corpus_build (its streaming ingest twin stays
-# in-window), decontaminate_streaming (stateless stream-static gate,
-# r03-green). Every r07-CHANGED plan already holds a slot:
-# memorization_risk (skew-safe groupBy+join totals), the bm25 / hybrid
-# family incl. ext twins and bm25_mrr (per-variant persist tags +
-# semantic reuse), knn_label_accuracy (eviction helper swap +
-# persist-reuse path), the taxi streaming entries (executor-side ES
-# relay — q1/q2_streaming, taxi_pipeline_single_pass).
-# r06 rotation: eleven NEW entries enter the window
-# (trending_cells_streaming, bm25_topk_batch_ext, hybrid_retrieval_ext,
-# bm25_mrr, memorization_risk, winnow_fingerprints,
-# winnow_fingerprints_streaming, knn_label_accuracy, lonely_returns,
-# min_cost_supplier, order_count_distribution) and push out eleven
-# r04/r05-green entries whose plans are UNCHANGED in r06 —
-# stream_stream_join / stream_stream_left_join / streaming_dedup (its
-# r06 delta is a pinned-invariant TEST only), the two Python-state API
-# demonstrators stateful_sessionize / tws_user_totals,
-# session_windows_streaming, dedup_minhash_lsh (banded machinery still
-# covered in-window by dedup_clusters / dedup_incremental /
-# containment_dedup), the DSIR/LM/leakage selection trio
-# (importance_resampling, lm_perplexity, split_leakage), and batch
-# source_drift (its streaming twin stays in-window). Every
-# r06-changed plan already holds a slot: corpus_ingest_streaming
-# (watermark-bounded dedup), bm25_topk_batch + hybrid_retrieval
-# (skew-free persisted-combine document frequency + the common-term
-# cutoff, shared with the ext twins), bpe_train + bpe_token_count
-# (backslash-safe token quoting in the fold). The LEDGER.md table
-# (tools/make_ledger.py) records every entry's last driver-green round
-# mechanically.
-# r05 rotation: every query whose plan changed this round holds a
-# window slot — the events consumers (normalized materialization now
-# data-sized, maxFilesPerTrigger adaptive: q1/q2 + streaming twins,
-# single-pass pipeline, the stateful/stream-join block, the
-# event-consuming relational entries), streaming_dedup (plain
-# dropDuplicates -> dropDuplicatesWithinWatermark, the r05 bounded-state
-# fix), heavy_hitters/quantile streaming (adaptive trigger), ann_pq
-# (ingest-time codes sidecar + PQ_K/PQ_CAND recall retune + ADC LUT),
-# curriculum_order (wq zero-guard, oracle changed in lockstep), the
-# ln-quantized selection trio (shared-expression refactor), and the NEW
-# corpus_upsert_roundtrip (write-path oracle pairing), the seven NEW
-# tpch_deep join-tree queries (Q8/Q10/Q4/Q3 + late Q7/Q22/Q9), the NEW
-# pq_ingest_streaming (codes sidecar built as an incremental stream),
-# and the late-r05 operator wave (dedup_spans, containment_dedup,
-# kmeans_clusters, feature_hashing, bm25_topk_batch, hybrid_retrieval,
-# vocab_coverage, source_drift_streaming, bpe_train, bpe_token_count).
-# Rotated out: nineteen driver-green entries over since-unchanged
-# plans (minhash_signatures, simhash, token_count_bpe, dedup_exact,
-# dedup_survivors, ngram_jaccard, doc_chunks, bm25_score,
-# running_totals, time_rollup, asof_join, sliding_window_counts,
-# session_windows, skew_salted_join, retention_cohorts,
-# funnel_completion, stream_static_join, dedup_simhash,
-# dedup_embedding); the rotated events consumers' only r05 delta is
-# the shared value-identical materialization layout, driver-covered
-# through the thirteen events consumers still in-window. Full registry
-# still self-checked into SELFCHECK_r05.md.
+# r10 rotation — for the first round, the window IS the mechanical plan
+# emitted by ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7):
+# changed-this-round entries first in registry order, then every other
+# entry ranked by oldest last-green round (registry order as tiebreak),
+# first 50 win. The r10 changed set (6 entries):
+#   - q1_kinesis_wire: the wire fake now enforces identical epoch
+#     splits on redelivery via a per-epoch manifest
+#     (sources/kinesis_fake.py);
+#   - the four corpus write-path entries: the lease break path re-judges
+#     the aside file before destroying it (TOCTOU fix) and every writer
+#     runs a post-write fence (operators/corpus_io.py);
+#   - tfidf_top_terms: the deferred detmath migration landed — score
+#     quantized to micro-units through the staged deterministic ln
+#     (operators/corpus.py::tfidf_micro_stages), float_audit allowlist
+#     now empty.
+# The remaining 44 slots are the staleness sweep (VERDICT r09 #2): all
+# 24 remaining r03-green rows, all 19 r04-green rows, and the first
+# r05 row (split_leakage) — after r10 no entry's external-driver
+# evidence predates r04 except the nine r05 stragglers queued next.
+# Everything rotated out is r08/r09-green over an r10-unchanged plan
+# (LEDGER.md); per-round rotation rationale lives in the git history of
+# this file.
 PRIORITY = [
-    # ---- slots 1-50: the r09 driver window ----
-    # r09-CHANGED (15 entries) + the staleness sweep (35 entries).
-    # q1_kinesis_wire: the wire fake now commits epochs under
-    # deterministic file names (consumer checkpoints skip a redelivered
-    # epoch — sources/kinesis_fake.py) and the reader glob follows.
+    # ---- slots 1-50: the r10 driver window (== LEDGER next-window) ----
     "q1_kinesis_wire",
-    # The ln-quantized selection family: plans AND oracles now walk the
-    # staged deterministic ln (functions/detmath.py) — the r08 fuzz
-    # counterexample class is structurally impossible.
+    "corpus_upsert_roundtrip",
+    "corpus_upsert_streaming",
+    "corpus_compact_roundtrip",
+    "corpus_layout_roundtrip",
+    "tfidf_top_terms",
+    "repetition_score",
+    "length_histogram",
+    "approx_distinct",
+    "approx_quantiles",
+    "pii_scrub",
+    "global_row_number",
+    "passage_dedup",
+    "dup_provenance",
+    "bigram_lm",
+    "sequence_packing",
+    "bottomk_sample",
+    "mixture_weights",
+    "sketch_rollup",
+    "lang_id",
+    "cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_norms",
+    "embedding_quantize",
+    "media_metadata",
+    "media_features",
+    "media_resize",
+    "frame_sample",
+    "inverted_index",
+    "running_totals",
+    "time_rollup",
+    "asof_join",
+    "sliding_window_counts",
+    "session_windows",
+    "skew_salted_join",
+    "retention_cohorts",
+    "funnel_completion",
+    "stream_static_join",
+    "dedup_simhash",
+    "vocab_stats",
+    "decontaminate",
+    "minhash_signatures",
+    "simhash",
+    "token_count_bpe",
+    "dedup_exact",
+    "dedup_survivors",
+    "ngram_jaccard",
+    "doc_chunks",
+    "split_leakage",
+    # ---- entries below are past the driver's 50-entry window ----
+    # (each holds its last driver-green row in LEDGER.md and stays
+    # in the every-round full-registry selfcheck)
     "source_drift",
     "source_drift_streaming",
     "importance_resampling",
     "lm_perplexity",
-    # The BM25 family shares that migration (bm25_term_stages — the
-    # idf ln had the identical 1-ulp floor-boundary exposure), so every
-    # entry ranking on the quantized term score re-enters.
     "bm25_score",
     "bm25_topk_batch",
     "hybrid_retrieval",
     "bm25_topk_batch_ext",
     "hybrid_retrieval_ext",
     "bm25_mrr",
-    # The corpus write-path entries: their writers now serialize on the
-    # per-corpus maintenance lease (operators/corpus_io.py).
-    "corpus_upsert_roundtrip",
-    "corpus_upsert_streaming",
-    "corpus_compact_roundtrip",
-    "corpus_layout_roundtrip",
-    # Staleness rotation (VERDICT r08 #2): the remaining 35 slots go to
-    # the oldest driver-green rows — all over since-unchanged,
-    # every-round-selfchecked plans. The 19 r02 rows:
     "token_stats",
     "quality_score",
     "doc_fingerprint",
@@ -205,8 +158,6 @@ PRIORITY = [
     "unpivot_metrics",
     "bucketed_join",
     "rolling_revenue",
-    # ... and the 16 r01 rows, so after r09 no entry's external-driver
-    # evidence predates r03:
     "json_extract",
     "cube_orders",
     "distinct_counts",
@@ -223,25 +174,11 @@ PRIORITY = [
     "scalar_below_avg",
     "trips_clean",
     "airport_trips",
-    # ---- entries below are past the driver's 50-entry window ----
-    # r09 rotation out: the unchanged flagship taxi surfaces lead the
-    # tail (all r08-green hash rows over r09-unchanged plans; they
-    # re-enter whenever the events path changes):
     "q1_pickup_count",
     "q2_trip_duration",
     "q1_streaming",
     "q2_streaming",
     "taxi_pipeline_single_pass",
-    # ... and every other r08-green entry whose plan is UNCHANGED in r09
-    # (the TPC-H analogue block, dedup/winnow/BPE/funnel families, the
-    # ann/pq/knn evals, the streaming twins, tfidf_top_terms — whose
-    # detmath migration is deliberately DEFERRED to r10 for window
-    # budget: its ln feeds a round-6 double, the weakest exposure class,
-    # r03-green for eight rounds). Each holds its last green row in
-    # LEDGER.md and stays in the full-registry selfcheck
-    # (SELFCHECK_r09.md); per-round rotation rationale lives in the git
-    # history of this file.
-    "repetition_score",
     "trending_cells_streaming",
     "market_share",
     "returned_customers",
@@ -296,7 +233,6 @@ PRIORITY = [
     "vocab_coverage",
     "decontaminate_streaming",
     "heavy_hitters_streaming",
-    "split_leakage",
     "dedup_minhash_lsh",
     "session_windows_streaming",
     "stateful_sessionize",
@@ -304,49 +240,6 @@ PRIORITY = [
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
-    "running_totals",
-    "time_rollup",
-    "asof_join",
-    "sliding_window_counts",
-    "session_windows",
-    "skew_salted_join",
-    "retention_cohorts",
-    "funnel_completion",
-    "stream_static_join",
-    "dedup_simhash",
-    "vocab_stats",
-    "decontaminate",
-    "minhash_signatures",
-    "simhash",
-    "token_count_bpe",
-    "dedup_exact",
-    "dedup_survivors",
-    "ngram_jaccard",
-    "doc_chunks",
-    "length_histogram",
-    "approx_distinct",
-    "approx_quantiles",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "global_row_number",
-    "passage_dedup",
-    "dup_provenance",
-    "bigram_lm",
-    "sequence_packing",
-    "bottomk_sample",
-    "mixture_weights",
-    "sketch_rollup",
-    "lang_id",
-    "cosine_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_norms",
-    "embedding_quantize",
-    "media_metadata",
-    "media_features",
-    "media_resize",
-    "frame_sample",
-    "inverted_index",
 ]
 
 
