@@ -371,6 +371,36 @@ def upsert_corpus(
         )
 
 
+def upsert_corpus_retrying(
+    delta: DataFrame,
+    out_dir: str,
+    max_wait_sec: float = 300.0,
+    backoff_sec: float = 0.25,
+    **kw,
+) -> dict:
+    """:func:`upsert_corpus`, waiting out a held maintenance lease —
+    the continuous-ingest form (r10, found by the interleaved-
+    maintenance decade VERDICT r09 #6 called for): a streaming upsert
+    acquires the lease PER EPOCH, so compaction or layout clustering
+    legitimately interleaving between micro-batches would otherwise
+    make the next epoch's upsert raise and KILL the stream — pinned by
+    tests/test_corpus_io.py::test_streaming_upsert_survives_interleaved_maintenance.
+    A batch caller that wants fail-fast keeps calling
+    :func:`upsert_corpus`; the streaming twin's ``foreachBatch`` body
+    calls this. Bounded: raises the last :class:`MaintenanceLeaseHeld`
+    after ``max_wait_sec`` (a wedged lease must surface as a stream
+    failure, not an infinite stall — the TTL break handles the crashed-
+    holder case well before sensible bounds)."""
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        try:
+            return upsert_corpus(delta, out_dir, **kw)
+        except MaintenanceLeaseHeld:
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(backoff_sec)
+
+
 def _upsert_corpus_locked(
     delta: DataFrame,
     out_dir: str,
@@ -780,7 +810,10 @@ def q_corpus_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on disk is the state); each epoch's cost is O(delta
     partitions) via the upsert's pruned read-back, exactly like the
     batch path. The multi-epoch split and the redelivery are pinned by
-    tests (tests/test_corpus_io.py)."""
+    tests (tests/test_corpus_io.py). Each epoch merges through
+    :func:`upsert_corpus_retrying` (r10): maintenance interleaving
+    between micro-batches holds the lease legitimately, and the stream
+    must wait it out, not die on MaintenanceLeaseHeld."""
     import shutil
     import tempfile
 
@@ -802,7 +835,7 @@ def q_corpus_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             _delta_from_docs(sdocs)
             .writeStream.foreachBatch(
-                lambda batch, eid: upsert_corpus(batch, out)
+                lambda batch, eid: upsert_corpus_retrying(batch, out)
             )
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
