@@ -21,6 +21,16 @@ wire-loop legs <= the direct-source path's growth, and the Q1 result via
 the fake is row-identical to the direct path at both scales.
 
 Run: python tools/scale_wire.py [SCALE REPLICAS]   (appends SCALING.md)
+
+Knob mode (VERDICT r09 #8): pump wall is epoch-count-bound (one
+PutRecords epoch per ``maxFilesPerTrigger`` wire chunks — each epoch
+pays a fixed micro-batch + commit cost), so chunkier epochs trade
+producer LATENCY (records sit longer before a PutRecords flush) for
+pump WALL. ``python tools/scale_wire.py knob [SCALE REPLICAS]`` sweeps
+maxFilesPerTrigger over 10/50/200 on the same replayed chunks and
+appends the latency-vs-wall table to SCALING.md (consume leg measured
+per setting too — fewer, larger epochs also shrink the consumer's
+``records-e*`` listing).
 """
 
 from __future__ import annotations
@@ -37,10 +47,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
-SCALE = sys.argv[1] if len(sys.argv) > 1 else "sf1"
-REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+KNOB_MODE = len(sys.argv) > 1 and sys.argv[1] == "knob"
+_args = sys.argv[2:] if KNOB_MODE else sys.argv[1:]
+if KNOB_MODE:
+    # scale_taxi still parses its CLI defaults at import time; present
+    # it the usual [SCALE REPLICAS] layout without the mode token
+    sys.argv = [sys.argv[0], *_args]
+SCALE = _args[0] if len(_args) > 0 else "sf1"
+REPLICAS = int(_args[1]) if len(_args) > 1 else 10
 WORK = f"/dev/shm/graft_wire_{SCALE}"
 PUMP_FILES_PER_EPOCH = "10"
+KNOB_SETTINGS = (10, 50, 200)
 
 
 def _rows(df):
@@ -177,5 +194,87 @@ def main() -> None:
     print({k: {kk: round(vv, 2) for kk, vv in v.items()} for k, v in res.items()})
 
 
+def knob_main() -> None:
+    """Sweep maxFilesPerTrigger (epoch chunkiness) at ``SCALE`` over the
+    SAME replayed wire chunks; Q1 via the fake must stay row-identical
+    to the direct path at every setting."""
+    from scale_taxi import build_composite
+
+    from flink_stream_processing_refarch_spark.sources import kinesis
+    from flink_stream_processing_refarch_spark.streaming import jobs, replay
+
+    comp = build_composite(SCALE, REPLICAS)
+    spark = get_spark("scale_wire_knob")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = os.path.join(WORK, "knob")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    wire = os.path.join(base, "wire")
+    _, n_events = (lambda t0=time.time(): (
+        None, replay.replay(spark, comp, wire, adapt="ORIGINAL")
+    ))()
+    chunks = len(glob.glob(os.path.join(wire, "*")))
+    print(f"[knob] {n_events:,} events in {chunks} chunks", flush=True)
+    # warm: one tiny pump+consume absorbs session/codegen one-time costs
+    wend = f"file://{os.path.join(base, 'warm_streams')}"
+    jobs.pump_wire_to_kinesis(spark, wire, wend, maxFilesPerTrigger="200")
+    shutil.rmtree(os.path.join(base, "warm_streams"), ignore_errors=True)
+    rows = []
+    direct = None
+    for files_per in KNOB_SETTINGS:
+        endpoint = f"file://{os.path.join(base, f'streams_{files_per}')}"
+        w_pump, _ = run_leg(
+            f"pump mf={files_per}",
+            lambda: jobs.pump_wire_to_kinesis(
+                spark, wire, endpoint, maxFilesPerTrigger=str(files_per)
+            ),
+        )
+        sdir = os.path.join(base, f"streams_{files_per}", "taxi-trips")
+        epochs = len(glob.glob(os.path.join(sdir, "records-e*")))
+
+        def consume():
+            records = kinesis.kinesis_reader(
+                spark, "taxi-trips", "local", endpoint=endpoint
+            ).load()
+            trips = jobs.wire_trips(kinesis.parse_wire_bytes(records))
+            return _rows(jobs._run_to_memory(jobs.q1_agg_from_trips(trips)))
+
+        w_consume, via_fake = run_leg(f"consume mf={files_per}", consume)
+        if direct is None:
+            _, direct = run_leg(
+                "direct (control)", lambda: _rows(jobs.q1_from_wire(spark, wire))
+            )
+        assert via_fake == direct, f"mf={files_per}: Q1 diverged"
+        rows.append((files_per, epochs, w_pump, w_consume))
+        print(f"  mf={files_per}: epochs={epochs} pump={w_pump:.2f}s"
+              f" consume={w_consume:.2f}s", flush=True)
+
+    lines = [
+        "",
+        f"## Pump epoching knob at {SCALE} (VERDICT r09 #8)",
+        "",
+        f"Generated by `tools/scale_wire.py knob {SCALE} {REPLICAS}`:"
+        f" same {n_events:,}-event / {chunks}-chunk replay, pump re-run"
+        " per maxFilesPerTrigger. One PutRecords epoch per trigger, so",
+        "chunkier epochs trade producer flush latency (records wait up",
+        "to maxFilesPerTrigger chunks before landing on the wire) for",
+        "pump wall — the per-epoch fixed cost (micro-batch planning +",
+        "deterministic commit + manifest) dominates the pump leg. Q1 via",
+        "the fake asserted row-identical to the direct path throughout.",
+        "",
+        "| maxFilesPerTrigger | epochs | pump wall | consume wall |"
+        " pump s/epoch |",
+        "|---|---|---|---|---|",
+    ]
+    for files_per, epochs, w_pump, w_consume in rows:
+        lines.append(
+            f"| {files_per} | {epochs} | {w_pump:.2f}s | {w_consume:.2f}s |"
+            f" {w_pump / max(epochs, 1):.2f}s |"
+        )
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended pump-knob table to SCALING.md")
+
+
 if __name__ == "__main__":
-    main()
+    knob_main() if KNOB_MODE else main()
