@@ -100,10 +100,15 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
       a THIRD acquirer slips into the rename-to-restore gap, the
       restore's link fails and the displaced live holder aborts at its
       next commit fence — an honest abort, never a lost update.
-    - RELEASE is token-checked: each acquire stamps a unique token and
-      the exit unlinks only if the on-disk token is still its own, so
-      a holder that outlived its TTL cannot delete its successor's
-      lease (tests: test_expired_holder_does_not_release_successors_lease).
+    - RELEASE is token-checked through the same rename-aside discipline
+      as the break (r10): the exit renames the lease to a holder-unique
+      name, verifies the token on the file it now exclusively owns, and
+      unlinks only its own generation — a mismatched (successor's)
+      lease is hard-linked back untouched. A holder that outlived its
+      TTL can therefore never delete its successor's lease, even if the
+      successor appears between the verify and the delete
+      (tests: test_expired_holder_does_not_release_successors_lease,
+      test_release_restores_successors_lease_swapped_in_midway).
     - COMMIT FENCE: the locked bodies call :func:`check_lease` with
       the yielded token immediately before every destructive step
       (the dynamic-overwrite write, the manifest dump) — a slow but
@@ -111,8 +116,12 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
       committing a stale snapshot over its successor's work.
 
     Residuals (documented, inherent to filesystem locks — a real
-    deployment's storage-side conditional ops close these): release's
-    read-then-unlink leaves a window the size of one small operation.
+    deployment's storage-side conditional ops close these): both the
+    break and the release verify-then-act through a rename-aside (r10),
+    so neither ever destroys a live successor's lease — the remaining
+    window is the rename-to-restore gap, during which the lease name is
+    briefly absent and a slipped-in acquirer displaces the live holder
+    into an honest fence abort (never a lost update).
     The fence-then-write window is NOT small (r10 doc correction, r09
     review): ``check_lease`` runs before the Spark write job starts,
     but dynamic partition overwrite performs its destructive swap at
@@ -220,14 +229,33 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
     try:
         yield token
     finally:
-        # token-checked release: only our own generation is removed
-        try:
-            with open(path) as f:
-                cur = json.load(f)
-            if cur.get("token") == token:
-                os.unlink(path)
-        except (FileNotFoundError, json.JSONDecodeError, OSError):
-            pass
+        # token-checked release via rename-aside (r10 — the same
+        # discipline as the break path: a bare read-token-then-unlink
+        # leaves a window where a TTL-break + re-acquire swaps in a
+        # successor's lease between the two steps and the unlink
+        # deletes it). Renaming first makes verify-then-delete atomic
+        # on a file this holder exclusively owns; a mismatched token
+        # is hard-linked back untouched.
+        rel = f"{path}.release.{token}"
+        renamed = False
+        with contextlib.suppress(OSError):
+            os.rename(path, rel)
+            renamed = True
+        if renamed:
+            mine = False
+            with contextlib.suppress(
+                json.JSONDecodeError, ValueError, OSError
+            ):
+                with open(rel) as f:
+                    mine = json.load(f).get("token") == token
+            if not mine:
+                # a successor's live lease: restore it (link, not
+                # rename — never clobber a third acquirer's newer
+                # lease; a displaced holder aborts at its fence)
+                with contextlib.suppress(OSError):
+                    os.link(rel, path)
+            with contextlib.suppress(OSError):
+                os.unlink(rel)
 
 
 def check_lease(out_dir: str, token: str) -> None:

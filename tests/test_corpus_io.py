@@ -950,3 +950,44 @@ def test_streaming_upsert_survives_interleaved_maintenance(spark):
         finally:
             wedged.__exit__(None, None, None)
         shutil.rmtree(os.path.join(base, "ck_wedge"), ignore_errors=True)
+
+
+def test_release_restores_successors_lease_swapped_in_midway(
+    monkeypatch, tmp_path
+):
+    """The release-side twin of the break TOCTOU (r10): an expired
+    holder's exit used to read the token and unlink in two steps — a
+    TTL-break + re-acquire landing BETWEEN them got its fresh lease
+    deleted. Release now renames aside first; inject the swap inside
+    the holder's read->rename gap and require the successor's lease
+    back on disk, untouched, with no aside debris."""
+    import json as _json
+    import time as _time
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    lease_path = os.path.join(out, corpus_io.LEASE)
+    real_rename = os.rename
+    fired = []
+
+    def rename_with_race(src, dst):
+        if src == lease_path and ".release." in dst and not fired:
+            fired.append(True)
+            # inside the holder's exit: a breaker + successor replace
+            # the (TTL-expired) lease before the rename lands
+            with open(lease_path, "w") as f:
+                _json.dump(
+                    {"purpose": "successor", "pid": 1,
+                     "acquired_at": _time.time(), "ttl_sec": 3600,
+                     "token": "successor-tok"}, f,
+                )
+        return real_rename(src, dst)
+
+    holder = corpus_io.corpus_lease(out, "expired-holder", ttl_sec=0.0)
+    holder.__enter__()
+    monkeypatch.setattr(corpus_io.os, "rename", rename_with_race)
+    holder.__exit__(None, None, None)
+    assert fired, "race injection never ran"
+    with open(lease_path) as f:  # successor's lease survived the exit
+        assert _json.load(f)["token"] == "successor-tok"
+    assert not [p for p in os.listdir(out) if ".release." in p]
