@@ -122,19 +122,22 @@ def corpus_lease(out_dir: str, purpose: str, ttl_sec: float = LEASE_TTL_SEC):
     window is the rename-to-restore gap, during which the lease name is
     briefly absent and a slipped-in acquirer displaces the live holder
     into an honest fence abort (never a lost update).
-    The fence-then-write window is NOT small (r10 doc correction, r09
-    review): ``check_lease`` runs before the Spark write job starts,
-    but dynamic partition overwrite performs its destructive swap at
-    JOB COMMIT, so the unguarded span is the entire write. A TTL that
-    expires mid-job lets a successor break the lease, and whichever of
-    the two write jobs commits LAST silently wins — a lost update, not
-    an abort. Therefore ``ttl_sec`` MUST exceed the longest expected
-    maintenance job INCLUDING its write; the post-write fence each
-    writer runs converts a detected mid-job break into a loud failure
-    (manifest not updated, error says the corpus needs an audit), but
-    it cannot undo a clobbered commit. At 100 TB the storage layer's
-    conditional commit (object-store conditional PUT, metastore
-    transaction) replaces this residual entirely.
+    The fence-then-write story (r10, two steps): the r09 review found
+    the window was NOT small — dynamic partition overwrite performs
+    its destructive swap at Spark JOB COMMIT, leaving the entire write
+    job unguarded against a TTL break. The read-modify-write writers
+    (upsert / compact / layout) now commit through
+    :func:`_staged_swap_write`: the Spark job lands in a private
+    underscore-prefixed staging dir (clobbers nothing), the fence
+    re-checks the token, and only then do two renames per touched
+    partition swap the result live — the unguarded span is those
+    renames, microseconds per partition. A TTL expiring exactly inside
+    that span can still lose an update (size ``ttl_sec`` generously
+    anyway); the initial :func:`write_partitioned_corpus` REBUILD keeps
+    the plain dynamic overwrite and therefore the whole-job window —
+    it is a blind self-contained rebuild, re-run on failure. At 100 TB
+    the storage layer's conditional commit (object-store conditional
+    PUT, metastore transaction) replaces this residual entirely.
 
     Observed under contention (tests/test_corpus_io.py hammer: 3 upsert
     threads + 1 compact/layout thread, 3 cycles each, one corpus): all
@@ -360,8 +363,8 @@ def upsert_corpus(
 
     Scale shape: only the partitions PRESENT IN THE DELTA are read
     (partition-pruned scan — the bounded partition list is the one
-    driver-side collect) and only those partitions are rewritten
-    (dynamic overwrite); untouched partitions are never opened. The
+    driver-side collect) and only those partitions are swapped
+    (staged commit); untouched partitions are never opened. The
     merge itself is one co-partitioned window on the key: delta rows
     win via a deterministic priority column, never a driver-side diff.
 
@@ -370,15 +373,14 @@ def upsert_corpus(
     like ``source`` don't change for an existing doc. Moving a key
     across partitions requires rewriting both partitions explicitly.
 
-    Write safety: the merged frame is ``localCheckpoint``-ed BEFORE the
-    overwrite, so the write never reads from the path it is replacing
-    (the read-then-overwrite-same-path pattern works on Spark 4.x but is
-    version-sensitive and would otherwise race a mid-write failure
-    against its own input; a metastore-backed deployment would stage to
-    a temp location and swap instead). After the write, the touched
-    partitions' read-back counts are CHECKED against the pre-write
-    plan's expected counts — a partial commit raises instead of being
-    blessed into the manifest.
+    Write safety (r10): the merged frame is ``localCheckpoint``-ed and
+    the commit is STAGED — the Spark write lands in a private staging
+    dir, then a token-checked fence gates two renames per touched
+    partition (:func:`_staged_swap_write`), so neither the write job
+    nor a TTL break during it can clobber a successor's work. After the
+    swap, the touched partitions' read-back counts are CHECKED against
+    the pre-write plan's expected counts — a partial commit raises
+    instead of being blessed into the manifest.
 
     Manifest refresh is INCREMENTAL: only the touched partitions are
     read back (partition-pruned scan) and their counts merged into the
@@ -483,7 +485,7 @@ def _upsert_corpus_locked(
         clause = None
         for c, v in zip(partition_cols, vals):
             # null-safe: a NULL partition value must still select its
-            # partition's existing rows, or the dynamic overwrite would
+            # partition's existing rows, or the merged swap would
             # replace that partition with delta-only content
             eq = F.col(c).eqNullSafe(F.lit(v))
             clause = eq if clause is None else (clause & eq)
@@ -508,14 +510,14 @@ def _upsert_corpus_locked(
         for r in merged.groupBy(*partition_cols).count().collect()
     }
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-merge
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(out_dir)
+    # staged commit (r10): the Spark write lands in a private staging
+    # dir, the fence re-checks, and only then do per-partition renames
+    # swap the result live — see _staged_swap_write
+    _staged_swap_write(
+        merged, out_dir, partition_cols, sorted(expected), token,
+        max_records_per_file,
     )
-    check_lease(out_dir, token)  # post-write fence (see corpus_lease)
+    check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
     if back["partitions"] != expected:
         raise RuntimeError(
@@ -538,6 +540,78 @@ def _upsert_corpus_locked(
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
     return manifest
+
+
+def _staged_swap_write(
+    merged: DataFrame,
+    out_dir: str,
+    partition_cols: tuple[str, ...],
+    pkeys: list[str],
+    token: str,
+    max_records_per_file: int,
+) -> None:
+    """Token-checked staged commit for the read-modify-write writers
+    (r10, the real fix for the r09 review's fence-then-write finding):
+    write ``merged`` to a private underscore-prefixed staging dir
+    (invisible to Spark's reader, like _SUCCESS), THEN fence, THEN swap
+    the staged partition dirs into place with two renames per touched
+    partition. Dynamic partition overwrite performs its destructive
+    swap at Spark JOB COMMIT, which left the entire write job unguarded
+    against a TTL break; here the Spark job clobbers nothing (staging
+    is private), so the unguarded span shrinks to the renames —
+    microseconds per partition instead of the whole job.
+
+    Residuals (documented): a crash mid-swap leaves some partitions new
+    and some old, with the replaced originals intact under the trash
+    dir for recovery — comparable to dynamic overwrite's own
+    non-atomic multi-partition commit; readers racing the swap can see
+    a partition absent for one rename (same brief window dynamic
+    overwrite's commit has). A real deployment swaps a metastore
+    pointer instead — this is the local-filesystem stand-in with the
+    same protocol shape."""
+    import shutil
+
+    staging = os.path.join(out_dir, f"_staging_{token}")
+    trash = os.path.join(out_dir, f"_trash_{token}")
+    swapping = False
+    try:
+        (
+            merged.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(*partition_cols)
+            .parquet(staging)
+        )
+        for pkey in pkeys:
+            if not os.path.isdir(os.path.join(staging, pkey)):
+                # a touched partition with no staged output would LOSE
+                # data on swap; cannot happen for these writers (the
+                # merged frame carries every touched partition's rows)
+                raise RuntimeError(
+                    f"staged swap: no staged output for partition {pkey}"
+                )
+        # fence: the lease must still be ours ENTERING the swap — a
+        # TTL-broken holder aborts here having touched nothing live
+        check_lease(out_dir, token)
+        swapping = True
+        for pkey in pkeys:
+            live = os.path.join(out_dir, pkey)
+            if os.path.isdir(live):
+                tdst = os.path.join(trash, pkey)
+                os.makedirs(os.path.dirname(tdst), exist_ok=True)
+                os.rename(live, tdst)
+            else:  # new partition: ensure nested parents exist
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(os.path.join(staging, pkey), live)
+    except BaseException:
+        if not swapping:
+            # nothing live was touched: drop the private staging
+            shutil.rmtree(staging, ignore_errors=True)
+        # mid-swap failure: LEAVE staging + trash in place — the
+        # replaced originals live under the trash dir for recovery
+        raise
+    # success: drop the replaced originals and staging leftovers
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _parse_pkey(partition_cols: tuple[str, ...], pkey: str) -> tuple:
@@ -571,7 +645,7 @@ def compact_corpus(
     just the fragmented partitions, repartitions by the partition
     columns (one task -> one file per partition, with
     ``maxRecordsPerFile`` re-splitting past the target), and commits via
-    dynamic partition overwrite — the same idempotent, localCheckpoint-
+    the staged token-checked swap — the same idempotent, localCheckpoint-
     decoupled write discipline as :func:`upsert_corpus`. Content is
     preserved exactly: the post-write pruned read-back counts are
     CHECKED against the manifest (which does not change) and a mismatch
@@ -624,18 +698,11 @@ def _compact_corpus_locked(
         spark.read.parquet(out_dir).filter(pred)
     ).localCheckpoint(eager=True)  # decouple from the path being rewritten
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
-    (
-        merged.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", str(target_rows_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(out_dir)
+    _staged_swap_write(
+        merged.repartition(*[F.col(c) for c in partition_cols]),
+        out_dir, partition_cols, plan, token, target_rows_per_file,
     )
-    # post-write fence: a TTL break DURING the write job cannot be
-    # undone (the dynamic overwrite already committed) but must fail
-    # loudly here instead of returning success (corpus_lease docstring)
-    check_lease(out_dir, token)
+    check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
     expected = {k: manifest["partitions"][k] for k in plan}
     if back["partitions"] != expected:
@@ -665,7 +732,7 @@ def cluster_corpus_layout(
     row groups — and a format with file-level stats pruning skips the
     files — that a range predicate cannot match.
 
-    Content-preserving like :func:`compact_corpus`: dynamic-overwrite
+    Content-preserving like :func:`compact_corpus`: staged-swap
     commit, post-write counts checked against the (unchanged) manifest;
     a mismatch raises. Cost: one full read + range-shuffle + write of
     the corpus — the classic offline OPTIMIZE job, run at much lower
@@ -706,16 +773,12 @@ def _cluster_corpus_layout_locked(
     merged = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
     cols = [F.col(c) for c in partition_cols] + [F.col(cluster_col)]
-    (
-        merged.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", str(target_rows_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(out_dir)
+    _staged_swap_write(
+        merged.repartitionByRange(n, *cols).sortWithinPartitions(*cols),
+        out_dir, partition_cols, sorted(manifest["partitions"]), token,
+        target_rows_per_file,
     )
-    check_lease(out_dir, token)  # post-write fence (see corpus_lease)
+    check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols)
     if back["partitions"] != manifest["partitions"]:
         raise RuntimeError(

@@ -991,3 +991,78 @@ def test_release_restores_successors_lease_swapped_in_midway(
     with open(lease_path) as f:  # successor's lease survived the exit
         assert _json.load(f)["token"] == "successor-tok"
     assert not [p for p in os.listdir(out) if ".release." in p]
+
+
+def test_staged_swap_aborts_cleanly_when_lease_breaks_mid_job(
+    monkeypatch, spark
+):
+    """The r10 staged commit's whole point (r09 review: the
+    fence-then-write window used to span the entire Spark write job):
+    a TTL break + successor acquire landing DURING the write job must
+    abort at the pre-swap fence with the live corpus byte-untouched —
+    the write went to private staging, so nothing was clobbered — and
+    no _staging_/_trash_ debris left behind. Injected by swapping in a
+    successor's lease right before the in-swap fence check."""
+    import json as _json
+    import time as _time
+
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        some_dir = next(
+            os.path.join(out, d)
+            for d in sorted(os.listdir(out))
+            if d.startswith("source=")
+        )
+        before = {
+            f: os.path.getmtime(os.path.join(some_dir, f))
+            for f in os.listdir(some_dir)
+        }
+        n0 = spark.read.parquet(out).count()
+
+        real_check = corpus_io.check_lease
+        calls = []
+
+        def inject(d, tok):
+            calls.append(1)
+            if len(calls) == 2:  # the in-swap fence, after the staging write
+                with open(os.path.join(out, corpus_io.LEASE), "w") as f:
+                    _json.dump(
+                        {"purpose": "successor", "pid": 1,
+                         "acquired_at": _time.time(), "ttl_sec": 3600,
+                         "token": "successor-tok"}, f,
+                    )
+            return real_check(d, tok)
+
+        monkeypatch.setattr(corpus_io, "check_lease", inject)
+        delta = docs.limit(3).select(
+            "doc_id", F.lit("CLOBBER").alias("text"), "source"
+        )
+        with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+            corpus_io.upsert_corpus(delta, out)
+        monkeypatch.setattr(corpus_io, "check_lease", real_check)
+        # live corpus byte-untouched: same rows, same files, no CLOBBER
+        assert spark.read.parquet(out).count() == n0
+        assert (
+            spark.read.parquet(out).filter(F.col("text") == "CLOBBER").count()
+            == 0
+        )
+        after = {
+            f: os.path.getmtime(os.path.join(some_dir, f))
+            for f in os.listdir(some_dir)
+        }
+        assert before == after
+        # no staging/trash debris; successor's lease survived the exit
+        assert not [
+            d for d in os.listdir(out)
+            if d.startswith(("_staging_", "_trash_"))
+        ]
+        with open(os.path.join(out, corpus_io.LEASE)) as f:
+            assert _json.load(f)["token"] == "successor-tok"
+        os.unlink(os.path.join(out, corpus_io.LEASE))
+        assert corpus_io.verify_manifest(spark, out)
