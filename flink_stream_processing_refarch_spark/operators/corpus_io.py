@@ -285,10 +285,44 @@ def check_lease(out_dir: str, token: str) -> None:
 #: eqNullSafe; this is only about key RENDERING).
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: characters Spark Hive-escapes in partition directory names
+#: (ExternalCatalogUtils.escapePathName): control chars, DEL, and the
+#: path/glob/quote metacharacters below — rendered as %XX (upper hex).
+_HIVE_ESCAPED = set(range(0x00, 0x20)) | {0x7F} | {
+    ord(c) for c in '"#%\'*/:=?\\{[]^'
+}
+
+
+def _hive_escape(v: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ord(ch) in _HIVE_ESCAPED else ch for ch in v
+    )
+
+
+def _hive_unescape(v: str) -> str:
+    out, i = [], 0
+    hexd = "0123456789abcdefABCDEF"
+    while i < len(v):
+        if v[i] == "%" and i + 3 <= len(v) and all(
+            c in hexd for c in v[i + 1:i + 3]
+        ):
+            out.append(chr(int(v[i + 1:i + 3], 16)))
+            i += 3
+        else:
+            out.append(v[i])
+            i += 1
+    return "".join(out)
+
 
 def _pkey(partition_cols: tuple[str, ...], row) -> str:
+    """Manifest/physical key for a partition-value row: rendered exactly
+    as Spark lays the directory out (Hive escaping included, r10 — a
+    review found the staged swap and the compaction file-count glob
+    both miss partitions whose value Spark escapes, e.g. 'a%b' living
+    in 'source=a%25b'), so every os.path.join(out_dir, pkey) hits the
+    real directory."""
     return "/".join(
-        f"{c}={HIVE_NULL if row[c] is None else row[c]}"
+        f"{c}={HIVE_NULL if row[c] is None else _hive_escape(str(row[c]))}"
         for c in partition_cols
     )
 
@@ -401,6 +435,35 @@ def upsert_corpus(
         )
 
 
+def retry_on_lease_held(
+    op,
+    max_wait_sec: float = 300.0,
+    backoff_sec: float = 0.25,
+    on_held=None,
+):
+    """Run ``op()`` to completion, waiting out :class:`MaintenanceLeaseHeld`
+    with a bounded backoff — THE retry protocol for writers that must
+    tolerate legitimate lease contention (one definition; the streaming
+    upsert, the maintenance harness, and the contention tests all call
+    this, so a future change to the wait semantics happens once).
+    ``on_held`` (optional) is invoked with the exception on every held
+    retry — metrics/diagnostics hook. Bounded: re-raises the last
+    :class:`MaintenanceLeaseHeld` after ``max_wait_sec`` (a wedged
+    lease must surface as a failure, not an infinite stall — the TTL
+    break handles the crashed-holder case well before sensible
+    bounds)."""
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        try:
+            return op()
+        except MaintenanceLeaseHeld as e:
+            if on_held is not None:
+                on_held(e)
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(backoff_sec)
+
+
 def upsert_corpus_retrying(
     delta: DataFrame,
     out_dir: str,
@@ -408,7 +471,7 @@ def upsert_corpus_retrying(
     backoff_sec: float = 0.25,
     **kw,
 ) -> dict:
-    """:func:`upsert_corpus`, waiting out a held maintenance lease —
+    """:func:`upsert_corpus` through :func:`retry_on_lease_held` —
     the continuous-ingest form (r10, found by the interleaved-
     maintenance decade VERDICT r09 #6 called for): a streaming upsert
     acquires the lease PER EPOCH, so compaction or layout clustering
@@ -416,19 +479,12 @@ def upsert_corpus_retrying(
     make the next epoch's upsert raise and KILL the stream — pinned by
     tests/test_corpus_io.py::test_streaming_upsert_survives_interleaved_maintenance.
     A batch caller that wants fail-fast keeps calling
-    :func:`upsert_corpus`; the streaming twin's ``foreachBatch`` body
-    calls this. Bounded: raises the last :class:`MaintenanceLeaseHeld`
-    after ``max_wait_sec`` (a wedged lease must surface as a stream
-    failure, not an infinite stall — the TTL break handles the crashed-
-    holder case well before sensible bounds)."""
-    deadline = time.monotonic() + max_wait_sec
-    while True:
-        try:
-            return upsert_corpus(delta, out_dir, **kw)
-        except MaintenanceLeaseHeld:
-            if time.monotonic() > deadline:
-                raise
-            time.sleep(backoff_sec)
+    :func:`upsert_corpus`."""
+    return retry_on_lease_held(
+        lambda: upsert_corpus(delta, out_dir, **kw),
+        max_wait_sec=max_wait_sec,
+        backoff_sec=backoff_sec,
+    )
 
 
 def _upsert_corpus_locked(
@@ -616,12 +672,14 @@ def _staged_swap_write(
 
 def _parse_pkey(partition_cols: tuple[str, ...], pkey: str) -> tuple:
     """Inverse of :func:`_pkey`: 'source=web/split=train' -> values,
-    with the Hive null token mapped back to None."""
+    with the Hive null token mapped back to None and the escaping
+    undone ('/' is always escaped inside values, so the split is
+    unambiguous)."""
     vals = []
     for part, col in zip(pkey.split("/"), partition_cols):
         k, _, v = part.partition("=")
         assert k == col, (pkey, partition_cols)
-        vals.append(None if v == HIVE_NULL else v)
+        vals.append(None if v == HIVE_NULL else _hive_unescape(v))
     return tuple(vals)
 
 

@@ -38,12 +38,16 @@ tests/test_kinesis_fake.py::test_consumer_skips_redelivered_epochs.
 Assumption (same as any replayed source): the restarted pump re-splits
 the epoch identically — true for a checkpointed availableNow replay of
 the same bounded source. Since r10 this assumption is ENFORCED, not
-just documented (r09 review): each epoch commit writes a tiny
-``_epoch_manifest.json`` (file count + per-sorted-position record
-counts, computed distributed), and a redelivery whose split differs —
-different restart parallelism, changed shuffle partitioning — FAILS
-the rename step instead of silently shifting file indices and
-duplicating rows past the consumer's seen-files log
+just documented (r09 review): every epoch commit is STAGED — the Spark
+write lands in a ``_staging-e*`` dir the consumer glob can never see,
+a per-sorted-position (record count, xor-of-xxhash64(data)) fingerprint
+list is computed distributed and checked against the committed epoch's
+``_epoch_manifest.json``, and only a matching attempt swaps in (whole-
+dir rename). A redelivery whose split OR content differs — different
+restart parallelism, changed shuffle partitioning, changed source —
+FAILS with the committed epoch left byte-untouched, instead of
+silently shifting file indices and duplicating rows past the
+consumer's seen-files log
 (tests/test_kinesis_fake.py::test_redelivery_with_different_split_fails). Scale note: this module is a LOCAL TEST
 TRANSPORT; the production path is the real connector
 (``kinesis.KINESIS_FORMAT``), the fake's only job is to prove the
@@ -120,53 +124,102 @@ def write_wire_batch(
         F.current_timestamp().alias("approximateArrivalTimestamp"),
     )
     out = epoch_dir(root, stream_name, epoch_id)
-    # A prior manifest means this is a REDELIVERY: read it before the
-    # overwrite wipes the epoch dir, so the new split can be checked.
+    # STAGED epoch commit (r10 review: the old flow overwrote the
+    # committed epoch FIRST and checked the split after — a mismatched
+    # redelivery destroyed the committed records AND the manifest, so
+    # the guard self-destructed on its first firing). The Spark write
+    # lands in a staging dir the consumer glob (`records-e*` +
+    # `records-*.json`) can never see; validation, deterministic
+    # renames, and the manifest all happen there; the committed epoch
+    # is replaced only by the final directory swap.
     import glob as _glob
     import json as _json
+    import shutil as _shutil
 
-    mpath = os.path.join(out, EPOCH_MANIFEST)
     prior = None
-    if os.path.exists(mpath):
+    mpath = os.path.join(out, EPOCH_MANIFEST)
+    try:
         with open(mpath) as f:
             prior = _json.load(f)
-    records.write.mode("overwrite").json(out)
-    # Deterministic commit names: Spark's part files carry a fresh UUID
-    # per attempt, which would make a redelivered epoch look like NEW
-    # files to the consumer's seen-files log. Renaming to stable names
-    # makes redelivery path-idempotent, so consumer offsets skip it.
-    # Path idempotence assumes the redelivered epoch splits into the
-    # SAME files — enforced here (r10): per-sorted-position record
-    # counts (computed distributed; the driver collects one bounded row
-    # per file) must match the first delivery's manifest, or the rename
-    # fails loudly instead of shifting indices and duplicating rows.
-    parts = sorted(_glob.glob(os.path.join(out, "part-*")))
-    spark = batch_df.sparkSession
-    by_file = {
-        r["f"]: r["count"]
-        for r in spark.read.text(parts)
-        .select(F.input_file_name().alias("f"))
-        .groupBy("f")
-        .count()
-        .collect()
-    } if parts else {}
-    counts = [
-        int(by_file.get("file://" + p, by_file.get(p, 0))) for p in parts
-    ]
-    if prior is not None and prior["counts"] != counts:
+    except FileNotFoundError:
+        pass
+    except (_json.JSONDecodeError, ValueError, OSError) as e:
         raise RuntimeError(
-            f"wire epoch {epoch_id} redelivery split mismatch: first "
-            f"delivery committed {prior['counts']} records per file, "
-            f"this attempt produced {counts} — restart parallelism or "
-            "partitioning changed; consumer seen-file offsets would "
-            "silently duplicate rows. Re-run the pump with the original "
-            "partitioning (or wipe the epoch dir AND the consumer "
-            "checkpoint together)."
-        )
-    for i, p in enumerate(parts):
-        os.replace(p, os.path.join(out, f"records-{i:05d}.json"))
-    with open(mpath, "w") as f:
-        _json.dump({"n_files": len(parts), "counts": counts}, f)
+            f"wire epoch {epoch_id}: committed manifest {mpath} is "
+            f"unreadable ({e}) — external corruption (this writer swaps "
+            "it in atomically with the epoch). Wipe the epoch dir AND "
+            "the consumer checkpoint together, then re-pump."
+        ) from e
+    staging = os.path.join(
+        stream_dir(root, stream_name), f"_staging-e{int(epoch_id):06d}"
+    )
+    _shutil.rmtree(staging, ignore_errors=True)
+    try:
+        records.write.mode("overwrite").json(staging)
+        parts = sorted(_glob.glob(os.path.join(staging, "part-*")))
+        # Per-sorted-position file fingerprints, computed distributed
+        # (the driver collects one bounded row per file): record count
+        # plus an order-independent xor of xxhash64(data). Hashing only
+        # ``data`` makes the fingerprint redelivery-stable (arrival
+        # timestamps are service-assigned per delivery, documented
+        # above) while still catching equal-count-different-content
+        # splits that a counts-only check would wave through.
+        spark = batch_df.sparkSession
+        by_file: dict[str, tuple[int, int]] = {}
+        if parts:
+            for r in (
+                spark.read.schema(WIRE_CONTRACT).json(staging)
+                .select(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1)
+                    .alias("f"),
+                    F.xxhash64("data").alias("h"),
+                )
+                .groupBy("f")
+                .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+                .collect()
+            ):
+                by_file[r["f"]] = (int(r["n"]), int(r["x"]))
+        for p in parts:
+            if os.path.basename(p) not in by_file:
+                if os.path.getsize(p) == 0:
+                    # an empty task still writes a zero-byte part file;
+                    # fingerprint it as such
+                    by_file[os.path.basename(p)] = (0, 0)
+                else:  # non-empty file the job never saw: never commit
+                    raise RuntimeError(
+                        f"wire epoch {epoch_id}: fingerprint job missed "
+                        f"non-empty part file {p} — refusing to commit "
+                        "an unverifiable epoch"
+                    )
+        files = [list(by_file[os.path.basename(p)]) for p in parts]
+        if prior is not None and prior["files"] != files:
+            raise RuntimeError(
+                f"wire epoch {epoch_id} redelivery split mismatch: the "
+                f"committed epoch's per-file (count, content-hash) "
+                f"{prior['files']} != this attempt's {files} — restart "
+                "parallelism/partitioning or source content changed; "
+                "consumer seen-file offsets would silently duplicate or "
+                "lose rows. The COMMITTED epoch is left untouched; "
+                "re-run the pump with the original partitioning (or "
+                "wipe the epoch dir AND the consumer checkpoint "
+                "together)."
+            )
+        for i, p in enumerate(parts):
+            os.replace(p, os.path.join(staging, f"records-{i:05d}.json"))
+        tmp_m = os.path.join(staging, EPOCH_MANIFEST + ".tmp")
+        with open(tmp_m, "w") as f:
+            _json.dump({"n_files": len(parts), "files": files}, f)
+        os.replace(tmp_m, os.path.join(staging, EPOCH_MANIFEST))
+    except BaseException:
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # swap: replace the committed epoch only now, whole-dir, idempotent
+    old = f"{staging}.old"
+    _shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(out):
+        os.rename(out, old)
+    os.rename(staging, out)
+    _shutil.rmtree(old, ignore_errors=True)
 
 
 def fake_reader(spark: SparkSession, root: str, stream_name: str):

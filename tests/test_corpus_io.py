@@ -800,15 +800,13 @@ def test_lease_hammer_serializes_concurrent_writers(spark):
         CYCLES = 3
 
         def retry(op):
-            deadline = _time.monotonic() + 180
-            while True:
-                try:
-                    return op()
-                except corpus_io.MaintenanceLeaseHeld:
-                    held_retries[0] += 1
-                    if _time.monotonic() > deadline:
-                        raise
-                    _time.sleep(0.05)
+            # the production retry protocol, with a held counter
+            return corpus_io.retry_on_lease_held(
+                op, max_wait_sec=180, backoff_sec=0.05,
+                on_held=lambda _e: held_retries.__setitem__(
+                    0, held_retries[0] + 1
+                ),
+            )
 
         def upserter(t):
             try:
@@ -1065,4 +1063,50 @@ def test_staged_swap_aborts_cleanly_when_lease_breaks_mid_job(
         with open(os.path.join(out, corpus_io.LEASE)) as f:
             assert _json.load(f)["token"] == "successor-tok"
         os.unlink(os.path.join(out, corpus_io.LEASE))
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_partition_values_with_hive_escaped_chars_roundtrip(spark):
+    """r10 review: _pkey used to render 'col=value' with the RAW value,
+    but Spark Hive-escapes specials in partition directory names
+    ('a%b' lives in source=a%25b), so the staged swap aborted on a
+    phantom missing partition and compaction's file-count glob missed
+    such partitions entirely. With the escaped rendering, build ->
+    upsert -> compact -> layout all work on sources containing %, =, :
+    and # — and the manifest keys match the physical layout exactly."""
+    rows = [
+        (i, f"text {i}", src)
+        for i, src in enumerate(
+            ["a%b", "k=v", "a:b", "pre#post", "plain"] * 8
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m = corpus_io.write_partitioned_corpus(
+            docs, out, max_records_per_file=2
+        )
+        assert set(m["partitions"]) == {
+            "source=a%25b", "source=k%3Dv", "source=a%3Ab",
+            "source=pre%23post", "source=plain",
+        }
+        # every manifest key is a real directory (the review's bug)
+        for pkey in m["partitions"]:
+            assert os.path.isdir(os.path.join(out, pkey)), pkey
+        delta = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"),
+            "source",
+        )
+        corpus_io.upsert_corpus(delta, out)
+        rep = corpus_io.compact_corpus(spark, out, target_rows_per_file=100)
+        assert rep["compacted"], "escaped partitions invisible to compact"
+        corpus_io.cluster_corpus_layout(spark, out, target_rows_per_file=100)
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        assert back.filter(F.col("text").startswith("UPD ")).count() == 8
+        assert sorted(
+            r["source"] for r in back.select("source").distinct().collect()
+        ) == sorted({"a%b", "k=v", "a:b", "pre#post", "plain"})
         assert corpus_io.verify_manifest(spark, out)

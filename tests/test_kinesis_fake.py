@@ -120,11 +120,12 @@ def test_epoch_redelivery_is_idempotent(spark, tmp_path):
 def test_redelivery_with_different_split_fails(spark, tmp_path):
     """Path-idempotent redelivery assumes the restarted pump reproduces
     the SAME per-file split; since r10 the epoch manifest enforces it
-    (r09 review): a redelivery arriving with different partitioning must
-    FAIL the commit instead of shifting file indices — shifted names
-    would look NEW to the consumer's seen-files log and silently
-    duplicate rows. Same-split redelivery (the legitimate recovery
-    path) still succeeds, manifest intact."""
+    (r09 review): a redelivery arriving with different partitioning OR
+    different content must FAIL the commit instead of shifting file
+    indices — shifted names would look NEW to the consumer's seen-files
+    log and silently duplicate rows. The commit is STAGED, so a failed
+    redelivery leaves the committed epoch byte-untouched; same-split
+    redelivery (the legitimate recovery path) still succeeds."""
     import json as _json
 
     import pytest
@@ -133,21 +134,42 @@ def test_redelivery_with_different_split_fails(spark, tmp_path):
     df = spark.createDataFrame([(f"p{i}",) for i in range(8)], "value string")
     frame = kinesis.wire_frame(df).repartition(2)
     kinesis_fake.write_wire_batch(frame, 3, root, "s3")
-    mpath = os.path.join(
-        kinesis_fake.epoch_dir(root, "s3", 3), kinesis_fake.EPOCH_MANIFEST
-    )
+    edir = kinesis_fake.epoch_dir(root, "s3", 3)
+    mpath = os.path.join(edir, kinesis_fake.EPOCH_MANIFEST)
     with open(mpath) as f:
         first = _json.load(f)
-    assert first["n_files"] == 2 and sum(first["counts"]) == 8
+    assert first["n_files"] == 2
+    assert sum(n for n, _x in first["files"]) == 8
     # legitimate redelivery: identical split -> same names, no error
     kinesis_fake.write_wire_batch(frame, 3, root, "s3")
     with open(mpath) as f:
         assert _json.load(f) == first
-    # restart with DIFFERENT parallelism: the rename step must fail
+    committed = {
+        f: os.path.getsize(os.path.join(edir, f)) for f in os.listdir(edir)
+    }
+    # restart with DIFFERENT parallelism: the commit must fail...
     with pytest.raises(RuntimeError, match="split mismatch"):
         kinesis_fake.write_wire_batch(
             kinesis.wire_frame(df).repartition(4), 3, root, "s3"
         )
+    # ...and with DIFFERENT content at the same split (counts equal,
+    # payloads not): the content fingerprint must catch it too
+    df2 = spark.createDataFrame(
+        [(f"q{i}",) for i in range(8)], "value string"
+    )
+    with pytest.raises(RuntimeError, match="split mismatch"):
+        kinesis_fake.write_wire_batch(
+            kinesis.wire_frame(df2).repartition(2), 3, root, "s3"
+        )
+    # the committed epoch survived both failed redeliveries untouched
+    assert {
+        f: os.path.getsize(os.path.join(edir, f)) for f in os.listdir(edir)
+    } == committed
+    # and no staging debris remains in the stream dir
+    assert not [
+        d for d in os.listdir(os.path.join(root, "s3"))
+        if d.startswith("_staging-")
+    ]
 
 
 def test_consumer_skips_redelivered_epochs(spark, tmp_path):

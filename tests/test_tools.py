@@ -149,5 +149,22 @@ def test_float_audit_source_scan_covers_spark_only_expressions(tmp_path):
     (pkg / "clean.py").write_text(
         '"""exp(z) in a docstring only."""\nX = "floor(a * 1e6 + 0.5)"\n'
     )
+    # r10 review: non-`F` spellings must be caught too
+    (pkg / "aliased.py").write_text(
+        "from pyspark.sql import functions as sf\n"
+        "COL = sf.exp(1.0)\n"
+    )
+    (pkg / "qualified.py").write_text(
+        "import pyspark.sql.functions\n"
+        "COL = pyspark.sql.functions.pow(2.0, 3.0)\n"
+    )
+    (pkg / "fromimport.py").write_text(
+        "from pyspark.sql.functions import log\n"
+    )
     planted = float_audit.audit_sources(str(pkg))
-    assert planted == {"fakepkg/dirty.py": ["F.log", "ln"]}, planted
+    assert planted == {
+        "fakepkg/dirty.py": ["F.log", "ln"],
+        "fakepkg/aliased.py": ["F.exp"],
+        "fakepkg/qualified.py": ["F.pow"],
+        "fakepkg/fromimport.py": ["from-import of forbidden function"],
+    }, planted

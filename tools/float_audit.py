@@ -91,7 +91,24 @@ def audit_sources(pkg_root: str = _PKG) -> dict[str, list[str]]:
         rel = os.path.relpath(path, os.path.dirname(pkg_root))
         tree = ast.parse(open(path).read())
         docstrings = set()
+        # every local name bound to pyspark.sql.functions — NOT just
+        # the conventional `F` (r10 review: an `as sf` alias or a
+        # fully-qualified call would have bypassed the tripwire)
+        fn_aliases = set()
         for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name == "pyspark.sql.functions":
+                        fn_aliases.add(a.asname or "pyspark")
+            elif isinstance(node, ast.ImportFrom):
+                if node.module == "pyspark.sql":
+                    for a in node.names:
+                        if a.name == "functions":
+                            fn_aliases.add(a.asname or "functions")
+                elif node.module == "pyspark.sql.functions":
+                    for a in node.names:
+                        if a.name.lower() in FORBIDDEN:
+                            fn_aliases.add("__direct__")
             if isinstance(
                 node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
                        ast.ClassDef)
@@ -104,7 +121,19 @@ def audit_sources(pkg_root: str = _PKG) -> dict[str, list[str]]:
                     and isinstance(body[0].value.value, str)
                 ):
                     docstrings.add(id(body[0].value))
+
+        def _is_functions_module(expr) -> bool:
+            # Name bound to the functions module, or any attribute
+            # chain ending in `.functions` (pyspark.sql.functions.log)
+            if isinstance(expr, ast.Name):
+                return expr.id in fn_aliases or expr.id == "F"
+            if isinstance(expr, ast.Attribute):
+                return expr.attr == "functions"
+            return False
+
         found: set[str] = set()
+        if "__direct__" in fn_aliases:
+            found.add("from-import of forbidden function")
         for node in ast.walk(tree):
             if (
                 isinstance(node, ast.Constant)
@@ -116,8 +145,7 @@ def audit_sources(pkg_root: str = _PKG) -> dict[str, list[str]]:
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr.lower() in FORBIDDEN
-                and isinstance(node.func.value, ast.Name)
-                and node.func.value.id == "F"
+                and _is_functions_module(node.func.value)
             ):
                 found.add(f"F.{node.func.attr}")
         if found:

@@ -80,19 +80,18 @@ def timed(label: str, fn):
 
 
 def retry_held(op, counter: list[int], deadline_sec: float = 600.0):
+    """corpus_io.retry_on_lease_held with a held-retry counter — the
+    production retry protocol, not a re-implementation."""
     from flink_stream_processing_refarch_spark.operators.corpus_io import (
-        MaintenanceLeaseHeld,
+        retry_on_lease_held,
     )
 
-    deadline = time.monotonic() + deadline_sec
-    while True:
-        try:
-            return op()
-        except MaintenanceLeaseHeld:
-            counter[0] += 1
-            if time.monotonic() > deadline:
-                raise
-            time.sleep(0.2)
+    def count(_e):
+        counter[0] += 1
+
+    return retry_on_lease_held(
+        op, max_wait_sec=deadline_sec, backoff_sec=0.2, on_held=count
+    )
 
 
 def main() -> None:
