@@ -114,9 +114,12 @@ def kinesis_writer(
     """
     out = wire_frame(df)
     if endpoint and endpoint.startswith("file://"):
-        from .kinesis_fake import write_wire_batch
+        from .kinesis_fake import recover_wire_stream, write_wire_batch
 
         root = endpoint[len("file://"):]
+        # pump startup: restore any epoch a prior pump crash left
+        # mid-swap before writing anything new (r11, ADVICE r10)
+        recover_wire_stream(root, stream_name)
         return out.writeStream.foreachBatch(
             lambda batch, eid: write_wire_batch(batch, eid, root, stream_name)
         ).option("checkpointLocation", checkpoint)

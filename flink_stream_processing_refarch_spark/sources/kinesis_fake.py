@@ -39,13 +39,15 @@ Assumption (same as any replayed source): the restarted pump re-splits
 the epoch identically — true for a checkpointed availableNow replay of
 the same bounded source. Since r10 this assumption is ENFORCED, not
 just documented (r09 review): every epoch commit is STAGED — the Spark
-write lands in a ``_staging-e*`` dir the consumer glob can never see,
-a per-sorted-position (record count, xor-of-xxhash64(data)) fingerprint
-list is computed distributed and checked against the committed epoch's
-``_epoch_manifest.json``, and only a matching attempt swaps in (whole-
-dir rename). A redelivery whose split OR content differs — different
-restart parallelism, changed shuffle partitioning, changed source —
-FAILS with the committed epoch left byte-untouched, instead of
+write lands in a ``_staging-e*`` dir the consumer glob can never see, a
+per-sorted-position (record count, xor-of-xxhash64(data), sum-of-
+pmod(xxhash64(data), 2^31)) fingerprint list is computed distributed
+and checked against the committed epoch's ``_epoch_manifest.json``, and
+only a matching attempt swaps in (whole-dir rename; a pump crash
+between the swap's two renames is restored at the next pump startup by
+``recover_wire_stream``). A redelivery whose split OR content differs —
+different restart parallelism, changed shuffle partitioning, changed
+source — FAILS with the committed epoch left byte-untouched, instead of
 silently shifting file indices and duplicating rows past the
 consumer's seen-files log
 (tests/test_kinesis_fake.py::test_redelivery_with_different_split_fails). Scale note: this module is a LOCAL TEST
@@ -92,6 +94,16 @@ def shard_id_col(partition_key, shards: int = DEFAULT_SHARDS):
     MD5-of-key hash-range assignment): equal keys always co-locate."""
     return F.format_string(
         "shardId-%012d", F.pmod(F.xxhash64(partition_key), F.lit(shards))
+    )
+
+
+def _fp_equal(prior_files: list, files: list) -> bool:
+    """Manifest fingerprint comparison, tolerant of the r10 2-element
+    (count, xor) entries: a legacy committed manifest is judged on the
+    fields it recorded (count + xor); any manifest this code writes
+    carries the full (count, xor, sum) triple."""
+    return len(prior_files) == len(files) and all(
+        list(p) == list(q)[: len(p)] for p, q in zip(prior_files, files)
     )
 
 
@@ -158,14 +170,19 @@ def write_wire_batch(
         records.write.mode("overwrite").json(staging)
         parts = sorted(_glob.glob(os.path.join(staging, "part-*")))
         # Per-sorted-position file fingerprints, computed distributed
-        # (the driver collects one bounded row per file): record count
-        # plus an order-independent xor of xxhash64(data). Hashing only
-        # ``data`` makes the fingerprint redelivery-stable (arrival
-        # timestamps are service-assigned per delivery, documented
-        # above) while still catching equal-count-different-content
-        # splits that a counts-only check would wave through.
+        # (the driver collects one bounded row per file): record count,
+        # an order-independent xor of xxhash64(data), and (r11, ADVICE
+        # r10) a wrapping SUM of pmod(xxhash64(data), 2^31) — xor alone
+        # is multiplicity-blind (even-multiplicity record swaps cancel:
+        # {A,A,B} and {B,C,C} share count AND xor), the sum makes the
+        # fingerprint multiplicity-sensitive (each record adds a bounded
+        # positive term; BIGINT-safe below ~4e9 records per file).
+        # Hashing only ``data`` makes the fingerprint redelivery-stable
+        # (arrival timestamps are service-assigned per delivery,
+        # documented above) while still catching equal-count-different-
+        # content splits that a counts-only check would wave through.
         spark = batch_df.sparkSession
-        by_file: dict[str, tuple[int, int]] = {}
+        by_file: dict[str, tuple[int, int, int]] = {}
         if parts:
             for r in (
                 spark.read.schema(WIRE_CONTRACT).json(staging)
@@ -175,16 +192,20 @@ def write_wire_batch(
                     F.xxhash64("data").alias("h"),
                 )
                 .groupBy("f")
-                .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.expr("bit_xor(h)").alias("x"),
+                    F.expr("sum(pmod(h, 2147483648))").alias("s"),
+                )
                 .collect()
             ):
-                by_file[r["f"]] = (int(r["n"]), int(r["x"]))
+                by_file[r["f"]] = (int(r["n"]), int(r["x"]), int(r["s"]))
         for p in parts:
             if os.path.basename(p) not in by_file:
                 if os.path.getsize(p) == 0:
                     # an empty task still writes a zero-byte part file;
                     # fingerprint it as such
-                    by_file[os.path.basename(p)] = (0, 0)
+                    by_file[os.path.basename(p)] = (0, 0, 0)
                 else:  # non-empty file the job never saw: never commit
                     raise RuntimeError(
                         f"wire epoch {epoch_id}: fingerprint job missed "
@@ -192,7 +213,7 @@ def write_wire_batch(
                         "an unverifiable epoch"
                     )
         files = [list(by_file[os.path.basename(p)]) for p in parts]
-        if prior is not None and prior["files"] != files:
+        if prior is not None and not _fp_equal(prior["files"], files):
             raise RuntimeError(
                 f"wire epoch {epoch_id} redelivery split mismatch: the "
                 f"committed epoch's per-file (count, content-hash) "
@@ -220,6 +241,68 @@ def write_wire_batch(
         os.rename(out, old)
     os.rename(staging, out)
     _shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_wire_stream(root: str, stream_name: str) -> dict:
+    """Pump-startup recovery (r11, ADVICE r10): a pump crash between
+    the two renames of the whole-dir epoch swap (``out -> .old`` then
+    ``staging -> out``) leaves the committed epoch ABSENT from the
+    consumer glob — its content survives only under
+    ``_staging-eNNNNNN.old`` — and an ``availableNow`` consumer
+    triggering inside that window would list the stream without the
+    epoch's files and complete without them. Called by
+    ``kinesis.kinesis_writer``'s file-endpoint path before the pump
+    starts. Per leftover ``.old``:
+
+    - epoch dir missing, staging present WITH its manifest: the staging
+      dir was fully validated (the manifest is its last write) — roll
+      FORWARD (``staging -> out``), drop the ``.old``;
+    - epoch dir missing, staging absent/incomplete: roll BACK — restore
+      the displaced prior commit (``.old -> out``);
+    - epoch dir present (crash after the second rename, before the
+      ``.old`` cleanup): just drop the ``.old``.
+
+    Leftover plain staging dirs are then discarded: the epoch that was
+    being written will be REDELIVERED by the checkpointed foreachBatch
+    (its commit never reached the pump checkpoint), and the staged swap
+    validates it against the (restored) committed manifest as usual.
+
+    Transport constraint, documented: pump and consumer must not run
+    CONCURRENTLY on the fake transport — the crash window above plus
+    this recovery both assume no consumer lists the stream mid-swap.
+    The sequential pump-then-consume shape every test and entry uses
+    satisfies it; the real connector (network PutRecords) has no such
+    window."""
+    import glob as _glob
+    import shutil as _shutil
+
+    sdir = stream_dir(root, stream_name)
+    report: dict = {
+        "rolled_forward": [], "rolled_back": [],
+        "dropped_old": [], "discarded_staging": [],
+    }
+    for old in sorted(_glob.glob(os.path.join(sdir, "_staging-e*.old"))):
+        staging = old[: -len(".old")]
+        tag = os.path.basename(staging)[len("_staging-"):]
+        out = os.path.join(sdir, f"records-{tag}")
+        if not os.path.isdir(out):
+            if os.path.isfile(os.path.join(staging, EPOCH_MANIFEST)):
+                os.rename(staging, out)
+                report["rolled_forward"].append(tag)
+            else:
+                os.rename(old, out)
+                report["rolled_back"].append(tag)
+                continue  # the .old IS the restored epoch now
+        _shutil.rmtree(old, ignore_errors=True)
+        report["dropped_old"].append(tag)
+    for staging in _glob.glob(os.path.join(sdir, "_staging-e*")):
+        if staging.endswith(".old"):
+            continue
+        _shutil.rmtree(staging, ignore_errors=True)
+        report["discarded_staging"].append(
+            os.path.basename(staging)[len("_staging-"):]
+        )
+    return report
 
 
 def fake_reader(spark: SparkSession, root: str, stream_name: str):

@@ -139,7 +139,7 @@ def test_redelivery_with_different_split_fails(spark, tmp_path):
     with open(mpath) as f:
         first = _json.load(f)
     assert first["n_files"] == 2
-    assert sum(n for n, _x in first["files"]) == 8
+    assert sum(e[0] for e in first["files"]) == 8
     # legitimate redelivery: identical split -> same names, no error
     kinesis_fake.write_wire_batch(frame, 3, root, "s3")
     with open(mpath) as f:
@@ -292,3 +292,120 @@ def test_full_reference_topology_end_to_end(spark, tmp_path):
     assert res["trip_duration"].schema == spark.createDataFrame(
         [], TRIP_DURATION_SCHEMA
     ).schema
+
+
+def test_fingerprint_catches_even_multiplicity_content_swap(spark, tmp_path):
+    """ADVICE r10: xor-of-hashes is multiplicity-blind — {A,A,B} and
+    {B,C,C} share record count AND xor (the duplicated payloads cancel),
+    so an r10 manifest waved that content swap through. The wrapping SUM
+    component added in r11 is multiplicity-sensitive and must fail the
+    redelivery."""
+    import pytest
+
+    root = str(tmp_path / "streams")
+    one = spark.createDataFrame(
+        [("A",), ("A",), ("B",)], "value string"
+    )
+    kinesis_fake.write_wire_batch(
+        kinesis.wire_frame(one).repartition(1), 5, root, "s4"
+    )
+    swapped = spark.createDataFrame(
+        [("B",), ("C",), ("C",)], "value string"
+    )
+    with pytest.raises(RuntimeError, match="split mismatch"):
+        kinesis_fake.write_wire_batch(
+            kinesis.wire_frame(swapped).repartition(1), 5, root, "s4"
+        )
+    # sanity: the xor components really do collide (the sum caught it)
+    import json as _json
+
+    edir = kinesis_fake.epoch_dir(root, "s4", 5)
+    with open(os.path.join(edir, kinesis_fake.EPOCH_MANIFEST)) as f:
+        committed = _json.load(f)["files"]
+    rec = (
+        spark.read.schema(kinesis_fake.WIRE_CONTRACT)
+        .option("pathGlobFilter", "records-*.json").json(edir)
+    )
+    got = sorted(bytes(r.data).decode() for r in rec.collect())
+    assert got == ["A", "A", "B"]  # committed epoch untouched
+    assert len(committed) == 1 and len(committed[0]) == 3
+
+
+def test_legacy_two_element_manifest_still_accepted(spark, tmp_path):
+    """A manifest committed by the r10 code carries (count, xor) pairs;
+    a same-split redelivery through the r11 writer must still PASS (the
+    comparison judges a legacy manifest on the fields it recorded) and
+    re-commit the full triple."""
+    import json as _json
+
+    root = str(tmp_path / "streams")
+    df = spark.createDataFrame([(f"p{i}",) for i in range(6)], "value string")
+    frame = kinesis.wire_frame(df).repartition(2)
+    kinesis_fake.write_wire_batch(frame, 2, root, "s5")
+    edir = kinesis_fake.epoch_dir(root, "s5", 2)
+    mpath = os.path.join(edir, kinesis_fake.EPOCH_MANIFEST)
+    with open(mpath) as f:
+        m = _json.load(f)
+    legacy = {"n_files": m["n_files"], "files": [e[:2] for e in m["files"]]}
+    with open(mpath, "w") as f:
+        _json.dump(legacy, f)
+    kinesis_fake.write_wire_batch(frame, 2, root, "s5")  # redelivery: OK
+    with open(mpath) as f:
+        assert _json.load(f) == m  # full triple re-committed
+
+
+def test_pump_crash_between_swap_renames_is_recovered(spark, tmp_path):
+    """ADVICE r10: a pump crash between os.rename(out, old) and
+    os.rename(staging, out) leaves the committed epoch ABSENT from the
+    consumer glob. recover_wire_stream (run by kinesis_writer's
+    file-endpoint path at pump startup) must restore it — rolling
+    FORWARD to a fully-validated staging dir when one survived, else
+    BACK to the displaced prior commit — and discard incomplete staging
+    leftovers."""
+    import shutil
+
+    root = str(tmp_path / "streams")
+    df = spark.createDataFrame([("a",), ("b",)], "value string")
+    frame = kinesis.wire_frame(df).repartition(1)
+    for e in (0, 1, 2):
+        kinesis_fake.write_wire_batch(frame, e, root, "s6")
+    sdir = kinesis_fake.stream_dir(root, "s6")
+
+    def consumer_count():
+        return (
+            spark.read.schema(kinesis_fake.WIRE_CONTRACT)
+            .option("pathGlobFilter", "records-*.json")
+            .json(os.path.join(sdir, "records-e*"))
+            .count()
+        )
+
+    assert consumer_count() == 6
+    # epoch 0: crash with a VALIDATED staging (manifest inside) -> forward
+    out0 = kinesis_fake.epoch_dir(root, "s6", 0)
+    old0 = os.path.join(sdir, "_staging-e000000.old")
+    stg0 = os.path.join(sdir, "_staging-e000000")
+    os.rename(out0, old0)
+    shutil.copytree(old0, stg0)
+    # epoch 1: crash with staging already destroyed/incomplete -> back
+    out1 = kinesis_fake.epoch_dir(root, "s6", 1)
+    old1 = os.path.join(sdir, "_staging-e000001.old")
+    stg1 = os.path.join(sdir, "_staging-e000001")
+    os.rename(out1, old1)
+    os.makedirs(stg1)  # no manifest: incomplete
+    # epoch 2 untouched; plus a stray write-crash staging for epoch 3
+    stg3 = os.path.join(sdir, "_staging-e000003")
+    os.makedirs(stg3)
+    # the crash window is consumer-visible (epochs 0+1 missing)
+    assert consumer_count() == 2
+    report = kinesis_fake.recover_wire_stream(root, "s6")
+    assert report["rolled_forward"] == ["e000000"]
+    assert report["rolled_back"] == ["e000001"]
+    # e000001's incomplete staging is discarded too, after its rollback
+    assert sorted(report["discarded_staging"]) == ["e000001", "e000003"]
+    assert consumer_count() == 6
+    assert not [
+        d for d in os.listdir(sdir) if d.startswith("_staging-")
+    ]
+    # a same-split redelivery over the restored epochs still validates
+    kinesis_fake.write_wire_batch(frame, 0, root, "s6")
+    assert consumer_count() == 6
