@@ -3,8 +3,13 @@
 Runs every query in ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": <total sec>, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+``{"metric": ..., "value": <headline sec>, "unit": "sec",
+"queries": {headline: sec}, "sf": ..., "queries_detail": ...}``.
+The line is kept COMPACT (headline queries + totals) so it fits whole
+inside the driver's bounded stdout-tail capture (r11, VERDICT r10 #6 —
+the full 160+-entry line never fit and parsed as null); the complete
+per-query map and every raw run are committed to
+``BENCH_DETAIL_r{N}.json`` alongside.
 
 ``value`` is the summed wall time of the headline reference queries
 (q1 + q2), the number BASELINE.md's derived events/s target applies to;
@@ -135,9 +140,24 @@ def main() -> None:
         if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
     ]
     rnd = (max(prev) + 1) if prev else 0
-    with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+    detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
+    with open(os.path.join(here, detail_name), "w") as f:
         json.dump({**out, "detail": detail, "n_runs": N_RUNS}, f, indent=1)
-    print(json.dumps(out))
+    # The driver captures only a bounded TAIL of stdout (~1.9 KB), so a
+    # single line carrying all 160+ per-query timings never fit and
+    # BENCH_r*.json recorded "parsed": null for three rounds (VERDICT
+    # r10 #6). Print ONE COMPACT line instead — headline queries,
+    # totals, and a pointer to the committed detail artifact, which
+    # holds the full per-query map (and every raw run) as before.
+    print(json.dumps({
+        **{k: out[k] for k in (
+            "metric", "value", "unit", "sf", "total_sec", "events_rows",
+            "events_per_sec_headline", "loadavg_before", "loadavg_after",
+        )},
+        "queries": {q: timings[q] for q in HEADLINE if q in timings},
+        "n_queries": len(timings),
+        "queries_detail": detail_name,
+    }))
 
 
 if __name__ == "__main__":
