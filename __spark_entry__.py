@@ -52,35 +52,81 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r10 rotation — for the first round, the window IS the mechanical plan
-# emitted by ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7):
-# changed-this-round entries first in registry order, then every other
-# entry ranked by oldest last-green round (registry order as tiebreak),
-# first 50 win. The r10 changed set (6 entries):
-#   - q1_kinesis_wire: the wire fake now enforces identical epoch
-#     splits on redelivery via a per-epoch manifest
-#     (sources/kinesis_fake.py);
-#   - the four corpus write-path entries: the lease break path re-judges
-#     the aside file before destroying it (TOCTOU fix) and every writer
-#     runs a post-write fence (operators/corpus_io.py);
-#   - tfidf_top_terms: the deferred detmath migration landed — score
-#     quantized to micro-units through the staged deterministic ln
-#     (operators/corpus.py::tfidf_micro_stages), float_audit allowlist
-#     now empty.
-# The remaining 44 slots are the staleness sweep (VERDICT r09 #2): all
-# 24 remaining r03-green rows, all 19 r04-green rows, and the first
-# r05 row (split_leakage) — after r10 no entry's external-driver
-# evidence predates r04 except the nine r05 stragglers queued next.
-# Everything rotated out is r08/r09-green over an r10-unchanged plan
-# (LEDGER.md); per-round rotation rationale lives in the git history of
-# this file.
+# r11 rotation — the window IS the mechanical plan emitted by
+# ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7): changed-this-
+# round entries first in registry order, then never-proven entries, then
+# every other entry ranked by oldest last-green round (registry order as
+# tiebreak), first 50 win. The r11 changed set (5 entries):
+#   - q1_kinesis_wire: the epoch fingerprint gains a multiplicity-
+#     sensitive sum component and the pump recovers a crash left
+#     between the epoch swap's two renames (sources/kinesis_fake.py,
+#     ADVICE r10);
+#   - the four corpus write-path entries: corpus read-backs disable
+#     partition-type inference so manifest keys always match the
+#     physical dirs, the staged swap records its intent for
+#     recover_corpus's undo-log rollback, and the break counters are
+#     lock-protected (operators/corpus_io.py, ADVICE r10 + VERDICT r10
+#     #4).
+# Slot 6 is media_decode_wav, NEW this round (real stdlib-wave decode
+# through decode_real — VERDICT r10 #8). The remaining 44 slots finish
+# the staleness sweep (VERDICT r10 #1): all 7 r05-green rows, all 10
+# r06, all 10 r07, and the 17 oldest r08 rows — after r11 no entry's
+# external-driver evidence predates r08. Everything rotated out is
+# r08+-green over an r11-unchanged plan (LEDGER.md); per-round rotation
+# rationale lives in the git history of this file.
 PRIORITY = [
-    # ---- slots 1-50: the r10 driver window (== LEDGER next-window) ----
+    # ---- slots 1-50: the r11 driver window (== LEDGER next-window) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
     "corpus_compact_roundtrip",
     "corpus_layout_roundtrip",
+    "media_decode_wav",
+    "dedup_minhash_lsh",
+    "session_windows_streaming",
+    "stateful_sessionize",
+    "tws_user_totals",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "streaming_dedup",
+    "trending_cells",
+    "dedup_clusters",
+    "heavy_hitters_cms",
+    "dup_source_matrix",
+    "feature_hashing",
+    "quantile_histogram",
+    "curriculum_order",
+    "vocab_coverage",
+    "decontaminate_streaming",
+    "heavy_hitters_streaming",
+    "large_orders",
+    "top_supplier",
+    "part_promotion",
+    "supplier_part_variety",
+    "ann_lsh_multiprobe",
+    "semantic_dedup",
+    "kmeans_clusters",
+    "memorization_risk",
+    "winnow_fingerprints",
+    "dedup_incremental",
+    "q1_pickup_count",
+    "q2_trip_duration",
+    "q1_streaming",
+    "q2_streaming",
+    "taxi_pipeline_single_pass",
+    "trending_cells_streaming",
+    "market_share",
+    "returned_customers",
+    "order_priority",
+    "unshipped_revenue",
+    "trade_volume",
+    "prospect_customers",
+    "product_profit",
+    "lonely_returns",
+    "min_cost_supplier",
+    "order_count_distribution",
+    "small_lot_revenue",
+    # ---- past the window: r08+-green over unchanged plans ----
     "tfidf_top_terms",
     "repetition_score",
     "length_histogram",
@@ -126,9 +172,6 @@ PRIORITY = [
     "ngram_jaccard",
     "doc_chunks",
     "split_leakage",
-    # ---- entries below are past the driver's 50-entry window ----
-    # (each holds its last driver-green row in LEDGER.md and stays
-    # in the every-round full-registry selfcheck)
     "source_drift",
     "source_drift_streaming",
     "importance_resampling",
@@ -174,23 +217,6 @@ PRIORITY = [
     "scalar_below_avg",
     "trips_clean",
     "airport_trips",
-    "q1_pickup_count",
-    "q2_trip_duration",
-    "q1_streaming",
-    "q2_streaming",
-    "taxi_pipeline_single_pass",
-    "trending_cells_streaming",
-    "market_share",
-    "returned_customers",
-    "order_priority",
-    "unshipped_revenue",
-    "trade_volume",
-    "prospect_customers",
-    "product_profit",
-    "lonely_returns",
-    "min_cost_supplier",
-    "order_count_distribution",
-    "small_lot_revenue",
     "brand_volume_revenue",
     "late_shipments",
     "important_parts",
@@ -213,33 +239,6 @@ PRIORITY = [
     "knn_label_accuracy",
     "ann_recall_eval",
     "corpus_ingest_streaming",
-    "large_orders",
-    "top_supplier",
-    "part_promotion",
-    "supplier_part_variety",
-    "ann_lsh_multiprobe",
-    "semantic_dedup",
-    "kmeans_clusters",
-    "memorization_risk",
-    "winnow_fingerprints",
-    "dedup_incremental",
-    "trending_cells",
-    "dedup_clusters",
-    "heavy_hitters_cms",
-    "dup_source_matrix",
-    "feature_hashing",
-    "quantile_histogram",
-    "curriculum_order",
-    "vocab_coverage",
-    "decontaminate_streaming",
-    "heavy_hitters_streaming",
-    "dedup_minhash_lsh",
-    "session_windows_streaming",
-    "stateful_sessionize",
-    "tws_user_totals",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "streaming_dedup",
 ]
 
 
