@@ -213,10 +213,10 @@ def main() -> None:
     lines = [
         "",
         f"## Interleaved maintenance at the decade (x{REPLICAS} documents"
-        " composite) — r10",
+        " composite)",
         "",
         f"Generated by `tools/scale_maintenance.py {REPLICAS}`"
-        f" ({n_docs:,} docs, 20 source partitions, fragmented at"
+        f" ({n_docs:,} docs, {N_SRC_FILES} source partitions, fragmented at"
         f" {FRAG_ROWS} rows/file). Compaction + layout clustering run"
         " WHILE the streaming upsert twin is mid-stream"
         f" ({epochs[0]} epochs, each leaving small files); all three"
