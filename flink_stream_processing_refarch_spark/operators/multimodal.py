@@ -400,12 +400,90 @@ FROM documents
 """
 
 
+def _encode_pnm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a GENUINE PNM image per doc — PGM (P5, grayscale) for
+    even doc_ids, PPM (P6, RGB) for odd — width = the doc's utf-8 byte
+    count, height 1, maxval 255, with a '#' comment in the header so the
+    decode exercises the comment parser. The raster is the doc's bytes
+    (PGM) or the bytes thrice (PPM: width*1*3 raster bytes), so every
+    decoded value is SQL-reproducible from the text."""
+    for pdf in it:
+        out = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(b)
+            if int(doc_id) % 2 == 0:
+                out.append(b"P5\n# synthetic r11\n%d 1\n255\n" % len(b) + b)
+            else:
+                out.append(
+                    b"P6\n# synthetic r11\n%d 1\n255\n" % len(b) + b * 3
+                )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": out})
+
+
+def _decode_pnm_stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: every img value is parsed by the pure PNM codec via
+    :func:`decode_real` (kind='image')."""
+    for pdf in it:
+        rows: dict = {
+            "doc_id": [], "format": [], "width": [], "height": [],
+            "maxval": [], "n_channels": [], "raster_md5": [],
+        }
+        for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+            meta = decode_real(bytes(img), "image")
+            rows["doc_id"].append(doc_id)
+            rows["format"].append(meta["format"])
+            rows["width"].append(meta["width"])
+            rows["height"].append(meta["height"])
+            rows["maxval"].append(meta["maxval"])
+            rows["n_channels"].append(meta["n_channels"])
+            rows["raster_md5"].append(
+                hashlib.md5(meta["raster"]).hexdigest()
+            )
+        yield pd.DataFrame(rows)
+
+
+def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec IMAGE decode proof (r11): the payload is a genuine
+    PNM file synthesized executor-side — PGM for even doc_ids, PPM for
+    odd, each with a '#' header comment — and decoded back through
+    ``decode_real``'s pure PNM parser. The symmetric twin of
+    ``media_decode_wav``: together they exercise both real in-sandbox
+    codecs (audio + image) under driver hash-check, while formats with
+    no available codec keep the NotImplementedError stub."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    img = docs.mapInPandas(_encode_pnm, schema="doc_id long, img binary")
+    return img.mapInPandas(
+        _decode_pnm_stage,
+        schema=(
+            "doc_id long, format string, width long, height long,"
+            " maxval long, n_channels long, raster_md5 string"
+        ),
+    )
+
+
+MEDIA_DECODE_PPM_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'ppm' END AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+         AS n_channels,
+       CASE WHEN doc_id % 2 = 0 THEN md5(text)
+            ELSE md5(text || text || text) END AS raster_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "media_decode_wav": q_media_decode_wav,
+    "media_decode_ppm": q_media_decode_ppm,
 }
 
 ORACLES = {
@@ -414,4 +492,5 @@ ORACLES = {
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "media_decode_wav": MEDIA_DECODE_WAV_SQL,
+    "media_decode_ppm": MEDIA_DECODE_PPM_SQL,
 }
