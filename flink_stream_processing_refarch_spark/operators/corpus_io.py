@@ -796,7 +796,10 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
     freshly-crashed holder's lease may still be on disk un-expired —
     recovery then raises :class:`MaintenanceLeaseHeld` until the TTL
     passes (the same arbitration every writer gets; a crashed holder IS
-    indistinguishable from a slow one until its TTL).
+    indistinguishable from a slow one until its TTL) — pinned
+    cross-process by ``test_recover_corpus_after_sigkilled_writer``,
+    which SIGKILLs a real mid-swap holder so nothing releases the
+    lease, then recovers past the aged-out TTL.
 
     With ``spark`` given, finishes with a full
     :func:`verify_manifest` read-back and raises on mismatch; without

@@ -1369,3 +1369,120 @@ def test_lease_hammer_across_processes(tmp_path):
     assert sum(r["held_retries"] for r in results) > 0
     assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
     assert not [p for p in os.listdir(out) if ".broken." in p]
+
+
+def _mp_sigkill_mid_swap_worker(out_dir: str, ready_file: str) -> None:
+    """SIGKILL target (module-level: a spawn target must be
+    importable): acquire the REAL lease, then reproduce
+    ``_staged_swap_write``'s exact on-disk sequence — staged partition
+    + ``_swaplist.json``, fence, empty-trash marker, live->trash
+    rename — and halt between a partition's two renames, signalling
+    the parent and sleeping until SIGKILLed. Unlike the monkeypatched
+    crash tests, NOTHING after the kill runs: no except path, no
+    context-manager release — the lease stays on disk exactly as a
+    machine crash would leave it."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from flink_stream_processing_refarch_spark.operators import corpus_io
+
+    lease = corpus_io.corpus_lease(out_dir, "upsert")
+    token = lease.__enter__()  # deliberately never exited
+    staging = os.path.join(out_dir, f"_staging_{token}")
+    trash = os.path.join(out_dir, f"_trash_{token}")
+    pkey = "source=s0"
+    shutil.copytree(os.path.join(out_dir, pkey), os.path.join(staging, pkey))
+    with open(os.path.join(staging, corpus_io.SWAPLIST), "w") as f:
+        json.dump([pkey], f)
+    corpus_io.check_lease(out_dir, token)
+    os.makedirs(trash, exist_ok=True)
+    os.rename(os.path.join(out_dir, pkey), os.path.join(trash, pkey))
+    with open(ready_file, "w") as f:
+        f.write(token)
+    time.sleep(300)  # parent SIGKILLs here
+
+
+def test_recover_corpus_after_sigkilled_writer(spark):
+    """r11: true cross-process kill-mid-swap recovery. The
+    monkeypatched crash tests raise INSIDE the writer, so the lease
+    context manager still releases on the way out; a SIGKILL runs
+    nothing — the dead holder's lease survives on disk. recover_corpus
+    must then refuse with MaintenanceLeaseHeld while the lease is
+    un-expired (a crashed holder is indistinguishable from a slow one
+    until its TTL — the documented arbitration), and after the TTL
+    passes it must break the lease, roll the mixed state back to the
+    last committed corpus, and leave it writable."""
+    import json as _json
+    import multiprocessing as mp
+    import time as _time
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"base {i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        before = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in spark.read.parquet(out).collect()
+        }
+        ready = os.path.join(base, "ready")
+        ctx = mp.get_context("spawn")
+        p = ctx.Process(
+            target=_mp_sigkill_mid_swap_worker, args=(out, ready)
+        )
+        p.start()
+        try:
+            for _ in range(1200):
+                if os.path.exists(ready):
+                    break
+                _time.sleep(0.05)
+            else:
+                pytest.fail("child never reached the mid-swap window")
+        finally:
+            p.kill()  # SIGKILL: no finally blocks, no lease release
+            p.join(30)
+        lease_path = os.path.join(out, corpus_io.LEASE)
+        assert os.path.exists(lease_path), "SIGKILL should leave the lease"
+        assert not os.path.isdir(os.path.join(out, "source=s0"))
+        # fresh dead holder == slow holder: recovery must WAIT, not act
+        with pytest.raises(corpus_io.MaintenanceLeaseHeld):
+            corpus_io.recover_corpus(out, spark)
+        # ... and must not have touched the crash state while refusing
+        assert not os.path.isdir(os.path.join(out, "source=s0"))
+        # fast-forward time: age the dead holder's lease past its TTL
+        with open(lease_path) as f:
+            held = _json.load(f)
+        held["acquired_at"] = _time.time() - 2 * float(held["ttl_sec"])
+        with open(lease_path, "w") as f:
+            _json.dump(held, f)
+        breaks0 = corpus_io.BREAK_COUNT
+        report = corpus_io.recover_corpus(out, spark)
+        assert corpus_io.BREAK_COUNT == breaks0 + 1  # stale lease broken
+        assert report["rolled_back"]
+        assert "source=s0" in report["restored"]
+        after = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert after == before
+        assert corpus_io.verify_manifest(spark, out)
+        assert not [
+            d for d in os.listdir(out)
+            if d.startswith(("_staging_", "_trash_"))
+        ]
+        assert not os.path.exists(lease_path)
+        # the corpus is writable again: re-run of the failed op works
+        delta = spark.createDataFrame(
+            [(0, "UPD base 0", "s0")],
+            "doc_id long, text string, source string",
+        )
+        corpus_io.upsert_corpus(delta, out)
+        assert spark.read.parquet(out).filter(
+            F.col("doc_id") == 0
+        ).collect()[0]["text"] == "UPD base 0"
