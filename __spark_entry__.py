@@ -67,15 +67,16 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 #     recover_corpus's undo-log rollback, and the break counters are
 #     lock-protected (operators/corpus_io.py, ADVICE r10 + VERDICT r10
 #     #4).
-# Slots 6-7 are media_decode_wav and media_decode_ppm, NEW this round
-# (real in-sandbox codec decode through decode_real — stdlib wave for
-# audio, the pure PNM parser for images — VERDICT r10 #8). The
-# remaining 43 slots run the staleness sweep (VERDICT r10 #1): all 7
-# r05-green rows, all 10 r06, all 10 r07, and the 16 oldest r08 rows —
-# after r11 no entry's external-driver evidence predates r08.
-# Everything rotated out is r08+-green over an r11-unchanged plan
-# (LEDGER.md); per-round rotation rationale lives in the git history of
-# this file.
+# Slots 6-8 are NEW this round: corpus_recover_roundtrip (the
+# crash-recovery rollback driver-hash-checked end-to-end — VERDICT r10
+# #4) and media_decode_wav / media_decode_ppm (real in-sandbox codec
+# decode through decode_real — stdlib wave for audio, the pure PNM
+# parser for images — VERDICT r10 #8). The remaining 42 slots run the
+# staleness sweep (VERDICT r10 #1): all 7 r05-green rows, all 10 r06,
+# all 10 r07, and the 15 oldest r08 rows — after r11 no entry's
+# external-driver evidence predates r08. Everything rotated out is
+# r08+-green over an r11-unchanged plan (LEDGER.md); per-round rotation
+# rationale lives in the git history of this file.
 PRIORITY = [
     # ---- slots 1-50: the r11 driver window (== LEDGER next-window) ----
     "q1_kinesis_wire",
@@ -83,6 +84,7 @@ PRIORITY = [
     "corpus_upsert_streaming",
     "corpus_compact_roundtrip",
     "corpus_layout_roundtrip",
+    "corpus_recover_roundtrip",
     "media_decode_wav",
     "media_decode_ppm",
     "dedup_minhash_lsh",

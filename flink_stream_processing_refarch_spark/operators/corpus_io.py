@@ -1298,11 +1298,83 @@ def q_corpus_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_layout_roundtrip.stateful_build = True
 
 
+def q_corpus_recover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the CRASH-RECOVERY path (r11): build a
+    corpus, then construct on disk the exact mixed state a writer
+    killed mid staged-swap leaves behind — the first partition's
+    original displaced into ``_trash_{token}`` with a CORRUPT staged
+    version swapped in live, a corrupt NEW partition already swapped
+    in, the staged ``_swaplist.json`` naming both, and the dead
+    holder's lease still on disk with its TTL long expired. Then
+    :func:`recover_corpus` must break the stale lease, restore the
+    displaced original, remove the swapped-in new partition, discard
+    the leftovers, and re-verify the manifest by read-back — and the
+    committed files the driver hashes must equal the PRISTINE
+    documents table (the oracle): rollback means none of the corrupt
+    bytes survive. The in-entry report check raises if the rollback
+    didn't restore/remove exactly the two staged partitions, so a
+    silently-wrong recovery fails the driver row loudly. The
+    SIGKILL-arbitration half (a FRESH dead holder must be waited out,
+    never acted on) is pinned cross-process in
+    ``tests/test_corpus_io.py::test_recover_corpus_after_sigkilled_writer``."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_rc_")
+    write_partitioned_corpus(docs, out)
+    with open(os.path.join(out, MANIFEST)) as f:
+        victim = sorted(_json.load(f)["partitions"])[0]
+    vsrc = _hive_unescape(victim.split("=", 1)[1])
+    token = "crashed"
+    staging = os.path.join(out, f"_staging_{token}")
+    trash = os.path.join(out, f"_trash_{token}")
+    new_key = "source=zzcrash"
+    # the would-be committed data, none of which may survive rollback
+    docs.filter(F.col("source") == vsrc).select(
+        "doc_id", F.concat(F.lit("LOST: "), F.col("text")).alias("text")
+    ).write.parquet(os.path.join(staging, victim))
+    docs.limit(7).select(
+        "doc_id", F.lit("LOST NEW").alias("text")
+    ).write.parquet(os.path.join(out, new_key))  # new partition, swapped in
+    with open(os.path.join(staging, SWAPLIST), "w") as f:
+        _json.dump([victim, new_key], f)
+    os.makedirs(trash, exist_ok=True)
+    os.rename(os.path.join(out, victim), os.path.join(trash, victim))
+    os.rename(os.path.join(staging, victim), os.path.join(out, victim))
+    with open(os.path.join(out, LEASE), "w") as f:  # dead holder, TTL aged out
+        _json.dump({
+            "purpose": "upsert", "pid": 0,
+            "acquired_at": _time.time() - 7200.0, "ttl_sec": 3600.0,
+            "token": token,
+        }, f)
+    report = recover_corpus(out, spark)
+    if (victim not in report["restored"]
+            or new_key not in report["removed_new"]
+            or report["rolled_back"] != [token]):
+        raise RuntimeError(
+            f"recover roundtrip: unexpected rollback report {report}"
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_recover_roundtrip.stateful_build = True
+
+
 QUERIES = {
     "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
     "corpus_layout_roundtrip": q_corpus_layout_roundtrip,
+    "corpus_recover_roundtrip": q_corpus_recover_roundtrip,
 }
 
 ORACLES = {
@@ -1314,4 +1386,7 @@ ORACLES = {
     "corpus_compact_roundtrip": _CORPUS_COMPACT_SQL,
     # likewise for range clustering (the disjointness proof is in-entry)
     "corpus_layout_roundtrip": _CORPUS_COMPACT_SQL,
+    # rollback restores the pre-crash corpus exactly: the committed
+    # content is the pristine table (the report check is in-entry)
+    "corpus_recover_roundtrip": _CORPUS_COMPACT_SQL,
 }
