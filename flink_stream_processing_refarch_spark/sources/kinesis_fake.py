@@ -305,6 +305,130 @@ def recover_wire_stream(root: str, stream_name: str) -> dict:
     return report
 
 
+def verify_wire_stream(
+    spark: SparkSession, root: str, stream_name: str
+) -> dict:
+    """Consumer-side integrity audit (r11) — the fsck analog of
+    ``corpus_io.verify_manifest`` for the wire transport: recompute
+    every committed epoch's per-file (count, xor, sum) content
+    fingerprints and compare them against the epoch's
+    ``_epoch_manifest.json``. The pump checks fingerprints only at
+    REDELIVERY time; this audits the stream at rest, catching on-disk
+    corruption, a truncated/lost record file, or a hand-edited epoch
+    before a consumer replays it.
+
+    Scale shape: ONE distributed Spark job over the whole stream (all
+    epochs' ``records-*.json`` in a single multi-path read, grouped by
+    (epoch dir, file) from ``input_file_name``), with one bounded row
+    per committed file collected to the driver — never a per-epoch job
+    loop, so the audit costs a single scan regardless of epoch count.
+
+    Legacy tolerance: 2-element (count, xor) manifests committed by the
+    r10 writer are judged on the fields they recorded (``_fp_equal``);
+    an epoch with NO manifest (pre-r10 stream) is reported in
+    ``unverifiable``, not failed. Raises ``RuntimeError`` naming every
+    mismatched epoch if any fingerprint disagrees; returns
+    ``{"epochs", "verified", "unverifiable", "files", "records"}``."""
+    import glob as _glob
+    import json as _json
+
+    sdir = stream_dir(root, stream_name)
+    epochs = sorted(
+        d for d in _glob.glob(os.path.join(sdir, "records-e*"))
+        if os.path.isdir(d)
+    )
+    manifests: dict[str, dict] = {}
+    listed: dict[str, list[str]] = {}
+    unverifiable: list[str] = []
+    for ed in epochs:
+        name = os.path.basename(ed)
+        try:
+            with open(os.path.join(ed, EPOCH_MANIFEST)) as f:
+                manifests[name] = _json.load(f)
+        except FileNotFoundError:
+            unverifiable.append(name)
+            continue
+        except (_json.JSONDecodeError, ValueError, OSError) as e:
+            raise RuntimeError(
+                f"wire stream {stream_name}: epoch {name} manifest is "
+                f"unreadable ({e}) — external corruption"
+            ) from e
+        listed[name] = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(ed, "records-*.json"))
+        )
+    by: dict[str, dict[str, tuple[int, int, int]]] = {}
+    paths = [
+        os.path.join(sdir, e, "records-*.json")
+        for e in manifests
+        if listed[e]
+    ]
+    if paths:
+        rows = (
+            spark.read.schema(WIRE_CONTRACT).json(paths)
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -2)
+                .alias("e"),
+                F.element_at(F.split(F.input_file_name(), "/"), -1)
+                .alias("f"),
+                F.xxhash64("data").alias("h"),
+            )
+            .groupBy("e", "f")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+                F.expr("sum(pmod(h, 2147483648))").alias("s"),
+            )
+            .collect()  # bounded: one row per committed record file
+        )
+        for r in rows:
+            by.setdefault(r["e"], {})[r["f"]] = (
+                int(r["n"]), int(r["x"]), int(r["s"])
+            )
+    mismatched: list[str] = []
+    n_files = n_records = 0
+    for e, m in manifests.items():
+        fnames = listed[e]
+        if len(fnames) != m["n_files"]:
+            mismatched.append(
+                f"{e}: manifest says {m['n_files']} files, "
+                f"{len(fnames)} on disk"
+            )
+            continue
+        got = []
+        for fn in fnames:
+            t = by.get(e, {}).get(fn)
+            if t is None:
+                # an empty task's zero-byte part file yields no rows
+                if os.path.getsize(os.path.join(sdir, e, fn)) == 0:
+                    t = (0, 0, 0)
+                else:
+                    t = (-1, -1, -1)  # non-empty but unread: mismatch
+            got.append(list(t))
+        n_files += len(got)
+        n_records += sum(g[0] for g in got if g[0] > 0)
+        if not _fp_equal(m["files"], got):
+            mismatched.append(
+                f"{e}: committed fingerprints {m['files']} != "
+                f"recomputed {got}"
+            )
+    if mismatched:
+        raise RuntimeError(
+            f"wire stream {stream_name} failed the at-rest integrity "
+            f"audit — {len(mismatched)} epoch(s) diverge from their "
+            "committed manifests (corruption or hand-editing after "
+            "commit; the pump's redelivery guard cannot have done "
+            "this):\n  " + "\n  ".join(mismatched)
+        )
+    return {
+        "epochs": len(epochs),
+        "verified": len(manifests),
+        "unverifiable": unverifiable,
+        "files": n_files,
+        "records": n_records,
+    }
+
+
 def fake_reader(spark: SparkSession, root: str, stream_name: str):
     """Configured DataStreamReader over the fake stream directory —
     ``.load()`` yields the connector's record contract (``data`` decoded

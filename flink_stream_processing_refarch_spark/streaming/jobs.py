@@ -346,6 +346,19 @@ def q1_kinesis_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         _replay.replay(spark, sf_dir, wire_dir, adapt="ORIGINAL")
         endpoint = f"file://{os.path.join(base, 'streams')}"
         pump_wire_to_kinesis(spark, wire_dir, endpoint)
+        # at-rest integrity audit before consuming (r11): every committed
+        # epoch's content fingerprints re-verified against its manifest
+        # in one distributed job — a corrupted transport fails this
+        # driver row loudly instead of hashing wrong results
+        from ..sources.kinesis_fake import verify_wire_stream
+
+        audit = verify_wire_stream(
+            spark, os.path.join(base, "streams"), "taxi-trips"
+        )
+        if audit["unverifiable"]:
+            raise RuntimeError(
+                f"wire audit: unverifiable epochs {audit['unverifiable']}"
+            )
         records = kinesis_reader(
             spark, "taxi-trips", "local", endpoint=endpoint
         ).load()

@@ -409,3 +409,59 @@ def test_pump_crash_between_swap_renames_is_recovered(spark, tmp_path):
     # a same-split redelivery over the restored epochs still validates
     kinesis_fake.write_wire_batch(frame, 0, root, "s6")
     assert consumer_count() == 6
+
+
+def test_verify_wire_stream_at_rest_audit(spark, tmp_path):
+    """r11: the at-rest integrity audit (fsck analog of
+    verify_manifest) — a pristine pumped stream verifies with correct
+    totals in ONE distributed job; corrupting a committed record file
+    fails naming the epoch; a manifest-less (pre-r10) epoch is reported
+    unverifiable, not failed; a legacy 2-element manifest is judged on
+    the fields it recorded."""
+    import json as _json
+
+    import pytest
+
+    root = str(tmp_path / "streams")
+    a = spark.createDataFrame([("A",), ("B",), ("C",)], "value string")
+    b = spark.createDataFrame([("D",), ("E",)], "value string")
+    kinesis_fake.write_wire_batch(
+        kinesis.wire_frame(a).repartition(2), 0, root, "s7"
+    )
+    kinesis_fake.write_wire_batch(
+        kinesis.wire_frame(b).repartition(1), 1, root, "s7"
+    )
+    report = kinesis_fake.verify_wire_stream(spark, root, "s7")
+    assert report["epochs"] == 2 and report["verified"] == 2
+    assert report["records"] == 5 and report["unverifiable"] == []
+
+    # legacy 2-element manifest: still verifiable on count + xor
+    e1 = kinesis_fake.epoch_dir(root, "s7", 1)
+    mpath = os.path.join(e1, kinesis_fake.EPOCH_MANIFEST)
+    with open(mpath) as f:
+        m = _json.load(f)
+    with open(mpath, "w") as f:
+        _json.dump(
+            {"n_files": m["n_files"],
+             "files": [e[:2] for e in m["files"]]}, f,
+        )
+    assert kinesis_fake.verify_wire_stream(spark, root, "s7")["verified"] == 2
+
+    # manifest-less epoch (pre-r10 stream): unverifiable, no raise
+    import shutil as _shutil
+
+    e9 = os.path.join(kinesis_fake.stream_dir(root, "s7"), "records-e000009")
+    _shutil.copytree(e1, e9)
+    os.unlink(os.path.join(e9, kinesis_fake.EPOCH_MANIFEST))
+    report = kinesis_fake.verify_wire_stream(spark, root, "s7")
+    assert report["unverifiable"] == ["records-e000009"]
+
+    # corruption after commit: duplicate a record inside epoch 0's file
+    e0 = kinesis_fake.epoch_dir(root, "s7", 0)
+    victim = sorted(glob.glob(os.path.join(e0, "records-*.json")))[0]
+    with open(victim) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    with open(victim, "w") as f:
+        f.write("\n".join(lines + [lines[0]]) + "\n")
+    with pytest.raises(RuntimeError, match="records-e000000"):
+        kinesis_fake.verify_wire_stream(spark, root, "s7")
