@@ -329,7 +329,15 @@ def q1_kinesis_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything here is the production plumbing except the transport
     directory; swapping a real endpoint re-enables the connector
-    (``sources/kinesis.py``)."""
+    (``sources/kinesis.py``).
+
+    The inline ``verify_wire_stream`` audit re-scans the committed
+    stream once before consuming (~+1.5 s at sf0.1) so every driver
+    round exercises the at-rest integrity check end-to-end. That is a
+    TEST-transport choice: a production deployment runs the audit as
+    scheduled maintenance (it is one distributed job per run,
+    independent of epoch count), not inline per-consume — inlining
+    doubles the scan."""
     import shutil
     import tempfile as _tf
 
