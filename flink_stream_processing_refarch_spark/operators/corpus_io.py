@@ -354,41 +354,69 @@ def _pkey(partition_cols: tuple[str, ...], row) -> str:
     )
 
 
-#: session conf for partition-column type inference on read
-_INFER_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
-_READBACK_LOCK = threading.Lock()
-
-
-def _read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Corpus read-back with partition-column type inference DISABLED
-    (r11, ADVICE r10): a numeric-looking string partition value ('01')
-    otherwise infers to ``int 1`` on read-back, and :func:`_pkey` then
-    renders a manifest key ('source=1') that no longer matches the
-    physical directory ('source=01') — and the staged swap and
-    compaction's file-count glob both take key↔dir agreement as
-    load-bearing. With inference off, partition columns come back as
-    STRING holding exactly the (unescaped) token Spark wrote into the
-    directory name — the null token still maps to NULL — so
+def _read_corpus(
+    spark: SparkSession, out_dir: str, partition_cols: tuple[str, ...]
+) -> DataFrame:
+    """Corpus read-back with an EXPLICIT schema whose partition columns
+    are STRING (r12, VERDICT r11 #4 — replaces the r11 session-global
+    ``partitionColumnTypeInference`` conf flip, which briefly exposed
+    inference-off semantics to unrelated concurrent readers in the same
+    session). Rationale unchanged from r11 (ADVICE r10): a
+    numeric-looking string partition value ('01') otherwise infers to
+    ``int 1`` on read-back, and :func:`_pkey` then renders a manifest
+    key ('source=1') that no longer matches the physical directory
+    ('source=01') — and the staged swap and compaction's file-count
+    glob both take key↔dir agreement as load-bearing. With the
+    user-provided schema, Spark casts each parsed partition value to
+    STRING — exactly the (unescaped) token it wrote into the directory
+    name, with the Hive null token still mapping to NULL — so
     ``_pkey(read-back row)`` equals the physical layout by
-    construction. Callers that union the read-back with typed user
-    frames cast the partition columns back explicitly (upsert does).
-    The conf flip is session-global, so it is held only across the
-    eager relation resolution (file listing + partition parsing happen
-    at ``load`` time; the returned frame's schema is fixed), serialized
-    by a module lock against this module's own concurrent writers."""
-    with _READBACK_LOCK:
-        prior = spark.conf.get(_INFER_CONF, "true")
-        spark.conf.set(_INFER_CONF, "false")
-        try:
-            return spark.read.parquet(out_dir)
-        finally:
-            spark.conf.set(_INFER_CONF, prior)
+    construction, and no session conf is touched (no cross-thread
+    exposure, no lock). The data-column half of the schema comes from
+    ONE leaf file's parquet footer (first found walking the committed
+    partition dirs — a bounded metadata read; every corpus file shares
+    the schema because every writer goes through the same frame).
+    Callers that union the read-back with typed user frames cast the
+    partition columns back explicitly (upsert does)."""
+    from pyspark.sql import types as T
+
+    leaf = None
+    for root, dirs, files in os.walk(out_dir):
+        # committed partition dirs only: staging/trash/marker dirs are
+        # underscore-prefixed (Spark's reader skips them too)
+        dirs[:] = sorted(
+            d for d in dirs if not d.startswith(("_", "."))
+        )
+        leaf = next(
+            (
+                os.path.join(root, fn)
+                for fn in sorted(files)
+                if fn.endswith(".parquet")
+            ),
+            None,
+        )
+        if leaf:
+            break
+    if leaf is None:
+        raise FileNotFoundError(
+            f"_read_corpus: no committed parquet files under {out_dir}"
+        )
+    data_fields = [
+        f
+        for f in spark.read.parquet(leaf).schema.fields
+        if f.name not in partition_cols
+    ]
+    full = T.StructType(
+        data_fields
+        + [T.StructField(c, T.StringType()) for c in partition_cols]
+    )
+    return spark.read.schema(full).parquet(out_dir)
 
 
 def _partition_pred(
     partition_cols: tuple[str, ...], value_tuples: list[tuple]
 ):
-    """Partition-pruning predicate over an inference-off read-back:
+    """Partition-pruning predicate over a string-schema read-back:
     every partition column is STRING there (see :func:`_read_corpus`),
     so values are compared via their directory rendering
     (:func:`_val_str`) — string-to-string, null-safe, and pushable as a
@@ -451,12 +479,12 @@ def _manifest_from_files(
     """Per-partition row counts from the committed files. With ``pred``
     (a partition-column predicate) the read-back is PARTITION-PRUNED —
     only the matching partition directories are opened; upsert uses this
-    so a delta merge never re-scans the whole corpus. The read is
-    inference-off (:func:`_read_corpus`) so the rendered keys match the
-    physical directories even for numeric-looking string values; any
-    ``pred`` must therefore compare STRING partition columns
-    (:func:`_partition_pred`)."""
-    back = _read_corpus(spark, out_dir)
+    so a delta merge never re-scans the whole corpus. The read carries
+    the explicit string-partition schema (:func:`_read_corpus`) so the
+    rendered keys match the physical directories even for
+    numeric-looking string values; any ``pred`` must therefore compare
+    STRING partition columns (:func:`_partition_pred`)."""
+    back = _read_corpus(spark, out_dir, partition_cols)
     if pred is not None:
         back = back.filter(pred)
     rows = back.groupBy(*partition_cols).count().collect()
@@ -623,10 +651,10 @@ def _upsert_corpus_locked(
             "to one row per key (e.g. latest revision) before upserting"
         )
     pred = _partition_pred(partition_cols, touched)
-    # inference-off read-back (string partition columns, matching the
+    # string-schema read-back (string partition columns, matching the
     # string-rendered pred above); cast back to the delta's declared
     # types so unionByName merges type-identical frames
-    existing = _read_corpus(spark, out_dir).filter(pred)
+    existing = _read_corpus(spark, out_dir, partition_cols).filter(pred)
     for c in partition_cols:
         existing = existing.withColumn(
             c, F.col(c).cast(delta.schema[c].dataType)
@@ -788,9 +816,16 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
       staged ``_swaplist.json``: an original under trash is restored
       (replacing any swapped-in staged version), a partition still in
       staging was never swapped (live is the original), and a swap-list
-      partition in NEITHER is a NEW partition already swapped in —
-      removed, since the pre-crash corpus did not have it. Then both
-      dirs are discarded.
+      partition in NEITHER is judged by the COMMITTED MANIFEST (r12,
+      VERDICT r11 #2): not in the manifest -> a NEW partition already
+      swapped in, removed, since the pre-crash corpus did not have it;
+      in the manifest -> already restored by an earlier recovery run
+      that died mid-rollback, left as is. Without the manifest check a
+      re-entered recovery would misread a restored original as
+      swapped-in-new and DELETE it — the idempotency hole the
+      crash-during-recovery pin exposed
+      (``test_recover_corpus_idempotent_after_recovery_crash``). Then
+      both dirs are discarded.
 
     Serializes on the maintenance lease like every writer. Note a
     freshly-crashed holder's lease may still be on disk un-expired —
@@ -813,6 +848,8 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
         "restored": [], "removed_new": [],
     }
     with corpus_lease(out_dir, "recover"):
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            committed = set(json.load(f)["partitions"])
         tokens = sorted({
             name.split("_", 2)[2]
             for name in os.listdir(out_dir)
@@ -845,9 +882,14 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
                     report["restored"].append(pkey)
                 elif os.path.isdir(os.path.join(staging, pkey)):
                     pass  # never swapped — live still holds the original
-                elif os.path.isdir(live):
-                    # new partition already swapped in: pre-crash corpus
-                    # had nothing here
+                elif os.path.isdir(live) and pkey not in committed:
+                    # new partition already swapped in: the committed
+                    # manifest has no such partition, so the pre-crash
+                    # corpus had nothing here. The manifest check is
+                    # load-bearing (r12): a manifest partition in this
+                    # branch is an original RESTORED by a prior recovery
+                    # run that died mid-rollback — deleting it would
+                    # destroy committed data on re-entry.
                     shutil.rmtree(live)
                     report["removed_new"].append(pkey)
             shutil.rmtree(trash, ignore_errors=True)
@@ -949,12 +991,12 @@ def _compact_corpus_locked(
     if not plan:
         return {"compacted": [], "manifest": manifest}
     # _parse_pkey values are already the directory-rendered strings, so
-    # they compare directly against the inference-off read-back
+    # they compare directly against the string-schema read-back
     pred = _partition_pred(
         partition_cols, [_parse_pkey(partition_cols, k) for k in plan]
     )
     merged = (
-        _read_corpus(spark, out_dir).filter(pred)
+        _read_corpus(spark, out_dir, partition_cols).filter(pred)
     ).localCheckpoint(eager=True)  # decouple from the path being rewritten
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
     _staged_swap_write(
@@ -1029,7 +1071,9 @@ def _cluster_corpus_layout_locked(
         manifest = json.load(f)
     total = manifest["total_rows"]
     n = max(1, -(-total // target_rows_per_file))
-    merged = _read_corpus(spark, out_dir).localCheckpoint(eager=True)
+    merged = _read_corpus(spark, out_dir, partition_cols).localCheckpoint(
+        eager=True
+    )
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
     cols = [F.col(c) for c in partition_cols] + [F.col(cluster_col)]
     _staged_swap_write(

@@ -375,9 +375,15 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     NotImplementedError stub. Two chained ``mapInPandas`` stages prove
     the binary media column round-trips Arrow batches between real
     encode and real decode; every decoded value is SQL-reproducible
-    from the text, which is what makes this hash-checkable."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    from the text, which is what makes this hash-checkable. NULL text
+    is filtered out on BOTH sides (r12, ADVICE r11): a NULL payload
+    reaching the encoder would crash ``bytes(None)`` in the executor —
+    the media domain is defined as docs with text, and the oracle
+    agrees."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     wav = docs.mapInPandas(_encode_wav, schema="doc_id long, wav binary")
     return wav.mapInPandas(
@@ -397,6 +403,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
        md5(text) AS pcm_md5
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -449,9 +456,14 @@ def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_real``'s pure PNM parser. The symmetric twin of
     ``media_decode_wav``: together they exercise both real in-sandbox
     codecs (audio + image) under driver hash-check, while formats with
-    no available codec keep the NotImplementedError stub."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    no available codec keep the NotImplementedError stub. NULL text is
+    filtered out on BOTH sides (r12, ADVICE r11), matching the wav
+    twin: the encoder's ``bytes(payload)`` requires a non-null
+    domain."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     img = docs.mapInPandas(_encode_pnm, schema="doc_id long, img binary")
     return img.mapInPandas(
@@ -474,6 +486,7 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN md5(text)
             ELSE md5(text || text || text) END AS raster_md5
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

@@ -78,6 +78,20 @@ DEFAULT_SHARDS = 4
 #: consumer glob ``records-*.json`` and to Spark's directory listing).
 EPOCH_MANIFEST = "_epoch_manifest.json"
 
+#: max record files per epoch (r12, ADVICE r11): the deterministic
+#: ``records-%05d.json`` names sort lexicographically == numerically
+#: only below this, and the manifest's per-file fingerprints are
+#: POSITIONAL — the writer refuses to commit a wider epoch (a pump
+#: writing 100k+ files per micro-batch should repartition anyway) and
+#: the verifier additionally sorts by the parsed numeric index so a
+#: hand-widened epoch cannot confuse the audit's pairing.
+MAX_FILES_PER_EPOCH = 100_000
+
+
+def _rec_index(fname: str) -> int:
+    """Numeric index of a ``records-NNNNN.json`` file name."""
+    return int(fname.split("-", 1)[1].split(".", 1)[0])
+
 
 def stream_dir(root: str, stream_name: str) -> str:
     return os.path.join(root, stream_name)
@@ -169,6 +183,14 @@ def write_wire_batch(
     try:
         records.write.mode("overwrite").json(staging)
         parts = sorted(_glob.glob(os.path.join(staging, "part-*")))
+        if len(parts) >= MAX_FILES_PER_EPOCH:
+            raise RuntimeError(
+                f"wire epoch {epoch_id}: {len(parts)} part files exceed "
+                f"MAX_FILES_PER_EPOCH={MAX_FILES_PER_EPOCH} — the "
+                "deterministic records-%05d names and the manifest's "
+                "positional fingerprints assume lexicographic == numeric "
+                "order; repartition the pump below the cap"
+            )
         # Per-sorted-position file fingerprints, computed distributed
         # (the driver collects one bounded row per file): record count,
         # an order-independent xor of xxhash64(data), and (r11, ADVICE
@@ -353,9 +375,17 @@ def verify_wire_stream(
                 f"wire stream {stream_name}: epoch {name} manifest is "
                 f"unreadable ({e}) — external corruption"
             ) from e
+        # numeric-index order (r12, ADVICE r11): the manifest's
+        # fingerprints are positional in the writer's numeric rename
+        # order, which equals lexicographic order only below
+        # MAX_FILES_PER_EPOCH — sort by the parsed index so the pairing
+        # is index-true regardless of width
         listed[name] = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(ed, "records-*.json"))
+            (
+                os.path.basename(p)
+                for p in _glob.glob(os.path.join(ed, "records-*.json"))
+            ),
+            key=_rec_index,
         )
     by: dict[str, dict[str, tuple[int, int, int]]] = {}
     paths = [

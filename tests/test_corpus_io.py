@@ -1117,9 +1117,11 @@ def test_numeric_looking_partition_values_keep_key_dir_agreement(spark):
     partition value '01' into int 1, so _pkey rendered 'source=1' while
     the physical dir is 'source=01' — the staged swap then raised 'no
     staged output' (or worse, swapped a duplicate partition). Corpus
-    read-backs now disable inference (corpus_io._read_corpus), so keys
-    equal dirs even when every value is numeric-looking, and '01' / '1'
-    stay DISTINCT partitions through upsert, compact, and layout."""
+    read-backs now carry an explicit schema with STRING partition
+    columns (corpus_io._read_corpus; r12 — explicit schema replaced
+    the r11 inference-off conf flip), so keys equal dirs even when
+    every value is numeric-looking, and '01' / '1' stay DISTINCT
+    partitions through upsert, compact, and layout."""
     rows = [(i, f"text {i}", src) for i, src in enumerate(
         ["01", "1", "007", "010"] * 10
     )]
@@ -1271,6 +1273,114 @@ def test_recover_corpus_discards_write_stage_crash(spark, monkeypatch):
         assert report["discarded_staging"] == ["999-123"]
         assert report["rolled_back"] == []
         assert not os.path.exists(staging)
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_recover_corpus_idempotent_after_recovery_crash(spark, monkeypatch):
+    """VERDICT r11 #2: a recovery that itself dies mid-rollback (k of n
+    partitions restored, trash/staging still present) must converge
+    under a second recover_corpus call. This pin EXPOSED a real hole:
+    the pre-r12 new-partition branch judged 'in swap list, in neither
+    trash nor staging, live present' as swapped-in-new and DELETED it —
+    but after a partial rollback that state also describes an original
+    a prior recovery already RESTORED. The committed manifest now
+    disambiguates (a manifest partition is never new)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"base {i}", f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        before = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in spark.read.parquet(out).collect()
+        }
+        delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"),
+            F.lit("s0").alias("source"),
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 3 == 1).select(
+                "doc_id",
+                F.concat(F.lit("UPD "), F.col("text")).alias("text"),
+                "source",
+            )
+        ).unionByName(
+            spark.createDataFrame(
+                [(900 + i, f"new {i}", "s9") for i in range(5)],
+                "doc_id long, text string, source string",
+            )
+        )
+        # writer crash after the 2nd live->trash rename: s0 fully
+        # swapped, s1 displaced into trash (live missing), s2 untouched,
+        # s9 staged but never swapped — same mixed state as the
+        # mid-swap rollback test
+        real_rename = os.rename
+        trash_renames = [0]
+
+        def writer_crash(src, dst):
+            real_rename(src, dst)
+            if f"{os.sep}_trash_" in dst:
+                trash_renames[0] += 1
+                if trash_renames[0] == 2:
+                    raise RuntimeError("simulated mid-swap crash")
+
+        monkeypatch.setattr(corpus_io.os, "rename", writer_crash)
+        with pytest.raises(RuntimeError, match="simulated mid-swap crash"):
+            corpus_io.upsert_corpus(delta, out)
+        # first recovery dies BEFORE its 2nd restore rename: s0 (the
+        # swapped-in partition) is rolled back, s1 is still in trash
+        restores = [0]
+
+        def recovery_crash(src, dst):
+            if f"{os.sep}_trash_" in src:
+                restores[0] += 1
+                if restores[0] == 2:
+                    raise RuntimeError("simulated recovery crash")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(corpus_io.os, "rename", recovery_crash)
+        with pytest.raises(RuntimeError, match="simulated recovery crash"):
+            corpus_io.recover_corpus(out, spark)
+        monkeypatch.setattr(corpus_io.os, "rename", real_rename)
+        # partial rollback on disk: s0 restored, s1 still displaced
+        assert os.path.isdir(os.path.join(out, "source=s0"))
+        assert not os.path.isdir(os.path.join(out, "source=s1"))
+        assert [
+            d for d in os.listdir(out)
+            if d.startswith(("_staging_", "_trash_"))
+        ]
+        # second recovery converges: restores the remainder, does NOT
+        # delete the already-restored s0 (the pre-r12 hole), and the
+        # corpus hash-matches its committed state
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["rolled_back"], report
+        assert "source=s1" in report["restored"]
+        assert "source=s0" not in report.get("removed_new", [])
+        assert not [
+            d for d in os.listdir(out)
+            if d.startswith(("_staging_", "_trash_"))
+        ]
+        after = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert after == before
+        assert corpus_io.verify_manifest(spark, out)
+        # and a third call over the now-clean corpus is a no-op
+        assert corpus_io.recover_corpus(out, spark) == {
+            "discarded_staging": [], "rolled_back": [],
+            "restored": [], "removed_new": [],
+        }
+        # documented protocol completes: re-run the failed operation
+        corpus_io.upsert_corpus(delta, out)
+        final = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert final[0] == "UPD base 0" and final[900] == "new 0"
         assert corpus_io.verify_manifest(spark, out)
 
 
@@ -1438,10 +1548,14 @@ def test_recover_corpus_after_sigkilled_writer(spark):
         )
         p.start()
         try:
-            for _ in range(1200):
+            # generous window (r12, ADVICE r11): the spawned child pays
+            # the full pyspark import cost before reaching mid-swap,
+            # which can take minutes on a loaded CI box; the happy path
+            # is unaffected (this polls)
+            for _ in range(3600):
                 if os.path.exists(ready):
                     break
-                _time.sleep(0.05)
+                _time.sleep(0.1)
             else:
                 pytest.fail("child never reached the mid-swap window")
         finally:

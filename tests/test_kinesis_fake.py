@@ -411,6 +411,79 @@ def test_pump_crash_between_swap_renames_is_recovered(spark, tmp_path):
     assert consumer_count() == 6
 
 
+def test_recover_wire_stream_idempotent_after_recovery_crash(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #2: recover_wire_stream interrupted between a
+    roll-forward's ``staging -> out`` rename and the ``.old`` cleanup
+    must converge under a second call — the rolled-forward epoch stays
+    committed, the leftover ``.old`` is just dropped (the 'epoch dir
+    present' branch), and other crashed epochs are recovered as if the
+    first run never happened."""
+    import shutil
+
+    import pytest
+
+    root = str(tmp_path / "streams")
+    df = spark.createDataFrame([("a",), ("b",)], "value string")
+    frame = kinesis.wire_frame(df).repartition(1)
+    for e in (0, 1, 2):
+        kinesis_fake.write_wire_batch(frame, e, root, "s8")
+    sdir = kinesis_fake.stream_dir(root, "s8")
+
+    def consumer_count():
+        return (
+            spark.read.schema(kinesis_fake.WIRE_CONTRACT)
+            .option("pathGlobFilter", "records-*.json")
+            .json(os.path.join(sdir, "records-e*"))
+            .count()
+        )
+
+    # epochs 0 AND 1 both crashed mid-swap with validated staging
+    # (manifest inside) -> both need roll-forward
+    for e in (0, 1):
+        out_e = kinesis_fake.epoch_dir(root, "s8", e)
+        old_e = os.path.join(sdir, f"_staging-e{e:06d}.old")
+        stg_e = os.path.join(sdir, f"_staging-e{e:06d}")
+        os.rename(out_e, old_e)
+        shutil.copytree(old_e, stg_e)
+    assert consumer_count() == 2  # only epoch 2 visible
+    # first recovery dies between e000000's roll-forward rename and its
+    # .old cleanup (the exact window VERDICT r11 #2 names)
+    real_rmtree = shutil.rmtree
+    crashed = [False]
+
+    def crashing_rmtree(path, *a, **k):
+        if not crashed[0] and str(path).endswith(".old"):
+            crashed[0] = True
+            raise RuntimeError("simulated recovery crash")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="simulated recovery crash"):
+        kinesis_fake.recover_wire_stream(root, "s8")
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    # partial recovery: e0 rolled forward (visible), its .old leftover
+    # still present, e1 untouched (still crashed)
+    assert os.path.isdir(kinesis_fake.epoch_dir(root, "s8", 0))
+    assert os.path.isdir(os.path.join(sdir, "_staging-e000000.old"))
+    assert not os.path.isdir(kinesis_fake.epoch_dir(root, "s8", 1))
+    # second run converges
+    report = kinesis_fake.recover_wire_stream(root, "s8")
+    assert report["rolled_forward"] == ["e000001"]
+    assert "e000000" in report["dropped_old"]
+    assert consumer_count() == 6
+    assert not [
+        d for d in os.listdir(sdir) if d.startswith("_staging-")
+    ]
+    # the restored stream still passes the at-rest audit and accepts a
+    # same-split redelivery
+    rep = kinesis_fake.verify_wire_stream(spark, root, "s8")
+    assert rep["verified"] == 3 and rep["records"] == 6
+    kinesis_fake.write_wire_batch(frame, 0, root, "s8")
+    assert consumer_count() == 6
+
+
 def test_verify_wire_stream_at_rest_audit(spark, tmp_path):
     """r11: the at-rest integrity audit (fsck analog of
     verify_manifest) — a pristine pumped stream verifies with correct
