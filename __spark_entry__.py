@@ -52,33 +52,34 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r11 rotation — the window IS the mechanical plan emitted by
+# r12 rotation — the window IS the mechanical plan emitted by
 # ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7): changed-this-
-# round entries first in registry order, then never-proven entries, then
-# every other entry ranked by oldest last-green round (registry order as
-# tiebreak), first 50 win. The r11 changed set (5 entries):
-#   - q1_kinesis_wire: the epoch fingerprint gains a multiplicity-
-#     sensitive sum component and the pump recovers a crash left
-#     between the epoch swap's two renames (sources/kinesis_fake.py,
-#     ADVICE r10);
-#   - the four corpus write-path entries: corpus read-backs disable
-#     partition-type inference so manifest keys always match the
-#     physical dirs, the staged swap records its intent for
-#     recover_corpus's undo-log rollback, and the break counters are
-#     lock-protected (operators/corpus_io.py, ADVICE r10 + VERDICT r10
-#     #4).
-# Slots 6-8 are NEW this round: corpus_recover_roundtrip (the
-# crash-recovery rollback driver-hash-checked end-to-end — VERDICT r10
-# #4) and media_decode_wav / media_decode_ppm (real in-sandbox codec
-# decode through decode_real — stdlib wave for audio, the pure PNM
-# parser for images — VERDICT r10 #8). The remaining 42 slots run the
-# staleness sweep (VERDICT r10 #1): all 7 r05-green rows, all 10 r06,
-# all 10 r07, and the 15 oldest r08 rows — after r11 no entry's
-# external-driver evidence predates r08. Everything rotated out is
-# r08+-green over an r11-unchanged plan (LEDGER.md); per-round rotation
-# rationale lives in the git history of this file.
+# round entries first in registry order, then every other entry ranked
+# by oldest last-green round (registry order as tiebreak), first 50 win.
+# The r12 changed set (8 entries):
+#   - q1_kinesis_wire: the inline at-rest fsck is now an ``audit=``
+#     parameter (inline for the driver entry, off for production
+#     call-sites), the verifier pairs fingerprints by parsed numeric
+#     file index, and the writer caps epoch width at the point where
+#     lexicographic name order stops equaling numeric order
+#     (streaming/jobs.py, sources/kinesis_fake.py — VERDICT r11 #5 +
+#     ADVICE r11);
+#   - the five corpus write-path entries: corpus read-backs use an
+#     explicit string-partition schema instead of the session-global
+#     inference conf flip (VERDICT r11 #4), and recover_corpus is now
+#     idempotent under a crash DURING recovery — the committed manifest
+#     disambiguates restored originals from swapped-in new partitions,
+#     closing a re-entry hole that deleted restored data
+#     (operators/corpus_io.py, VERDICT r11 #2);
+#   - media_decode_wav / media_decode_ppm: NULL text filtered on both
+#     sides so the encoder's domain matches the oracle (ADVICE r11).
+# The remaining 42 slots run the staleness sweep (VERDICT r11 #1): all
+# 24 remaining r08-green rows, then the 18 oldest r09 rows — after r12
+# no entry's external-driver evidence predates r09. Everything rotated
+# out is r09+-green over an r12-unchanged plan (LEDGER.md); per-round
+# rotation rationale lives in the git history of this file.
 PRIORITY = [
-    # ---- slots 1-50: the r11 driver window (== LEDGER next-window) ----
+    # ---- slots 1-50: the r12 driver window (== LEDGER next-window) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
@@ -87,6 +88,49 @@ PRIORITY = [
     "corpus_recover_roundtrip",
     "media_decode_wav",
     "media_decode_ppm",
+    "order_count_distribution",
+    "small_lot_revenue",
+    "brand_volume_revenue",
+    "late_shipments",
+    "important_parts",
+    "adhoc_sql",
+    "training_mix",
+    "corpus_build",
+    "dedup_spans",
+    "containment_dedup",
+    "dedup_embedding",
+    "winnow_fingerprints_streaming",
+    "winnow_matches",
+    "bpe_train",
+    "bpe_token_count",
+    "quality_funnel",
+    "source_signature_terms",
+    "quality_funnel_streaming",
+    "quantile_histogram_streaming",
+    "ann_pq",
+    "pq_ingest_streaming",
+    "knn_label_accuracy",
+    "ann_recall_eval",
+    "corpus_ingest_streaming",
+    "source_drift",
+    "source_drift_streaming",
+    "importance_resampling",
+    "lm_perplexity",
+    "bm25_score",
+    "bm25_topk_batch",
+    "hybrid_retrieval",
+    "bm25_topk_batch_ext",
+    "hybrid_retrieval_ext",
+    "bm25_mrr",
+    "token_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "udtf_word_positions",
+    "split_train_test",
+    "split_counts",
+    "stratified_cap",
+    "range_join_bands",
+    # ---- past the window: r09+-green over unchanged plans ----
     "dedup_minhash_lsh",
     "session_windows_streaming",
     "stateful_sessionize",
@@ -129,9 +173,6 @@ PRIORITY = [
     "product_profit",
     "lonely_returns",
     "min_cost_supplier",
-    "order_count_distribution",
-    "small_lot_revenue",
-    # ---- past the window: r08+-green over unchanged plans ----
     "tfidf_top_terms",
     "repetition_score",
     "length_histogram",
@@ -177,24 +218,6 @@ PRIORITY = [
     "ngram_jaccard",
     "doc_chunks",
     "split_leakage",
-    "source_drift",
-    "source_drift_streaming",
-    "importance_resampling",
-    "lm_perplexity",
-    "bm25_score",
-    "bm25_topk_batch",
-    "hybrid_retrieval",
-    "bm25_topk_batch_ext",
-    "hybrid_retrieval_ext",
-    "bm25_mrr",
-    "token_stats",
-    "quality_score",
-    "doc_fingerprint",
-    "udtf_word_positions",
-    "split_train_test",
-    "split_counts",
-    "stratified_cap",
-    "range_join_bands",
     "priority_lists",
     "promo_revenue",
     "pricing_summary",
@@ -222,28 +245,6 @@ PRIORITY = [
     "scalar_below_avg",
     "trips_clean",
     "airport_trips",
-    "brand_volume_revenue",
-    "late_shipments",
-    "important_parts",
-    "adhoc_sql",
-    "training_mix",
-    "corpus_build",
-    "dedup_spans",
-    "containment_dedup",
-    "dedup_embedding",
-    "winnow_fingerprints_streaming",
-    "winnow_matches",
-    "bpe_train",
-    "bpe_token_count",
-    "quality_funnel",
-    "source_signature_terms",
-    "quality_funnel_streaming",
-    "quantile_histogram_streaming",
-    "ann_pq",
-    "pq_ingest_streaming",
-    "knn_label_accuracy",
-    "ann_recall_eval",
-    "corpus_ingest_streaming",
 ]
 
 

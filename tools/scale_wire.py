@@ -47,9 +47,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
-KNOB_MODE = len(sys.argv) > 1 and sys.argv[1] == "knob"
-_args = sys.argv[2:] if KNOB_MODE else sys.argv[1:]
-if KNOB_MODE:
+MODE = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] in (
+    "knob", "fsck"
+) else None
+KNOB_MODE = MODE == "knob"
+FSCK_MODE = MODE == "fsck"
+_args = sys.argv[2:] if MODE else sys.argv[1:]
+if MODE:
     # scale_taxi still parses its CLI defaults at import time; present
     # it the usual [SCALE REPLICAS] layout without the mode token
     sys.argv = [sys.argv[0], *_args]
@@ -276,5 +280,116 @@ def knob_main() -> None:
     print("appended pump-knob table to SCALING.md")
 
 
+def fsck_main() -> None:
+    """Measure `verify_wire_stream` (the at-rest wire fsck, r11) at the
+    decade (VERDICT r11 #5): pump the composite at the decade's usual
+    maxFilesPerTrigger=10 epoching, then time the audit at sf0.1 and at
+    SCALE — 3 runs each — against each stream's consume leg on the same
+    box. The claim under test: the fsck is ONE distributed job over the
+    whole stream regardless of epoch count (one bounded row per file to
+    the driver), so its wall should track data volume like a single
+    consume-shaped scan, not epoch count."""
+    import statistics
+
+    from scale_taxi import build_composite
+
+    from flink_stream_processing_refarch_spark.sources import (
+        kinesis, kinesis_fake,
+    )
+    from flink_stream_processing_refarch_spark.streaming import jobs, replay
+
+    comp = build_composite(SCALE, REPLICAS)
+    spark = get_spark("scale_wire_fsck")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = os.path.join(WORK, "fsck")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    # warm pass at sf0.001 (session/JIT/codegen one-time costs)
+    wwire = os.path.join(base, "warm_wire")
+    wend = f"file://{os.path.join(base, 'warm_streams')}"
+    replay.replay(spark, "/root/testdata/sf0.001", wwire, adapt="ORIGINAL")
+    jobs.pump_wire_to_kinesis(spark, wwire, wend)
+    kinesis_fake.verify_wire_stream(
+        spark, os.path.join(base, "warm_streams"), "taxi-trips"
+    )
+    print("[warm pass done]", flush=True)
+    rows = []
+    for label, sf_dir in (("sf0.1", SF01), (SCALE, comp)):
+        wire = os.path.join(base, f"wire_{label}")
+        endpoint = f"file://{os.path.join(base, f'streams_{label}')}"
+        sroot = os.path.join(base, f"streams_{label}")
+        _, n_events = run_leg(
+            f"replay {label}",
+            lambda: replay.replay(spark, sf_dir, wire, adapt="ORIGINAL"),
+        )
+        w_pump, _ = run_leg(
+            f"pump {label}",
+            lambda: jobs.pump_wire_to_kinesis(
+                spark, wire, endpoint,
+                maxFilesPerTrigger=PUMP_FILES_PER_EPOCH,
+            ),
+        )
+
+        def consume():
+            records = kinesis.kinesis_reader(
+                spark, "taxi-trips", "local", endpoint=endpoint
+            ).load()
+            trips = jobs.wire_trips(kinesis.parse_wire_bytes(records))
+            return _rows(jobs._run_to_memory(jobs.q1_agg_from_trips(trips)))
+
+        w_consume, _ = run_leg(f"consume {label}", consume)
+        walls, rep = [], None
+        for i in range(3):
+            w, rep = run_leg(
+                f"fsck {label} #{i + 1}",
+                lambda: kinesis_fake.verify_wire_stream(
+                    spark, sroot, "taxi-trips"
+                ),
+            )
+            walls.append(w)
+        rows.append((
+            label, n_events, rep["epochs"], rep["files"], rep["records"],
+            w_consume, statistics.median(walls), walls,
+        ))
+        print(f"  {label}: epochs={rep['epochs']} files={rep['files']}"
+              f" fsck={walls}", flush=True)
+    lines = [
+        "",
+        f"## At-rest wire fsck at the decade ({SCALE}) — VERDICT r11 #5",
+        "",
+        f"Generated by `tools/scale_wire.py fsck {SCALE} {REPLICAS}`:"
+        " pump at maxFilesPerTrigger="
+        f"{PUMP_FILES_PER_EPOCH}, then `verify_wire_stream` timed 3x per"
+        " scale (median reported; all runs shown). The fsck is one",
+        "distributed job over every committed epoch's record files with",
+        "one bounded row per file collected, so its wall should grow",
+        "like a single consume-shaped scan of the stream — NOT like a",
+        "per-epoch loop (which would add a fixed per-epoch job cost",
+        "hundreds of times over at the decade).",
+        "",
+        "| scale | events | epochs | record files | consume wall |"
+        " fsck wall (median of 3) | runs |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for (label, n_events, epochs, files, _records, w_consume, med,
+         walls) in rows:
+        lines.append(
+            f"| {label} | {n_events:,} | {epochs} | {files} |"
+            f" {w_consume:.2f}s | {med:.2f}s |"
+            f" {', '.join(f'{w:.2f}' for w in walls)} |"
+        )
+    (_, e0, ep0, _, _, c0, f0, _), (_, e1, ep1, _, _, c1, f1, _) = rows
+    lines += [
+        "",
+        f"Growth: events {e1 / e0:.0f}x, epochs {ep1 / ep0:.1f}x —"
+        f" fsck wall {f1 / f0:.1f}x vs consume {c1 / c0:.1f}x;"
+        f" fsck/consume ratio {f0 / c0:.2f} at sf0.1 ->"
+        f" {f1 / c1:.2f} at {SCALE}.",
+    ]
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended fsck decade to SCALING.md")
+
+
 if __name__ == "__main__":
-    knob_main() if KNOB_MODE else main()
+    fsck_main() if FSCK_MODE else (knob_main() if KNOB_MODE else main())
