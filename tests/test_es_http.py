@@ -116,6 +116,31 @@ def test_signature_matches_aws_docs_complete_example():
     )
 
 
+def test_canonical_request_matches_aws_s3_docs_example():
+    """The S3 GET-object worked example from the AWS docs (GET
+    /test.txt on examplebucket with a Range header, 20130524): the
+    published canonical-request hash 7344ae5b...6972 pins the
+    canonicalization of a path + Range + x-amz-content-sha256 header
+    set — a different service and signed-header shape from the other
+    two vectors."""
+    empty = hashlib.sha256(b"").hexdigest()
+    canon, signed = canonical_request(
+        "GET",
+        "https://examplebucket.s3.amazonaws.com/test.txt",
+        {
+            "host": "examplebucket.s3.amazonaws.com",
+            "range": "bytes=0-9",
+            "x-amz-content-sha256": empty,
+            "x-amz-date": "20130524T000000Z",
+        },
+        b"",
+    )
+    assert signed == "host;range;x-amz-content-sha256;x-amz-date"
+    assert hashlib.sha256(canon.encode("utf-8")).hexdigest() == (
+        "7344ae5b7ee6c3e7e6b0fe0640412a37625d1fbfff95c48bbb2dc43964946972"
+    )
+
+
 def test_canonical_request_shape():
     canon, signed = canonical_request(
         "POST",
