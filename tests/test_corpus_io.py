@@ -1276,6 +1276,35 @@ def test_recover_corpus_discards_write_stage_crash(spark, monkeypatch):
         assert corpus_io.verify_manifest(spark, out)
 
 
+def test_recover_corpus_discards_staging_with_swaplist_but_no_trash(spark):
+    """Crash in the window between the swap-list dump and the
+    trash-marker mkdir (post-write, pre-swap): staging carries a
+    complete _swaplist.json but no trash dir exists, so nothing live
+    was touched — recover_corpus must take the discard branch (the
+    trash marker, not the swap list, is what signals a begun swap)."""
+    import json as _json
+
+    docs = spark.createDataFrame(
+        [(i, f"base {i}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        staging = os.path.join(out, "_staging_77-0")
+        os.makedirs(os.path.join(staging, "source=s0"))
+        with open(os.path.join(staging, "source=s0", "part-0.parquet"),
+                  "wb") as f:
+            f.write(b"staged")
+        with open(os.path.join(staging, corpus_io.SWAPLIST), "w") as f:
+            _json.dump(["source=s0"], f)
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["discarded_staging"] == ["77-0"]
+        assert report["rolled_back"] == [] and report["restored"] == []
+        assert not os.path.exists(staging)
+        assert corpus_io.verify_manifest(spark, out)
+
+
 def test_recover_corpus_idempotent_after_recovery_crash(spark, monkeypatch):
     """VERDICT r11 #2: a recovery that itself dies mid-rollback (k of n
     partitions restored, trash/staging still present) must converge
