@@ -748,3 +748,58 @@ def test_ln_det_at_100tb_scale_counts(spark):
         assert 2.0 ** -64 <= r["kl_x"] < 2.0 ** 64  # domain holds
         ref = math.log(r["kl_x"])
         assert abs(r["kl_ln"] - ref) <= 1e-12 * max(abs(ref), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Corpus partition-key rendering (r12): the staged-swap protocol takes
+# manifest-key <-> physical-dir agreement as load-bearing, so the pure
+# rendering functions get algebraic properties over ARBITRARY values,
+# not just the e2e fixtures (tests/test_corpus_io.py covers agreement
+# with what Spark physically writes for a fixed hostile set).
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_hive_escape_roundtrip_and_dir_safety(v):
+    """_hive_unescape(_hive_escape(v)) == v for any string, and the
+    escaped token never contains a path separator, a glob
+    metacharacter, or a control character — the properties the swap's
+    os.path.join(out_dir, pkey) and compaction's file-count glob rely
+    on."""
+    from flink_stream_processing_refarch_spark.operators.corpus_io import (
+        _hive_escape,
+        _hive_unescape,
+    )
+
+    tok = _hive_escape(v)
+    assert _hive_unescape(tok) == v
+    assert "/" not in tok and "\\" not in tok
+    assert "*" not in tok and "?" not in tok and "[" not in tok
+    assert not any(ord(c) < 0x20 or ord(c) == 0x7F for c in tok)
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=30)),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_pkey_parse_pkey_inverse(vals):
+    """_parse_pkey(_pkey(row)) == the original value tuple for any mix
+    of NULLs and arbitrary strings across 1-3 partition columns — the
+    inverse pair recover_corpus/compaction use to go between manifest
+    keys and value tuples."""
+    from flink_stream_processing_refarch_spark.operators.corpus_io import (
+        _parse_pkey,
+        _pkey,
+    )
+
+    cols = tuple(f"c{i}" for i in range(len(vals)))
+    row = dict(zip(cols, vals))
+    pkey = _pkey(cols, row)
+    assert _parse_pkey(cols, pkey) == tuple(vals)
+    # exactly one 'col=' segment per partition column, in order
+    assert [seg.split("=", 1)[0] for seg in pkey.split("/")] == list(cols)
