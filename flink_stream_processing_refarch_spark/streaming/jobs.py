@@ -349,6 +349,11 @@ def q1_kinesis_wire(
 
     from ..sources.kinesis import kinesis_reader, parse_wire_bytes
 
+    if audit not in ("inline", "off"):
+        raise ValueError(
+            f"q1_kinesis_wire: audit must be 'inline' or 'off', "
+            f"got {audit!r}"
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     base = _tf.mkdtemp(
         prefix="kwire_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -375,11 +380,6 @@ def q1_kinesis_wire(
                 raise RuntimeError(
                     f"wire audit: unverifiable epochs {rep['unverifiable']}"
                 )
-        elif audit != "off":
-            raise ValueError(
-                f"q1_kinesis_wire: audit must be 'inline' or 'off', "
-                f"got {audit!r}"
-            )
         records = kinesis_reader(
             spark, "taxi-trips", "local", endpoint=endpoint
         ).load()
