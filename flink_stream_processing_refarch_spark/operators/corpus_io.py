@@ -354,8 +354,29 @@ def _pkey(partition_cols: tuple[str, ...], row) -> str:
     )
 
 
+def _manifest_schema(out_dir: str):
+    """The corpus data schema recorded in the committed manifest
+    (r12, schema evolution), or None for a legacy/absent manifest.
+    The manifest is the schema AUTHORITY once a corpus has evolved:
+    after :func:`upsert_corpus` widens the schema, files written
+    before the evolution physically LACK the new columns, so a
+    footer-sampled schema depends on which file the sampler hits —
+    only the manifest knows the full current width."""
+    from pyspark.sql import types as T
+
+    try:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            recorded = json.load(f).get("schema")
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return None
+    return None if recorded is None else T.StructType.fromJson(recorded)
+
+
 def _read_corpus(
-    spark: SparkSession, out_dir: str, partition_cols: tuple[str, ...]
+    spark: SparkSession,
+    out_dir: str,
+    partition_cols: tuple[str, ...],
+    schema_hint=None,
 ) -> DataFrame:
     """Corpus read-back with an EXPLICIT schema whose partition columns
     are STRING (r12, VERDICT r11 #4 — replaces the r11 session-global
@@ -372,40 +393,43 @@ def _read_corpus(
     name, with the Hive null token still mapping to NULL — so
     ``_pkey(read-back row)`` equals the physical layout by
     construction, and no session conf is touched (no cross-thread
-    exposure, no lock). The data-column half of the schema comes from
-    ONE leaf file's parquet footer (first found walking the committed
-    partition dirs — a bounded metadata read; every corpus file shares
-    the schema because every writer goes through the same frame).
-    Callers that union the read-back with typed user frames cast the
-    partition columns back explicitly (upsert does)."""
+    exposure, no lock). The data-column half of the schema comes from,
+    in order (r12, schema evolution): ``schema_hint`` (writers pass
+    the frame they just wrote — immune to a stale manifest during
+    rebuilds), the committed manifest's recorded schema (the authority
+    for an EVOLVED corpus, where pre-evolution files physically lack
+    the newest columns and Spark null-fills them at scan), else ONE
+    leaf file's parquet footer (legacy manifests; valid there because
+    without evolution every corpus file shares the schema). Callers
+    that union the read-back with typed user frames cast the partition
+    columns back explicitly (upsert does)."""
     from pyspark.sql import types as T
 
-    leaf = None
-    for root, dirs, files in os.walk(out_dir):
-        # committed partition dirs only: staging/trash/marker dirs are
-        # underscore-prefixed (Spark's reader skips them too)
-        dirs[:] = sorted(
-            d for d in dirs if not d.startswith(("_", "."))
-        )
-        leaf = next(
-            (
-                os.path.join(root, fn)
-                for fn in sorted(files)
-                if fn.endswith(".parquet")
-            ),
-            None,
-        )
-        if leaf:
-            break
-    if leaf is None:
-        raise FileNotFoundError(
-            f"_read_corpus: no committed parquet files under {out_dir}"
-        )
-    data_fields = [
-        f
-        for f in spark.read.parquet(leaf).schema.fields
-        if f.name not in partition_cols
-    ]
+    source = schema_hint or _manifest_schema(out_dir)
+    if source is None:
+        leaf = None
+        for root, dirs, files in os.walk(out_dir):
+            # committed partition dirs only: staging/trash/marker dirs
+            # are underscore-prefixed (Spark's reader skips them too)
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith(("_", "."))
+            )
+            leaf = next(
+                (
+                    os.path.join(root, fn)
+                    for fn in sorted(files)
+                    if fn.endswith(".parquet")
+                ),
+                None,
+            )
+            if leaf:
+                break
+        if leaf is None:
+            raise FileNotFoundError(
+                f"_read_corpus: no committed parquet files under {out_dir}"
+            )
+        source = spark.read.parquet(leaf).schema
+    data_fields = [f for f in source.fields if f.name not in partition_cols]
     full = T.StructType(
         data_fields
         + [T.StructField(c, T.StringType()) for c in partition_cols]
@@ -463,7 +487,13 @@ def write_partitioned_corpus(
             .partitionBy(*partition_cols)
             .parquet(out_dir)
         )
-        manifest = _manifest_from_files(spark, out_dir, partition_cols)
+        manifest = _manifest_from_files(
+            spark, out_dir, partition_cols, schema_hint=df.schema
+        )
+        # the manifest records the corpus data schema (r12): the
+        # authority evolved corpora are read with (see _read_corpus);
+        # here it is simply the schema of the frame just written
+        manifest["schema"] = json.loads(df.schema.json())
         check_lease(out_dir, tok)
         with open(os.path.join(out_dir, MANIFEST), "w") as f:
             json.dump(manifest, f, sort_keys=True)
@@ -475,6 +505,7 @@ def _manifest_from_files(
     out_dir: str,
     partition_cols: tuple[str, ...],
     pred=None,
+    schema_hint=None,
 ) -> dict:
     """Per-partition row counts from the committed files. With ``pred``
     (a partition-column predicate) the read-back is PARTITION-PRUNED —
@@ -484,7 +515,7 @@ def _manifest_from_files(
     rendered keys match the physical directories even for
     numeric-looking string values; any ``pred`` must therefore compare
     STRING partition columns (:func:`_partition_pred`)."""
-    back = _read_corpus(spark, out_dir, partition_cols)
+    back = _read_corpus(spark, out_dir, partition_cols, schema_hint)
     if pred is not None:
         back = back.filter(pred)
     rows = back.groupBy(*partition_cols).count().collect()
@@ -502,6 +533,7 @@ def upsert_corpus(
     key_cols: tuple[str, ...] = ("doc_id",),
     partition_cols: tuple[str, ...] = ("source",),
     max_records_per_file: int = 100_000,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """Merge a delta batch into an existing partitioned corpus:
     delta rows REPLACE existing rows with the same key, new keys are
@@ -541,11 +573,27 @@ def upsert_corpus(
     maintenance lease (:func:`corpus_lease`); a second concurrent writer
     raises :class:`MaintenanceLeaseHeld` instead of silently losing the
     first one's commit. Readers never block.
+
+    Schema evolution (r12): with ``allow_schema_evolution=True`` a
+    delta whose columns differ from the corpus schema WIDENS the
+    corpus — new delta columns are appended to the schema (existing
+    rows read back as NULL for them), and delta rows missing an
+    existing column replace their keys with NULL there (a whole-row
+    replacement, the documented delta-wins semantics; omitting a
+    column is a data-erasing statement, which is why the flag is
+    opt-in and a mismatch without it raises naming the exact column
+    diff). Scale shape: NO data rewrite — the widened schema is
+    recorded in the manifest (the read authority, see
+    :func:`read_corpus`) and only the delta's partitions are
+    rewritten as usual; files written before the evolution physically
+    lack the new columns and Spark null-fills them at scan time, so
+    evolving a 100 TB corpus costs exactly one ordinary upsert.
+    Shared columns must keep their types (a type change raises).
     """
     with corpus_lease(out_dir, "upsert") as tok:
         return _upsert_corpus_locked(
             delta, out_dir, key_cols, partition_cols, max_records_per_file,
-            tok,
+            tok, allow_schema_evolution,
         )
 
 
@@ -601,6 +649,26 @@ def upsert_corpus_retrying(
     )
 
 
+def _recovered_schema(
+    spark: SparkSession, out_dir: str, partition_cols: tuple[str, ...]
+):
+    """Corpus data schema recovered from the FILES when the manifest is
+    missing (crash between data commit and manifest dump): the
+    ``mergeSchema`` union across every footer — the only correct width
+    for a corpus that may have evolved, since any single footer may
+    predate the newest columns. This is the recovery path, where a
+    footer sweep is the correct price. Partition columns are recorded
+    as STRING (their physically-known rendering; the typed originals
+    died with the manifest)."""
+    from pyspark.sql import types as T
+
+    base = spark.read.option("mergeSchema", "true").parquet(out_dir).schema
+    return T.StructType(
+        [f for f in base.fields if f.name not in partition_cols]
+        + [T.StructField(c, T.StringType()) for c in partition_cols]
+    )
+
+
 def _upsert_corpus_locked(
     delta: DataFrame,
     out_dir: str,
@@ -608,6 +676,7 @@ def _upsert_corpus_locked(
     partition_cols: tuple[str, ...],
     max_records_per_file: int,
     token: str,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """Body of :func:`upsert_corpus`; the maintenance lease is held."""
     from pyspark.sql import Window
@@ -623,6 +692,13 @@ def _upsert_corpus_locked(
         # manifest from a full read-back afterwards — the recovery
         # path, where a full scan is the correct price
         prior = None
+    # with no manifest the read-back cannot trust a single footer (the
+    # corpus may have evolved) — recover the union width from the files
+    hint = (
+        _recovered_schema(spark, out_dir, partition_cols)
+        if prior is None
+        else None
+    )
     touched = [
         tuple(r[c] for c in partition_cols)
         for r in delta.select(*partition_cols).distinct().collect()
@@ -630,7 +706,10 @@ def _upsert_corpus_locked(
     if not touched:  # empty delta: nothing to merge
         if prior is not None:
             return prior
-        manifest = _manifest_from_files(spark, out_dir, partition_cols)
+        manifest = _manifest_from_files(
+            spark, out_dir, partition_cols, schema_hint=hint
+        )
+        manifest["schema"] = json.loads(hint.json())
         with open(os.path.join(out_dir, MANIFEST), "w") as f:
             json.dump(manifest, f, sort_keys=True)
         return manifest
@@ -654,14 +733,28 @@ def _upsert_corpus_locked(
     # string-schema read-back (string partition columns, matching the
     # string-rendered pred above); cast back to the delta's declared
     # types so unionByName merges type-identical frames
-    existing = _read_corpus(spark, out_dir, partition_cols).filter(pred)
+    existing = _read_corpus(spark, out_dir, partition_cols, hint).filter(pred)
     for c in partition_cols:
         existing = existing.withColumn(
             c, F.col(c).cast(delta.schema[c].dataType)
         )
+    extra = [c for c in delta.columns if c not in set(existing.columns)]
+    narrow = [c for c in existing.columns if c not in set(delta.columns)]
+    if (extra or narrow) and not allow_schema_evolution:
+        raise ValueError(
+            "upsert_corpus: delta schema differs from the corpus "
+            f"(delta-only columns {extra}, corpus-only columns {narrow})"
+            " — pass allow_schema_evolution=True to widen the corpus"
+            " (new columns read back NULL for existing rows; a delta"
+            " missing an existing column REPLACES its keys' values"
+            " there with NULL)"
+        )
     merged = (
         delta.withColumn("_pri", F.lit(0))
-        .unionByName(existing.withColumn("_pri", F.lit(1)))
+        .unionByName(
+            existing.withColumn("_pri", F.lit(1)),
+            allowMissingColumns=allow_schema_evolution,
+        )
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -686,7 +779,10 @@ def _upsert_corpus_locked(
         max_records_per_file,
     )
     check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
-    back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
+    back = _manifest_from_files(
+        spark, out_dir, partition_cols, pred=pred,
+        schema_hint=merged.schema,
+    )
     if back["partitions"] != expected:
         raise RuntimeError(
             "upsert_corpus: post-write read-back does not match the "
@@ -703,7 +799,13 @@ def _upsert_corpus_locked(
             "total_rows": sum(parts.values()),
         }
     else:  # recovery: rebuild from all committed files
-        manifest = _manifest_from_files(spark, out_dir, partition_cols)
+        manifest = _manifest_from_files(
+            spark, out_dir, partition_cols, schema_hint=merged.schema
+        )
+    # record the (possibly widened) schema — the read authority for an
+    # evolved corpus, where untouched partitions' files physically lack
+    # the newest columns (r12)
+    manifest["schema"] = json.loads(merged.schema.json())
     check_lease(out_dir, token)  # fence the manifest dump as well
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
@@ -1130,6 +1232,33 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     )
 
 
+def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The consumer-side corpus reader (r12, schema evolution): read
+    the committed files under the MANIFEST's recorded schema — the only
+    schema authority once a corpus has evolved, because files written
+    before an evolution physically lack the newest columns (a plain
+    ``spark.read.parquet`` samples one footer and silently drops or
+    never sees them; ``mergeSchema`` pays a footer sweep per read).
+    Partition columns are cast back to their manifest-recorded types,
+    so the frame round-trips the writer's typed schema exactly. Legacy
+    manifests (no schema field, pre-r12) fall back to the
+    single-footer read, valid there because a never-evolved corpus has
+    one schema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    partition_cols = tuple(manifest["partition_cols"])
+    df = _read_corpus(spark, out_dir, partition_cols)
+    if manifest.get("schema") is not None:
+        recorded = T.StructType.fromJson(manifest["schema"])
+        for c in partition_cols:
+            df = df.withColumn(c, F.col(c).cast(recorded[c].dataType))
+        df = df.select(*[f.name for f in recorded.fields])
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Oracle-paired write-path roundtrip
 # ---------------------------------------------------------------------------
@@ -1413,8 +1542,80 @@ def q_corpus_recover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_recover_roundtrip.stateful_build = True
 
 
+def q_corpus_evolve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of SCHEMA EVOLUTION (r12): build a
+    corpus, upsert a delta restricted to ONE partition that updates
+    text AND carries a brand-new ``lang`` column
+    (``allow_schema_evolution=True``), then read back through
+    :func:`read_corpus` (the manifest-schema reader). The oracle
+    computes the same merge relationally: evolved keys get their new
+    text + lang, every other row reads back ``lang IS NULL`` — those
+    rows live in files that PHYSICALLY lack the column (asserted
+    in-entry: the untouched partitions' file sets are byte-identical
+    before and after, so evolving costs one ordinary partition-pruned
+    upsert, never a corpus rewrite; Spark null-fills the missing
+    column at scan time under the manifest schema)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_ev_")
+    manifest0 = write_partitioned_corpus(docs, out)
+    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
+    delta = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("source") == msrc)
+    ).select(
+        "doc_id",
+        F.concat(F.lit("EVO: "), F.col("text")).alias("text"),
+        "source",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("lang"),
+    )
+    untouched = {
+        k: sorted(_glob.glob(os.path.join(out, k, "*.parquet")))
+        for k in manifest0["partitions"]
+        if _parse_pkey(("source",), k)[0] != msrc
+    }
+    manifest = upsert_corpus(delta, out, allow_schema_evolution=True)
+    if [f["name"] for f in manifest["schema"]["fields"]].count("lang") != 1:
+        raise RuntimeError("evolve roundtrip: manifest schema lacks lang")
+    for k, files in untouched.items():
+        now = sorted(_glob.glob(os.path.join(out, k, "*.parquet")))
+        if now != files:
+            raise RuntimeError(
+                f"evolve roundtrip: untouched partition {k} was "
+                "rewritten — evolution must not rewrite data"
+            )
+    return read_corpus(spark, out).select(
+        "doc_id", "source", F.md5("text").alias("h"), "lang"
+    )
+
+
+q_corpus_evolve_roundtrip.stateful_build = True
+
+
+_CORPUS_EVOLVE_SQL = """
+WITH msrc AS (SELECT min(source) AS s FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       md5(CASE WHEN doc_id % 5 = 0 AND source = (SELECT s FROM msrc)
+                THEN 'EVO: ' || text ELSE text END) AS h,
+       CASE WHEN doc_id % 5 = 0 AND source = (SELECT s FROM msrc)
+            THEN CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE 'de' END
+       END AS lang
+FROM documents
+"""
+
+
 QUERIES = {
     "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
+    "corpus_evolve_roundtrip": q_corpus_evolve_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
     "corpus_layout_roundtrip": q_corpus_layout_roundtrip,
@@ -1423,6 +1624,10 @@ QUERIES = {
 
 ORACLES = {
     "corpus_upsert_roundtrip": _corpus_upsert_roundtrip_sql(),
+    # schema evolution: evolved keys carry the new column, every
+    # pre-evolution row reads back NULL for it (scan-time null fill
+    # under the manifest schema; no-rewrite assertion is in-entry)
+    "corpus_evolve_roundtrip": _CORPUS_EVOLVE_SQL,
     # per-key replacement is epoch-composable: any micro-batch split of
     # the same delta converges to the batch merge — oracle verbatim
     "corpus_upsert_streaming": _corpus_upsert_roundtrip_sql(),

@@ -1629,3 +1629,153 @@ def test_recover_corpus_after_sigkilled_writer(spark):
         assert spark.read.parquet(out).filter(
             F.col("doc_id") == 0
         ).collect()[0]["text"] == "UPD base 0"
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (r12): manifest-recorded schema, no-rewrite widening
+# ---------------------------------------------------------------------------
+
+
+def _evo_docs(spark):
+    return spark.createDataFrame(
+        [(i, f"base {i}", f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_upsert_schema_mismatch_without_flag_raises(spark):
+    """A delta whose columns differ from the corpus must fail LOUDLY
+    naming the diff unless evolution is opted into — silent widening
+    (or worse, silent null-ing of an omitted column) would be a
+    data-erasing default."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        wider = docs.limit(5).withColumn("lang", F.lit("en"))
+        with pytest.raises(ValueError, match=r"delta-only columns.*lang"):
+            corpus_io.upsert_corpus(wider, out)
+        narrower = docs.limit(5).drop("text")
+        with pytest.raises(ValueError, match=r"corpus-only columns.*text"):
+            corpus_io.upsert_corpus(narrower, out)
+        # corpus untouched by the refused upserts
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_schema_evolution_end_to_end(spark):
+    """Widen via upsert: evolved keys carry the new column, untouched
+    partitions' FILES stay byte-identical (no rewrite) yet read back
+    NULL under the manifest schema; compaction preserves the evolved
+    content including the nulls; a second evolution stacks."""
+    import glob as _glob
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out, max_records_per_file=7)
+        before_s2 = sorted(_glob.glob(os.path.join(out, "source=s2", "*")))
+        delta = docs.filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("source") == "s0")
+        ).withColumn("lang", F.when(F.col("doc_id") % 4 == 0, "en")
+                     .otherwise("de"))
+        m = corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        assert "lang" in [f["name"] for f in m["schema"]["fields"]]
+        # untouched partition: same files, byte-identical set
+        assert sorted(_glob.glob(os.path.join(out, "source=s2", "*"))) \
+            == before_s2
+        back = corpus_io.read_corpus(spark, out)
+        assert back.schema["doc_id"].dataType.typeName() == "long"
+        got = {r["doc_id"]: r["lang"] for r in back.collect()}
+        assert len(got) == 60
+        for i in range(60):
+            if i % 2 == 0 and i % 3 == 0:
+                assert got[i] == ("en" if i % 4 == 0 else "de"), i
+            else:
+                assert got[i] is None, i
+        assert corpus_io.verify_manifest(spark, out)
+        # maintenance on the evolved corpus preserves content + nulls
+        rep = corpus_io.compact_corpus(spark, out, target_rows_per_file=100)
+        assert rep["compacted"]
+        got2 = {r["doc_id"]: r["lang"]
+                for r in corpus_io.read_corpus(spark, out).collect()}
+        assert got2 == got
+        # second evolution stacks a second column
+        delta2 = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("source") == "s1")
+        ).withColumn("lang", F.lit("fr")).withColumn("score", F.lit(7))
+        m2 = corpus_io.upsert_corpus(delta2, out, allow_schema_evolution=True)
+        names = [f["name"] for f in m2["schema"]["fields"]]
+        assert "lang" in names and "score" in names
+        final = {r["doc_id"]: (r["lang"], r["score"])
+                 for r in corpus_io.read_corpus(spark, out).collect()}
+        assert final[10] == ("fr", 7)          # evolved twice (s1, %5)
+        assert final[0] == ("en", None)        # first evolution only
+        assert final[1] == (None, None)        # never evolved
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_evolution_delta_missing_column_nulls_replaced_keys(spark):
+    """The documented destructive case: with evolution ON, a delta that
+    OMITS an existing column replaces its keys' values there with NULL
+    (whole-row replacement) — while rows the delta does not touch keep
+    their values."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        delta = docs.filter(F.col("doc_id").isin(3, 9)).drop("text")
+        corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        back = {r["doc_id"]: r["text"]
+                for r in corpus_io.read_corpus(spark, out).collect()}
+        assert back[3] is None and back[9] is None
+        assert back[0] == "base 0" and back[6] == "base 6"
+
+
+def test_read_corpus_legacy_manifest_fallback(spark):
+    """A pre-r12 manifest has no schema field: read_corpus falls back
+    to the single-footer schema (valid — a never-evolved corpus has one
+    schema) and still returns the full table."""
+    import json as _json
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        mpath = os.path.join(out, corpus_io.MANIFEST)
+        with open(mpath) as f:
+            m = _json.load(f)
+        del m["schema"]
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+        back = corpus_io.read_corpus(spark, out)
+        assert back.count() == 60
+        assert set(back.columns) == {"doc_id", "text", "source"}
+
+
+def test_manifest_rebuild_recovers_union_schema(spark):
+    """Crash between data commit and manifest dump on an EVOLVED
+    corpus: the rebuild path cannot trust one footer (pre-evolution
+    files lack the new column) — it must recover the mergeSchema UNION
+    width, so the rebuilt manifest still knows about lang."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        delta = docs.filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("source") == "s0")
+        ).withColumn("lang", F.lit("en"))
+        corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        os.remove(os.path.join(out, corpus_io.MANIFEST))
+        # any upsert rebuilds; this one is width-matched to the union
+        delta2 = docs.filter(F.col("doc_id") == 1).withColumn(
+            "lang", F.lit("de")
+        )
+        m = corpus_io.upsert_corpus(delta2, out, allow_schema_evolution=True)
+        assert "lang" in [f["name"] for f in m["schema"]["fields"]]
+        assert m["total_rows"] == 60
+        got = {r["doc_id"]: r["lang"]
+               for r in corpus_io.read_corpus(spark, out).collect()}
+        assert got[1] == "de" and got[0] == "en" and got[5] is None
+        assert corpus_io.verify_manifest(spark, out)
