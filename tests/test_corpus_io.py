@@ -1779,3 +1779,86 @@ def test_manifest_rebuild_recovers_union_schema(spark):
                for r in corpus_io.read_corpus(spark, out).collect()}
         assert got[1] == "de" and got[0] == "en" and got[5] is None
         assert corpus_io.verify_manifest(spark, out)
+
+
+def test_streaming_upsert_evolves_mid_stream(spark):
+    """Continuous-ingest evolution: an early epoch merges the narrow
+    schema, a later epoch arrives WIDER — upsert_corpus_retrying passes
+    allow_schema_evolution through, the corpus widens at that epoch,
+    and rows from pre-evolution epochs read back NULL for the new
+    column."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        # epoch 1: narrow delta (text update only)
+        e1 = docs.filter(F.col("doc_id").isin(0, 3)).select(
+            "doc_id", F.concat(F.lit("E1 "), F.col("text")).alias("text"),
+            "source",
+        )
+        corpus_io.upsert_corpus_retrying(e1, out)
+        # epoch 2: wider delta — evolution happens mid-stream
+        e2 = docs.filter(F.col("doc_id").isin(6, 9)).select(
+            "doc_id", F.concat(F.lit("E2 "), F.col("text")).alias("text"),
+            "source", F.lit("en").alias("lang"),
+        )
+        corpus_io.upsert_corpus_retrying(
+            e2, out, allow_schema_evolution=True
+        )
+        back = {r["doc_id"]: (r["text"], r["lang"])
+                for r in corpus_io.read_corpus(spark, out).collect()}
+        assert back[0] == ("E1 base 0", None)
+        assert back[6] == ("E2 base 6", "en")
+        assert back[12] == ("base 12", None)
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_recover_corpus_rolls_back_crashed_evolving_upsert(
+    spark, monkeypatch
+):
+    """A writer SIGKILLed (simulated) mid-swap while performing an
+    EVOLVING upsert: the manifest dump never ran, so the committed
+    manifest still records the narrow pre-evolution schema — rollback
+    must restore the pre-evolution corpus exactly, and read_corpus must
+    return the NARROW width afterwards (the widened schema died with
+    the crashed writer, by design: the manifest dump is the commit
+    point)."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        before = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in corpus_io.read_corpus(spark, out).collect()
+        }
+        delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.concat(F.lit("EVO "), F.col("text")).alias("text"),
+            F.lit("s0").alias("source"), F.lit("en").alias("lang"),
+        )
+        real_rename = os.rename
+        trash_renames = [0]
+
+        def crashing_rename(src, dst):
+            real_rename(src, dst)
+            if f"{os.sep}_trash_" in dst:
+                trash_renames[0] += 1
+                raise RuntimeError("simulated mid-swap crash")
+
+        monkeypatch.setattr(corpus_io.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated mid-swap crash"):
+            corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        monkeypatch.setattr(corpus_io.os, "rename", real_rename)
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["rolled_back"]
+        back = corpus_io.read_corpus(spark, out)
+        assert set(back.columns) == {"doc_id", "text", "source"}  # narrow
+        after = {
+            r["doc_id"]: (r["text"], r["source"]) for r in back.collect()
+        }
+        assert after == before
+        # the documented protocol completes: re-run the failed upsert
+        m = corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        assert "lang" in [f["name"] for f in m["schema"]["fields"]]
+        assert corpus_io.verify_manifest(spark, out)
