@@ -73,12 +73,16 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 #     (operators/corpus_io.py, VERDICT r11 #2);
 #   - media_decode_wav / media_decode_ppm: NULL text filtered on both
 #     sides so the encoder's domain matches the oracle (ADVICE r11).
-# Slot 9 is NEW this round: corpus_evolve_roundtrip — manifest-recorded
-# schema evolution (upsert a delta carrying a new column; untouched
-# partitions stay byte-identical and null-fill at scan under the
-# manifest schema; read_corpus is the typed consumer reader).
-# The remaining 41 slots run the staleness sweep (VERDICT r11 #1): all
-# 24 remaining r08-green rows, then the 17 oldest r09 rows — after r12
+# Slots 9-10 are NEW this round: corpus_evolve_roundtrip —
+# manifest-recorded schema evolution (upsert a delta carrying a new
+# column; untouched partitions stay byte-identical and null-fill at
+# scan under the manifest schema; read_corpus is the typed consumer
+# reader) — and corpus_delete_roundtrip — the predicate takedown
+# operator (scattered deletes rewrite only matching partitions via the
+# staged swap; a fully-matched partition is removed; NULL-condition
+# rows are kept).
+# The remaining 40 slots run the staleness sweep (VERDICT r11 #1): all
+# 24 remaining r08-green rows, then the 16 oldest r09 rows — after r12
 # no entry's external-driver evidence predates r09. Everything rotated
 # out is r09+-green over an r12-unchanged plan (LEDGER.md); per-round
 # rotation rationale lives in the git history of this file.
@@ -93,6 +97,7 @@ PRIORITY = [
     "media_decode_wav",
     "media_decode_ppm",
     "corpus_evolve_roundtrip",
+    "corpus_delete_roundtrip",
     "order_count_distribution",
     "small_lot_revenue",
     "brand_volume_revenue",

@@ -819,6 +819,7 @@ def _staged_swap_write(
     pkeys: list[str],
     token: str,
     max_records_per_file: int,
+    may_vanish: frozenset[str] = frozenset(),
 ) -> None:
     """Token-checked staged commit for the read-modify-write writers
     (r10, the real fix for the r09 review's fence-then-write finding):
@@ -860,9 +861,17 @@ def _staged_swap_write(
         )
         for pkey in pkeys:
             if not os.path.isdir(os.path.join(staging, pkey)):
-                # a touched partition with no staged output would LOSE
-                # data on swap; cannot happen for these writers (the
-                # merged frame carries every touched partition's rows)
+                if pkey in may_vanish:
+                    # declared removal (r12, delete_from_corpus): every
+                    # row of this partition was deleted — the swap will
+                    # displace the live dir into trash WITHOUT a staged
+                    # replacement, which recovery rolls back like any
+                    # displaced original
+                    continue
+                # otherwise a touched partition with no staged output
+                # would LOSE data on swap; cannot happen for the merge
+                # writers (the merged frame carries every touched
+                # partition's rows)
                 raise RuntimeError(
                     f"staged swap: no staged output for partition {pkey}"
                 )
@@ -882,6 +891,8 @@ def _staged_swap_write(
                 os.rename(live, tdst)
             else:  # new partition: ensure nested parents exist
                 os.makedirs(os.path.dirname(live), exist_ok=True)
+            if not os.path.isdir(os.path.join(staging, pkey)):
+                continue  # declared removal (may_vanish): displace only
             os.rename(os.path.join(staging, pkey), live)
     except BaseException:
         if not swapping:
@@ -1192,6 +1203,132 @@ def _cluster_corpus_layout_locked(
             f"{back['partitions']}) — partial commit"
         )
     return {"range_tasks": n, "manifest": manifest}
+
+
+def delete_from_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    condition,
+    partition_cols: tuple[str, ...] = ("source",),
+    max_records_per_file: int = 100_000,
+) -> dict:
+    """Predicate delete — the takedown operator a living training
+    corpus needs (right-to-be-forgotten requests, licensing pulls,
+    contaminated-source retractions): remove every row where
+    ``condition`` is TRUE (a Column or SQL string over the corpus as
+    :func:`read_corpus` types it), rewriting ONLY the partitions that
+    contain matches. Rows where the condition evaluates NULL are KEPT
+    (a takedown must name its rows; three-valued-logic surprises must
+    not silently widen it).
+
+    Scale shape: one partition-pruned-free pass computes per-partition
+    match counts (one bounded row per matching partition to the
+    driver); survivors are then read back PARTITION-PRUNED to just the
+    matching partitions, and the staged token-checked swap replaces
+    only those — a partition whose every row matched is REMOVED
+    (displaced into trash with no staged replacement, which crash
+    recovery rolls back like any displaced original; the manifest dump
+    after the swap is the commit point, exactly like upsert). Cost is
+    O(matching partitions), never a corpus rewrite; the initial match
+    scan is one full read, the price of an arbitrary predicate —
+    callers with partition-column predicates get that scan pruned by
+    Spark automatically.
+
+    Serializes on the per-corpus maintenance lease like every writer.
+    Returns ``{"deleted_rows", "removed_partitions", "manifest"}``."""
+    with corpus_lease(out_dir, "delete") as tok:
+        return _delete_from_corpus_locked(
+            spark, out_dir, condition, partition_cols,
+            max_records_per_file, tok,
+        )
+
+
+def _delete_from_corpus_locked(
+    spark: SparkSession,
+    out_dir: str,
+    condition,
+    partition_cols: tuple[str, ...],
+    max_records_per_file: int,
+    token: str,
+) -> dict:
+    """Body of :func:`delete_from_corpus`; the lease is held."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        prior = json.load(f)
+
+    def _typed(df):
+        if prior.get("schema") is not None:
+            sch = T.StructType.fromJson(prior["schema"])
+            for c in partition_cols:
+                df = df.withColumn(c, F.col(c).cast(sch[c].dataType))
+        return df
+
+    raw = _read_corpus(spark, out_dir, partition_cols)
+    hits = (
+        _typed(raw).filter(cond)
+        .groupBy(*partition_cols).count().collect()
+    )  # bounded: one row per matching partition
+    if not hits:
+        return {
+            "deleted_rows": 0, "removed_partitions": [],
+            "manifest": prior,
+        }
+    touched_vals = [tuple(r[c] for c in partition_cols) for r in hits]
+    del_counts = {_pkey(partition_cols, r): int(r["count"]) for r in hits}
+    pred = _partition_pred(partition_cols, touched_vals)
+    # survivors: the pruned scan of just the matching partitions, minus
+    # the TRUE-condition rows (NULL-condition rows survive, see above)
+    merged = (
+        _typed(raw.filter(pred))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    expected = {
+        _pkey(partition_cols, r): r["count"]
+        for r in merged.groupBy(*partition_cols).count().collect()
+    }
+    removed = sorted(k for k in del_counts if k not in expected)
+    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-plan
+    _staged_swap_write(
+        merged, out_dir, partition_cols, sorted(del_counts), token,
+        max_records_per_file, may_vanish=frozenset(removed),
+    )
+    check_lease(out_dir, token)  # post-swap fence
+    back = _manifest_from_files(
+        spark, out_dir, partition_cols, pred=pred,
+        schema_hint=merged.schema,
+    )
+    if back["partitions"] != expected:
+        raise RuntimeError(
+            "delete_from_corpus: post-write read-back does not match "
+            f"the survivor plan (expected {expected}, found "
+            f"{back['partitions']}) — partial commit, manifest NOT "
+            "updated"
+        )
+    parts = dict(prior["partitions"])
+    for k, n_del in del_counts.items():
+        if k in expected:
+            parts[k] = expected[k]
+        else:
+            parts.pop(k, None)
+    manifest = {
+        "partition_cols": list(partition_cols),
+        "partitions": parts,
+        "total_rows": sum(parts.values()),
+    }
+    if prior.get("schema") is not None:  # deletes never change schema
+        manifest["schema"] = prior["schema"]
+    check_lease(out_dir, token)  # fence the manifest dump as well
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return {
+        "deleted_rows": sum(del_counts.values()),
+        "removed_partitions": removed,
+        "manifest": manifest,
+    }
 
 
 def file_column_ranges(dir_path: str, column: str) -> list[tuple]:
@@ -1613,9 +1750,64 @@ FROM documents
 """
 
 
+def q_corpus_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the TAKEDOWN path (r12): build a
+    corpus, delete by predicate — every 13th doc PLUS one whole source
+    (the licensing-pull shape) — and read the committed files back. The
+    oracle computes the same anti-filter relationally. In-entry
+    assertions: the fully-deleted source's partition directory is GONE
+    (and absent from the manifest), and the reported deleted-row count
+    equals the corpus delta, so a silent partial delete fails the
+    driver row loudly."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_del_")
+    m0 = write_partitioned_corpus(docs, out)
+    msrc = docs.agg(F.max("source")).collect()[0][0]  # 1 bounded row
+    rep = delete_from_corpus(
+        spark, out,
+        (F.col("doc_id") % 13 == 0) | (F.col("source") == msrc),
+    )
+    gone = f"source={_hive_escape(_val_str(msrc))}"
+    if gone in rep["manifest"]["partitions"] or os.path.isdir(
+        os.path.join(out, gone)
+    ):
+        raise RuntimeError(
+            f"delete roundtrip: fully-deleted partition {gone} survived"
+        )
+    if rep["removed_partitions"] != [gone]:
+        raise RuntimeError(
+            f"delete roundtrip: removed {rep['removed_partitions']}, "
+            f"expected [{gone}]"
+        )
+    if (m0["total_rows"] - rep["manifest"]["total_rows"]
+            != rep["deleted_rows"]):
+        raise RuntimeError("delete roundtrip: deleted-row count drifts")
+    return read_corpus(spark, out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_delete_roundtrip.stateful_build = True
+
+
+_CORPUS_DELETE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
+FROM documents
+WHERE NOT (doc_id % 13 = 0
+           OR source = (SELECT max(source) FROM documents))
+"""
+
+
 QUERIES = {
     "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
     "corpus_evolve_roundtrip": q_corpus_evolve_roundtrip,
+    "corpus_delete_roundtrip": q_corpus_delete_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
     "corpus_layout_roundtrip": q_corpus_layout_roundtrip,
@@ -1628,6 +1820,9 @@ ORACLES = {
     # pre-evolution row reads back NULL for it (scan-time null fill
     # under the manifest schema; no-rewrite assertion is in-entry)
     "corpus_evolve_roundtrip": _CORPUS_EVOLVE_SQL,
+    # predicate takedown: the committed content is the anti-filter
+    # (whole-partition removal + count reconciliation are in-entry)
+    "corpus_delete_roundtrip": _CORPUS_DELETE_SQL,
     # per-key replacement is epoch-composable: any micro-batch split of
     # the same delta converges to the batch merge — oracle verbatim
     "corpus_upsert_streaming": _corpus_upsert_roundtrip_sql(),

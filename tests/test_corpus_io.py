@@ -1862,3 +1862,133 @@ def test_recover_corpus_rolls_back_crashed_evolving_upsert(
         m = corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
         assert "lang" in [f["name"] for f in m["schema"]["fields"]]
         assert corpus_io.verify_manifest(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# Predicate deletes (r12): takedown operator
+# ---------------------------------------------------------------------------
+
+
+def test_delete_from_corpus_basic_and_whole_partition(spark):
+    """Scattered deletes rewrite only matching partitions; a source
+    whose every row matches is REMOVED (dir gone, manifest key gone);
+    non-matching partitions stay byte-identical."""
+    import glob as _glob
+
+    docs = _evo_docs(spark)  # sources s0/s1/s2, 20 docs each
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        before_s1 = sorted(_glob.glob(os.path.join(out, "source=s1", "*")))
+        # delete all of s2 + every 4th doc in s0; s1 untouched
+        rep = corpus_io.delete_from_corpus(
+            spark, out,
+            (F.col("source") == "s2")
+            | ((F.col("source") == "s0") & (F.col("doc_id") % 4 == 0)),
+        )
+        assert rep["removed_partitions"] == ["source=s2"]
+        assert not os.path.isdir(os.path.join(out, "source=s2"))
+        assert "source=s2" not in rep["manifest"]["partitions"]
+        assert sorted(_glob.glob(os.path.join(out, "source=s1", "*"))) \
+            == before_s1
+        back = corpus_io.read_corpus(spark, out)
+        ids = {r["doc_id"] for r in back.collect()}
+        assert not any(i % 3 == 2 for i in ids)          # s2 gone
+        assert not any(i % 3 == 0 and i % 4 == 0 for i in ids)
+        assert 3 in ids and 1 in ids
+        assert rep["deleted_rows"] == 60 - len(ids)
+        assert rep["manifest"]["total_rows"] == len(ids)
+        assert corpus_io.verify_manifest(spark, out)
+        # no-op delete: nothing matches
+        rep2 = corpus_io.delete_from_corpus(
+            spark, out, F.col("doc_id") == -1
+        )
+        assert rep2["deleted_rows"] == 0
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_delete_keeps_null_condition_rows(spark):
+    """Three-valued logic: rows where the condition evaluates NULL are
+    KEPT — a takedown names its rows, it must not silently widen."""
+    docs = spark.createDataFrame(
+        [(1, "keep", "s0"), (2, None, "s0"), (3, "del-me", "s0")],
+        "doc_id long, text string, source string",
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        rep = corpus_io.delete_from_corpus(
+            spark, out, F.col("text").startswith("del")
+        )
+        assert rep["deleted_rows"] == 1
+        ids = sorted(
+            r["doc_id"] for r in corpus_io.read_corpus(spark, out).collect()
+        )
+        assert ids == [1, 2]  # the NULL-text row survived
+
+
+def test_delete_condition_on_evolved_column(spark):
+    """A delete predicate over a column added by schema evolution: the
+    delete's read goes through the manifest schema, so pre-evolution
+    rows see the column as NULL (kept), and only the evolved TRUE rows
+    go."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        delta = docs.filter(F.col("doc_id").isin(0, 6, 12)).withColumn(
+            "lang", F.when(F.col("doc_id") == 6, "xx").otherwise("en")
+        )
+        corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        rep = corpus_io.delete_from_corpus(
+            spark, out, F.col("lang") == "xx"
+        )
+        assert rep["deleted_rows"] == 1
+        back = {r["doc_id"]: r["lang"]
+                for r in corpus_io.read_corpus(spark, out).collect()}
+        assert 6 not in back and back[0] == "en" and back[1] is None
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_recover_corpus_rolls_back_crashed_delete(spark, monkeypatch):
+    """A writer crashed mid-swap during a delete — including a
+    whole-partition removal already displaced into trash — rolls back
+    to the pre-delete corpus exactly (the manifest dump is the commit
+    point), after which re-running the delete converges."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        before = {
+            r["doc_id"]: r["text"]
+            for r in corpus_io.read_corpus(spark, out).collect()
+        }
+        cond = (F.col("source") == "s1") | (
+            (F.col("source") == "s2") & (F.col("doc_id") % 2 == 0)
+        )
+        real_rename = os.rename
+        trash_renames = [0]
+
+        def crashing_rename(src, dst):
+            real_rename(src, dst)
+            if f"{os.sep}_trash_" in dst:
+                trash_renames[0] += 1
+                if trash_renames[0] == 2:
+                    raise RuntimeError("simulated mid-swap crash")
+
+        monkeypatch.setattr(corpus_io.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated mid-swap crash"):
+            corpus_io.delete_from_corpus(spark, out, cond)
+        monkeypatch.setattr(corpus_io.os, "rename", real_rename)
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["rolled_back"]
+        after = {
+            r["doc_id"]: r["text"]
+            for r in corpus_io.read_corpus(spark, out).collect()
+        }
+        assert after == before  # the takedown was fully undone
+        rep = corpus_io.delete_from_corpus(spark, out, cond)
+        assert rep["removed_partitions"] == ["source=s1"]
+        assert corpus_io.verify_manifest(spark, out)
