@@ -372,6 +372,29 @@ def _manifest_schema(out_dir: str):
     return None if recorded is None else T.StructType.fromJson(recorded)
 
 
+def _dump_manifest(out_dir: str, manifest: dict, token: str) -> None:
+    """ATOMIC manifest commit (r12 review): the manifest dump is every
+    writer's commit point, but a plain ``open(w)`` + ``json.dump``
+    could be caught mid-write by a crash and leave a TRUNCATED
+    manifest — which downstream code would then treat as
+    prior-manifest-missing (the recovery rebuild path) at best, or
+    raise on at worst. Write to a temp file and ``os.replace`` so the
+    committed manifest is always either the old one or the new one,
+    never a torn write. The dump also records ``writer_token`` — the
+    lease token of the writer that committed it — which is what lets
+    :func:`recover_corpus` decide whether a crashed writer's leftovers
+    are PRE-commit (roll back) or POST-commit (roll forward): a
+    leftover trash/staging pair whose token matches the committed
+    manifest's proves the manifest dump already happened. Returns the
+    stamped dict so callers return exactly what they committed."""
+    manifest = {**manifest, "writer_token": token}
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    return manifest
+
+
 def _read_corpus(
     spark: SparkSession,
     out_dir: str,
@@ -495,9 +518,7 @@ def write_partitioned_corpus(
         # here it is simply the schema of the frame just written
         manifest["schema"] = json.loads(df.schema.json())
         check_lease(out_dir, tok)
-        with open(os.path.join(out_dir, MANIFEST), "w") as f:
-            json.dump(manifest, f, sort_keys=True)
-        return manifest
+        return _dump_manifest(out_dir, manifest, tok)
 
 
 def _manifest_from_files(
@@ -710,9 +731,7 @@ def _upsert_corpus_locked(
             spark, out_dir, partition_cols, schema_hint=hint
         )
         manifest["schema"] = json.loads(hint.json())
-        with open(os.path.join(out_dir, MANIFEST), "w") as f:
-            json.dump(manifest, f, sort_keys=True)
-        return manifest
+        return _dump_manifest(out_dir, manifest, token)
     # delta-wins needs ONE winner per key; two delta rows with the same
     # key would tie on _pri and the survivor would be shuffle-order
     # nondeterministic — refuse loudly instead of committing a coin flip
@@ -807,9 +826,7 @@ def _upsert_corpus_locked(
     # the newest columns (r12)
     manifest["schema"] = json.loads(merged.schema.json())
     check_lease(out_dir, token)  # fence the manifest dump as well
-    with open(os.path.join(out_dir, MANIFEST), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    return manifest
+    return _dump_manifest(out_dir, manifest, token)
 
 
 def _staged_swap_write(
@@ -820,7 +837,8 @@ def _staged_swap_write(
     token: str,
     max_records_per_file: int,
     may_vanish: frozenset[str] = frozenset(),
-) -> None:
+    defer_cleanup: bool = False,
+) -> tuple[str, str] | None:
     """Token-checked staged commit for the read-modify-write writers
     (r10, the real fix for the r09 review's fence-then-write finding):
     write ``merged`` to a private underscore-prefixed staging dir
@@ -901,9 +919,21 @@ def _staged_swap_write(
         # mid-swap failure: LEAVE staging + trash in place — the
         # replaced originals live under the trash dir for recovery
         raise
+    if defer_cleanup:
+        # r12 review: a writer that REMOVES partitions (delete's
+        # may_vanish) must keep the displaced originals until its
+        # manifest dump COMMITS the removal — dropping trash first
+        # opens a crash window where the data is gone but the manifest
+        # still lists it, which recovery could neither roll back (no
+        # trash) nor reconcile. The caller dumps the manifest (stamped
+        # with this token, see _dump_manifest) and then removes both
+        # dirs; recover_corpus rolls leftovers FORWARD when the
+        # committed manifest carries the same token.
+        return staging, trash
     # success: drop the replaced originals and staging leftovers
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+    return None
 
 
 def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
@@ -949,20 +979,31 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
     which SIGKILLs a real mid-swap holder so nothing releases the
     lease, then recovers past the aged-out TTL.
 
+    Roll FORWARD instead of back when the committed manifest carries
+    the crashed writer's token (r12 review): a deferred-cleanup writer
+    (``delete_from_corpus`` keeps its trash until the manifest dump
+    commits the removals) that crashed AFTER its manifest dump leaves
+    post-commit residue — rolling that back would resurrect data the
+    committed manifest says is gone, so recovery just drops the
+    leftover dirs (:func:`_dump_manifest` stamps every manifest with
+    its writer's token to make the pre/post-commit call mechanical).
+
     With ``spark`` given, finishes with a full
     :func:`verify_manifest` read-back and raises on mismatch; without
     it, verifies every manifest partition directory exists. Returns
     ``{"discarded_staging": [tokens], "rolled_back": [tokens],
-    "restored": [pkeys], "removed_new": [pkeys]}``."""
+    "rolled_forward": [tokens], "restored": [pkeys],
+    "removed_new": [pkeys]}``."""
     import shutil
 
     report: dict = {
-        "discarded_staging": [], "rolled_back": [],
+        "discarded_staging": [], "rolled_back": [], "rolled_forward": [],
         "restored": [], "removed_new": [],
     }
     with corpus_lease(out_dir, "recover"):
         with open(os.path.join(out_dir, MANIFEST)) as f:
-            committed = set(json.load(f)["partitions"])
+            committed_manifest = json.load(f)
+        committed = set(committed_manifest["partitions"])
         tokens = sorted({
             name.split("_", 2)[2]
             for name in os.listdir(out_dir)
@@ -971,6 +1012,18 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
         for token in tokens:
             staging = os.path.join(out_dir, f"_staging_{token}")
             trash = os.path.join(out_dir, f"_trash_{token}")
+            if committed_manifest.get("writer_token") == token:
+                # the committed manifest CARRIES this writer's token
+                # (r12 review): its dump — the commit point — already
+                # happened, so these leftovers are post-commit residue
+                # of a deferred-cleanup writer (delete keeps its trash
+                # until the manifest commits the removals). Roll
+                # FORWARD: drop both dirs; rolling back here would
+                # resurrect data the committed manifest says is gone.
+                shutil.rmtree(staging, ignore_errors=True)
+                shutil.rmtree(trash, ignore_errors=True)
+                report["rolled_forward"].append(token)
+                continue
             if not os.path.isdir(trash):
                 shutil.rmtree(staging, ignore_errors=True)
                 report["discarded_staging"].append(token)
@@ -1292,9 +1345,14 @@ def _delete_from_corpus_locked(
     }
     removed = sorted(k for k in del_counts if k not in expected)
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-plan
-    _staged_swap_write(
+    # cleanup DEFERRED past the manifest dump (r12 review): the
+    # displaced originals must survive until the removal is committed,
+    # or a crash in between strands a manifest that lists partitions
+    # no longer on disk (see _staged_swap_write / recover_corpus)
+    leftovers = _staged_swap_write(
         merged, out_dir, partition_cols, sorted(del_counts), token,
         max_records_per_file, may_vanish=frozenset(removed),
+        defer_cleanup=True,
     )
     check_lease(out_dir, token)  # post-swap fence
     back = _manifest_from_files(
@@ -1322,8 +1380,11 @@ def _delete_from_corpus_locked(
     if prior.get("schema") is not None:  # deletes never change schema
         manifest["schema"] = prior["schema"]
     check_lease(out_dir, token)  # fence the manifest dump as well
-    with open(os.path.join(out_dir, MANIFEST), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    manifest = _dump_manifest(out_dir, manifest, token)  # commit point
+    import shutil as _shutil
+
+    for d in leftovers or ():
+        _shutil.rmtree(d, ignore_errors=True)
     return {
         "deleted_rows": sum(del_counts.values()),
         "removed_partitions": removed,

@@ -1247,7 +1247,7 @@ def test_recover_corpus_rolls_back_crash_mid_swap(spark, monkeypatch):
         report2 = corpus_io.recover_corpus(out, spark)
         assert report2 == {
             "discarded_staging": [], "rolled_back": [],
-            "restored": [], "removed_new": [],
+            "rolled_forward": [], "restored": [], "removed_new": [],
         }
 
 
@@ -1401,7 +1401,7 @@ def test_recover_corpus_idempotent_after_recovery_crash(spark, monkeypatch):
         # and a third call over the now-clean corpus is a no-op
         assert corpus_io.recover_corpus(out, spark) == {
             "discarded_staging": [], "rolled_back": [],
-            "restored": [], "removed_new": [],
+            "rolled_forward": [], "restored": [], "removed_new": [],
         }
         # documented protocol completes: re-run the failed operation
         corpus_io.upsert_corpus(delta, out)
@@ -1991,4 +1991,53 @@ def test_recover_corpus_rolls_back_crashed_delete(spark, monkeypatch):
         assert after == before  # the takedown was fully undone
         rep = corpus_io.delete_from_corpus(spark, out, cond)
         assert rep["removed_partitions"] == ["source=s1"]
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_recover_rolls_forward_committed_delete_residue(spark, monkeypatch):
+    """r12 review: delete defers its trash cleanup past the manifest
+    dump (the commit point). A crash BETWEEN the dump and the cleanup
+    leaves trash+staging on disk with a manifest that already commits
+    the removals — recover_corpus must roll FORWARD (drop the residue;
+    the manifest carries the crashed writer's token), never resurrect
+    the deleted partition, and the corpus must verify."""
+    import shutil as _shutil
+
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        real_rmtree = _shutil.rmtree
+
+        def crashing_rmtree(path, *a, **k):
+            if f"{os.sep}_staging_" in str(path) or \
+                    f"{os.sep}_trash_" in str(path):
+                raise RuntimeError("simulated post-commit crash")
+            return real_rmtree(path, *a, **k)
+
+        monkeypatch.setattr("shutil.rmtree", crashing_rmtree)
+        with pytest.raises(RuntimeError, match="simulated post-commit"):
+            corpus_io.delete_from_corpus(
+                spark, out, F.col("source") == "s1"
+            )
+        monkeypatch.setattr("shutil.rmtree", real_rmtree)
+        # the manifest committed the removal; residue is on disk
+        import json as _json
+
+        with open(os.path.join(out, corpus_io.MANIFEST)) as f:
+            m = _json.load(f)
+        assert "source=s1" not in m["partitions"]
+        assert [d for d in os.listdir(out)
+                if d.startswith(("_staging_", "_trash_"))]
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["rolled_forward"], report
+        assert report["rolled_back"] == [] and report["restored"] == []
+        assert not os.path.isdir(os.path.join(out, "source=s1"))
+        assert not [d for d in os.listdir(out)
+                    if d.startswith(("_staging_", "_trash_"))]
+        back = corpus_io.read_corpus(spark, out)
+        assert back.filter(F.col("source") == "s1").count() == 0
+        assert back.count() == 40
         assert corpus_io.verify_manifest(spark, out)
