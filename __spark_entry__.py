@@ -56,48 +56,87 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7): changed-this-
 # round entries first in registry order, then every other entry ranked
 # by oldest last-green round (registry order as tiebreak), first 50 win.
-# The r12 changed set (8 entries):
-#   - q1_kinesis_wire: the inline at-rest fsck is now an ``audit=``
-#     parameter (inline for the driver entry, off for production
-#     call-sites), the verifier pairs fingerprints by parsed numeric
-#     file index, and the writer caps epoch width at the point where
-#     lexicographic name order stops equaling numeric order
-#     (streaming/jobs.py, sources/kinesis_fake.py — VERDICT r11 #5 +
-#     ADVICE r11);
-#   - the five corpus write-path entries: corpus read-backs use an
-#     explicit string-partition schema instead of the session-global
-#     inference conf flip (VERDICT r11 #4), and recover_corpus is now
-#     idempotent under a crash DURING recovery — the committed manifest
-#     disambiguates restored originals from swapped-in new partitions,
-#     closing a re-entry hole that deleted restored data
-#     (operators/corpus_io.py, VERDICT r11 #2);
-#   - media_decode_wav / media_decode_ppm: NULL text filtered on both
-#     sides so the encoder's domain matches the oracle (ADVICE r11).
-# Slots 9-10 are NEW this round: corpus_evolve_roundtrip —
-# manifest-recorded schema evolution (upsert a delta carrying a new
-# column; untouched partitions stay byte-identical and null-fill at
-# scan under the manifest schema; read_corpus is the typed consumer
-# reader) — and corpus_delete_roundtrip — the predicate takedown
-# operator (scattered deletes rewrite only matching partitions via the
-# staged swap; a fully-matched partition is removed; NULL-condition
-# rows are kept).
-# The remaining 40 slots run the staleness sweep (VERDICT r11 #1): all
-# 24 remaining r08-green rows, then the 16 oldest r09 rows — after r12
-# no entry's external-driver evidence predates r09. Everything rotated
-# out is r09+-green over an r12-unchanged plan (LEDGER.md); per-round
+# The r13 changed set (8 entries):
+#   - the seven corpus write-path entries: every manifest dump now
+#     carries a durable ``committed_tokens`` commit log (atomic with
+#     the commit point) that recover_corpus classifies residue against
+#     — the latest-writer_token-only check misclassified a committed
+#     delete's stale residue as pre-commit once a SUBSEQUENT writer
+#     committed, resurrecting taken-down partitions (ADVICE r12 #1);
+#     the dump is fsynced file+dir (ADVICE r12 #4) and mirrored into
+#     ``_manifest_history/`` (VERDICT r12 #8); upsert's schema guard
+#     now rejects shared-column RETYPES (lossless upcasts cast the
+#     delta up instead; ADVICE r12 #2);
+#   - q1_kinesis_wire: the at-rest fsck reports a hand-renamed
+#     records file (non-numeric index) through its corruption channel
+#     instead of crashing in sorted() (ADVICE r12 #3).
+# Slots 9-10 are NEW this round: corpus_redact_roundtrip — COLUMN
+# takedown (full-corpus rewrite through the staged swap, manifest
+# schema narrowed, physical column absence + byte sweep asserted
+# in-entry; VERDICT r12 #4) — and corpus_vacuum_roundtrip — the
+# vacuum op + THE ADVICE r12 #1 scenario end-to-end (committed delete
+# residue + subsequent upsert commit, rolled FORWARD via the durable
+# log; VERDICT r12 #3).
+# The remaining 40 slots continue the staleness sweep (VERDICT r12
+# #2): all 29 r09-green rows, then the 11 oldest r10 rows — after r13
+# no entry's external-driver evidence predates r10. Everything rotated
+# out is r10+-green over an r13-unchanged plan (LEDGER.md); per-round
 # rotation rationale lives in the git history of this file.
 PRIORITY = [
-    # ---- slots 1-50: the r12 driver window (== LEDGER next-window) ----
+    # ---- slots 1-50: the r13 driver window (== LEDGER next-window) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
     "corpus_compact_roundtrip",
     "corpus_layout_roundtrip",
     "corpus_recover_roundtrip",
-    "media_decode_wav",
-    "media_decode_ppm",
     "corpus_evolve_roundtrip",
     "corpus_delete_roundtrip",
+    "corpus_redact_roundtrip",
+    "corpus_vacuum_roundtrip",
+    "stratified_cap",
+    "range_join_bands",
+    "priority_lists",
+    "promo_revenue",
+    "pricing_summary",
+    "revenue_by_nation",
+    "orders_by_region",
+    "rollup_orders",
+    "top_parts",
+    "pivot_status",
+    "unpivot_metrics",
+    "bucketed_join",
+    "rolling_revenue",
+    "json_extract",
+    "cube_orders",
+    "distinct_counts",
+    "semi_join",
+    "anti_join",
+    "customer_order_stats",
+    "top_customers_per_nation",
+    "set_ops",
+    "grouping_sets",
+    "udaf_median",
+    "full_outer_balances",
+    "exists_returned_orders",
+    "in_large_orders",
+    "scalar_below_avg",
+    "trips_clean",
+    "airport_trips",
+    "tfidf_top_terms",
+    "repetition_score",
+    "length_histogram",
+    "approx_distinct",
+    "approx_quantiles",
+    "pii_scrub",
+    "global_row_number",
+    "passage_dedup",
+    "dup_provenance",
+    "bigram_lm",
+    "sequence_packing",
+    # ---- past the window: r10+-green over unchanged plans ----
+    "media_decode_wav",
+    "media_decode_ppm",
     "order_count_distribution",
     "small_lot_revenue",
     "brand_volume_revenue",
@@ -138,9 +177,6 @@ PRIORITY = [
     "udtf_word_positions",
     "split_train_test",
     "split_counts",
-    "stratified_cap",
-    "range_join_bands",
-    # ---- past the window: r09+-green over unchanged plans ----
     "dedup_minhash_lsh",
     "session_windows_streaming",
     "stateful_sessionize",
@@ -183,17 +219,6 @@ PRIORITY = [
     "product_profit",
     "lonely_returns",
     "min_cost_supplier",
-    "tfidf_top_terms",
-    "repetition_score",
-    "length_histogram",
-    "approx_distinct",
-    "approx_quantiles",
-    "pii_scrub",
-    "global_row_number",
-    "passage_dedup",
-    "dup_provenance",
-    "bigram_lm",
-    "sequence_packing",
     "bottomk_sample",
     "mixture_weights",
     "sketch_rollup",
@@ -228,33 +253,6 @@ PRIORITY = [
     "ngram_jaccard",
     "doc_chunks",
     "split_leakage",
-    "priority_lists",
-    "promo_revenue",
-    "pricing_summary",
-    "revenue_by_nation",
-    "orders_by_region",
-    "rollup_orders",
-    "top_parts",
-    "pivot_status",
-    "unpivot_metrics",
-    "bucketed_join",
-    "rolling_revenue",
-    "json_extract",
-    "cube_orders",
-    "distinct_counts",
-    "semi_join",
-    "anti_join",
-    "customer_order_stats",
-    "top_customers_per_nation",
-    "set_ops",
-    "grouping_sets",
-    "udaf_median",
-    "full_outer_balances",
-    "exists_returned_orders",
-    "in_large_orders",
-    "scalar_below_avg",
-    "trips_clean",
-    "airport_trips",
 ]
 
 

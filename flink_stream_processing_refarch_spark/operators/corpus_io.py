@@ -296,6 +296,21 @@ def check_lease(out_dir: str, token: str) -> None:
         "ttl_sec above the longest expected job"
     )
 
+#: (delta simpleString, corpus simpleString) pairs an upsert casts UP
+#: silently (r13, ADVICE r12 #2): value-preserving integral widenings
+#: and float->double only — directions where casting the DELTA to the
+#: corpus type loses nothing and the corpus's physical type (what
+#: untouched partitions' files hold) never moves. Everything else —
+#: any narrowing, int<->float crossings, string coercions — raises.
+_LOSSLESS_UPCASTS = frozenset(
+    [
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    ]
+)
+
 #: Spark's on-disk directory name for a NULL partition value. Manifest
 #: keys must use the same token or null-keyed partitions stop matching
 #: the physical layout (the upsert predicate itself is null-safe via
@@ -372,26 +387,98 @@ def _manifest_schema(out_dir: str):
     return None if recorded is None else T.StructType.fromJson(recorded)
 
 
-def _dump_manifest(out_dir: str, manifest: dict, token: str) -> None:
+#: rolling directory of the last K token-stamped manifests — the
+#: commit log a bad commit is diagnosed from (verify_manifest failures
+#: can name WHICH writer's dump first diverged) (r13, VERDICT r12 #8).
+MANIFEST_HISTORY = "_manifest_history"
+MANIFEST_HISTORY_KEEP = 16
+
+#: how many commit tokens the manifest itself remembers (r13, ADVICE
+#: r12 #1). Bounds the manifest's size; 64 committed writers is far
+#: beyond any residue's plausible survival horizon (each commit is an
+#: opportunity for recovery/vacuum to have swept it).
+COMMITTED_TOKENS_KEEP = 64
+
+
+def _dump_manifest(out_dir: str, manifest: dict, token: str) -> dict:
     """ATOMIC manifest commit (r12 review): the manifest dump is every
     writer's commit point, but a plain ``open(w)`` + ``json.dump``
     could be caught mid-write by a crash and leave a TRUNCATED
     manifest — which downstream code would then treat as
     prior-manifest-missing (the recovery rebuild path) at best, or
-    raise on at worst. Write to a temp file and ``os.replace`` so the
-    committed manifest is always either the old one or the new one,
-    never a torn write. The dump also records ``writer_token`` — the
-    lease token of the writer that committed it — which is what lets
-    :func:`recover_corpus` decide whether a crashed writer's leftovers
-    are PRE-commit (roll back) or POST-commit (roll forward): a
-    leftover trash/staging pair whose token matches the committed
-    manifest's proves the manifest dump already happened. Returns the
-    stamped dict so callers return exactly what they committed."""
-    manifest = {**manifest, "writer_token": token}
+    raise on at worst. Write to a temp file, ``fsync`` it, and
+    ``os.replace`` — then fsync the DIRECTORY so the rename itself is
+    durable (r13, ADVICE r12 #4: without the fsyncs the
+    old-or-new-never-torn claim holds for process crashes but not
+    power loss, where the replace can be reordered before the data
+    blocks land — the exact failure this function exists to prevent;
+    same discipline as the lease writer).
+
+    The dump records two commit witnesses:
+
+    - ``writer_token`` — the lease token of the writer that committed
+      THIS manifest;
+    - ``committed_tokens`` — the last :data:`COMMITTED_TOKENS_KEEP`
+      commit tokens in commit order, carried forward from the prior
+      manifest (r13, ADVICE r12 #1). This is what lets
+      :func:`recover_corpus` classify a crashed writer's leftovers as
+      PRE-commit (roll back) vs POST-commit (roll forward) DURABLY:
+      the latest-``writer_token``-only check broke as soon as a
+      SUBSEQUENT writer committed before recovery ran — the stale
+      post-commit residue of a deferred-cleanup delete would then be
+      misclassified as pre-commit and rolled BACK, resurrecting
+      taken-down partitions. A token's membership in
+      ``committed_tokens`` is atomic with the commit point itself (it
+      is written by the very ``os.replace`` that commits), so the
+      pre/post call is mechanical and survives any number of later
+      commits. The list doubles as the corpus's serialization witness:
+      its order IS the order content-changing writers committed in
+      (the concurrent writer-mix property test replays it).
+
+    After the replace, the stamped manifest is also appended to
+    ``_manifest_history/manifest_{token}.json`` and the history pruned
+    to the manifests whose tokens remain in ``committed_tokens``'s
+    tail (r13, VERDICT r12 #8) — history is diagnostic, written after
+    the commit point, and never load-bearing for recovery.
+
+    Returns the stamped dict so callers return exactly what they
+    committed."""
+    prior_tokens: list[str] = []
+    try:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            prior_tokens = list(json.load(f).get("committed_tokens", []))
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        pass  # first commit / legacy manifest: start the log here
+    manifest = {
+        **manifest,
+        "writer_token": token,
+        "committed_tokens": (
+            [t for t in prior_tokens if t != token] + [token]
+        )[-COMMITTED_TOKENS_KEEP:],
+    }
     tmp = os.path.join(out_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    dfd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    hist = os.path.join(out_dir, MANIFEST_HISTORY)
+    with contextlib.suppress(OSError):
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"manifest_{token}.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        keep = {
+            f"manifest_{t}.json"
+            for t in manifest["committed_tokens"][-MANIFEST_HISTORY_KEEP:]
+        }
+        for name in os.listdir(hist):
+            if name not in keep:
+                os.unlink(os.path.join(hist, name))
     return manifest
 
 
@@ -609,7 +696,13 @@ def upsert_corpus(
     rewritten as usual; files written before the evolution physically
     lack the new columns and Spark null-fills them at scan time, so
     evolving a 100 TB corpus costs exactly one ordinary upsert.
-    Shared columns must keep their types (a type change raises).
+    Shared columns must keep the CORPUS's types (r13, ADVICE r12 #2):
+    a delta column that upcasts losslessly (int into a bigint corpus,
+    float into double) is cast up to the corpus type; any other type
+    change raises, with or without the flag — evolution widens, it
+    never retypes, because untouched partitions' files hold the old
+    physical type and would break (or silently change type) under a
+    coerced manifest schema.
     """
     with corpus_lease(out_dir, "upsert") as tok:
         return _upsert_corpus_locked(
@@ -753,6 +846,62 @@ def _upsert_corpus_locked(
     # string-rendered pred above); cast back to the delta's declared
     # types so unionByName merges type-identical frames
     existing = _read_corpus(spark, out_dir, partition_cols, hint).filter(pred)
+    corpus_schema = existing.schema  # authority BEFORE the partition cast
+    # shared columns must KEEP the CORPUS's types, with or without the
+    # evolution flag (r13, ADVICE r12 #2 — the name-only extra/narrow
+    # check let a same-width delta with a retyped column slip through:
+    # unionByName silently coerces to the wider type, the coerced
+    # schema becomes the manifest authority, and untouched partitions'
+    # files — written with the old type — then fail or silently change
+    # type at scan under the new explicit read schema). Evolution
+    # WIDENS (adds columns); it never retypes. A delta column whose
+    # type upcasts LOSSLESSLY to the corpus type (int delta into a
+    # bigint corpus) is cast up here — the merge then carries exactly
+    # the corpus type and the authority never moves; anything else
+    # (corpus long vs delta double/string, any narrowing) raises.
+    # Data columns compare against the read authority (_read_corpus:
+    # hint / manifest / footer); partition columns — structurally
+    # STRING in the read-back — compare against the manifest-recorded
+    # typed schema.
+    from pyspark.sql import types as T
+
+    recorded = (
+        T.StructType.fromJson(prior["schema"])
+        if prior is not None and prior.get("schema") is not None
+        else None
+    )
+    corpus_types = {
+        f.name: f.dataType
+        for f in corpus_schema.fields
+        if f.name not in partition_cols
+    }
+    if recorded is not None:
+        corpus_types.update(
+            {c: recorded[c].dataType for c in partition_cols
+             if c in set(recorded.names)}
+        )
+    retyped = []
+    for c in delta.columns:
+        want = corpus_types.get(c)
+        have = delta.schema[c].dataType
+        if want is None or want == have:
+            continue
+        pair = (have.simpleString(), want.simpleString())
+        if pair in _LOSSLESS_UPCASTS:
+            delta = delta.withColumn(c, F.col(c).cast(want))
+        else:
+            retyped.append((c, want.simpleString(), have.simpleString()))
+    if retyped:
+        raise ValueError(
+            "upsert_corpus: shared column type change is not supported "
+            "— schema evolution widens the corpus, it never retypes "
+            "(untouched partitions' files hold the old physical type): "
+            + ", ".join(
+                f"{c}: corpus {old} vs delta {new}"
+                for c, old, new in retyped
+            )
+            + " — cast the delta to the corpus type before upserting"
+        )
     for c in partition_cols:
         existing = existing.withColumn(
             c, F.col(c).cast(delta.schema[c].dataType)
@@ -1009,17 +1158,25 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
             for name in os.listdir(out_dir)
             if name.startswith(("_staging_", "_trash_"))
         })
+        durably_committed = set(
+            committed_manifest.get("committed_tokens", [])
+        ) | {committed_manifest.get("writer_token")}
         for token in tokens:
             staging = os.path.join(out_dir, f"_staging_{token}")
             trash = os.path.join(out_dir, f"_trash_{token}")
-            if committed_manifest.get("writer_token") == token:
-                # the committed manifest CARRIES this writer's token
-                # (r12 review): its dump — the commit point — already
-                # happened, so these leftovers are post-commit residue
-                # of a deferred-cleanup writer (delete keeps its trash
-                # until the manifest commits the removals). Roll
-                # FORWARD: drop both dirs; rolling back here would
-                # resurrect data the committed manifest says is gone.
+            if token in durably_committed:
+                # this writer's commit token is in the manifest's
+                # durable commit log (r13, ADVICE r12 #1 — previously
+                # only the LATEST writer_token was checked, so a
+                # subsequent commit before recovery ran misclassified
+                # stale post-commit residue as pre-commit and rolled
+                # it BACK, resurrecting taken-down partitions): its
+                # dump — the commit point — already happened, so these
+                # leftovers are post-commit residue of a
+                # deferred-cleanup writer (delete/redact keep their
+                # trash until the manifest commits). Roll FORWARD:
+                # drop both dirs; rolling back here would resurrect
+                # data the committed manifest says is gone.
                 shutil.rmtree(staging, ignore_errors=True)
                 shutil.rmtree(trash, ignore_errors=True)
                 report["rolled_forward"].append(token)
@@ -1078,6 +1235,62 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
                 "the manifest — the leftovers did not account for the "
                 "divergence; inspect the corpus by hand"
             )
+    return report
+
+
+def vacuum_corpus(
+    out_dir: str,
+    spark: SparkSession | None = None,
+    ttl_sec: float = LEASE_TTL_SEC,
+) -> dict:
+    """Reclaim every byte of crash residue — the maintenance op that
+    CLOSES the right-to-be-forgotten loop (r13, VERDICT r12 #3): after
+    a crashed :func:`delete_from_corpus` / :func:`redact_column_from_corpus`,
+    the taken-down rows' bytes persist in ``_trash_{token}`` until
+    someone runs recovery; a compliance deadline needs an operator
+    that guarantees they are GONE, not one that happens to drop them
+    as a side effect.
+
+    Two phases, each serialized on the maintenance lease:
+
+    1. :func:`recover_corpus` — classifies every leftover
+       staging/trash token against the manifest's durable commit log
+       and rolls it back (pre-commit: restores the last committed
+       state, which legitimately still CONTAINS rows whose takedown
+       never committed — re-run the takedown) or forward (post-commit:
+       drops the residue, including a committed takedown's trashed
+       bytes). A fresh crashed holder's un-expired lease makes this
+       raise :class:`MaintenanceLeaseHeld` — vacuum must never sweep
+       under a possibly-live writer.
+    2. stray-FILE sweep: lease/manifest temp and aside files
+       (``_corpus_lease.json.*``, ``_corpus_manifest.json.tmp``) older
+       than ``ttl_sec`` — the droppings of crashed acquirers/breakers
+       that recovery's dir-level rollback never looks at. Age-gated so
+       a live writer's in-flight temp file is never swept.
+
+    Post-condition (pinned byte-level by
+    ``tests/test_corpus_io.py::test_vacuum_closes_right_to_be_forgotten_byte_loop``):
+    once every takedown has committed, no removed row's bytes survive
+    anywhere under the corpus root. Returns the recovery report plus
+    ``{"swept_files": [names]}``."""
+    report = recover_corpus(out_dir, spark)
+    swept: list[str] = []
+    with corpus_lease(out_dir, "vacuum", ttl_sec=ttl_sec):
+        now = time.time()
+        for name in sorted(os.listdir(out_dir)):
+            if not (
+                name.startswith(LEASE + ".")
+                or name == MANIFEST + ".tmp"
+            ):
+                continue
+            path = os.path.join(out_dir, name)
+            with contextlib.suppress(OSError):
+                if os.path.isfile(path) and (
+                    now - os.path.getmtime(path) > ttl_sec
+                ):
+                    os.unlink(path)
+                    swept.append(name)
+    report["swept_files"] = swept
     return report
 
 
@@ -1390,6 +1603,110 @@ def _delete_from_corpus_locked(
         "removed_partitions": removed,
         "manifest": manifest,
     }
+
+
+def redact_column_from_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    max_records_per_file: int = 100_000,
+) -> dict:
+    """Column-level takedown (r13, VERDICT r12 #2) — the third
+    compliance shape after row deletes and schema widening: purge a
+    COLUMN corpus-wide (a PII field that should never have been
+    collected, a licensing pull on one modality). Every partition is
+    rewritten WITHOUT ``column`` through the same lease + staged
+    token-checked swap as every writer, and the manifest schema is
+    NARROWED — the first narrowing evolution (widening adds columns
+    with scan-time null fill; narrowing must physically rewrite,
+    because the bytes being removed are the point).
+
+    Scale shape: one full read + write of the corpus — the honest
+    price of physically destroying a column's bytes (column pruning
+    means the scan side reads only what it keeps: the rewrite READS
+    corpus-minus-column, never the doomed column itself). Partition
+    dirs swap one at a time; a crash mid-swap rolls back via
+    :func:`recover_corpus` (manifest/schema unchanged until the dump,
+    so rollback restores a consistent pre-redact corpus and the
+    redact is re-run). Cleanup is DEFERRED past the manifest dump
+    exactly like :func:`delete_from_corpus`: the displaced originals
+    — which still HOLD the redacted bytes — stay in trash until the
+    narrowed manifest commits, then are dropped; a crash in between
+    is post-commit residue the durable commit log rolls forward.
+    Run :func:`vacuum_corpus` afterwards to certify no residue bytes
+    survive.
+
+    Refuses to redact a partition column (it is the layout) — drop it
+    by rewriting the corpus with different ``partition_cols`` instead.
+    Returns ``{"redacted_column", "manifest"}``."""
+    with corpus_lease(out_dir, "redact") as tok:
+        return _redact_column_locked(
+            spark, out_dir, column, max_records_per_file, tok
+        )
+
+
+def _redact_column_locked(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    max_records_per_file: int,
+    token: str,
+) -> dict:
+    """Body of :func:`redact_column_from_corpus`; the lease is held."""
+    import shutil as _shutil
+
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        prior = json.load(f)
+    partition_cols = tuple(prior["partition_cols"])
+    if column in partition_cols:
+        raise ValueError(
+            f"redact_column_from_corpus: {column!r} is a partition "
+            "column — the corpus layout, not data; rewrite the corpus "
+            "with different partition_cols instead"
+        )
+    back = _read_corpus(spark, out_dir, partition_cols)
+    if column not in back.columns:
+        raise ValueError(
+            f"redact_column_from_corpus: corpus has no column "
+            f"{column!r} (columns: {sorted(back.columns)})"
+        )
+    # column pruning: the rewrite plan never reads the doomed column
+    merged = back.drop(column).localCheckpoint(eager=True)
+    pkeys = sorted(prior["partitions"])
+    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-read
+    leftovers = _staged_swap_write(
+        merged, out_dir, partition_cols, pkeys, token,
+        max_records_per_file, defer_cleanup=True,
+    )
+    check_lease(out_dir, token)  # post-swap fence
+    fresh = _manifest_from_files(
+        spark, out_dir, partition_cols, schema_hint=merged.schema
+    )
+    if fresh["partitions"] != prior["partitions"]:
+        raise RuntimeError(
+            "redact_column_from_corpus: post-write read-back does not "
+            f"match the manifest (expected {prior['partitions']}, "
+            f"found {fresh['partitions']}) — partial commit, manifest "
+            "NOT updated"
+        )
+    manifest = {
+        "partition_cols": list(partition_cols),
+        "partitions": dict(prior["partitions"]),
+        "total_rows": prior["total_rows"],
+    }
+    if prior.get("schema") is not None:  # narrow the schema authority
+        manifest["schema"] = {
+            **prior["schema"],
+            "fields": [
+                fld for fld in prior["schema"]["fields"]
+                if fld["name"] != column
+            ],
+        }
+    check_lease(out_dir, token)  # fence the manifest dump as well
+    manifest = _dump_manifest(out_dir, manifest, token)  # commit point
+    for d in leftovers or ():
+        _shutil.rmtree(d, ignore_errors=True)
+    return {"redacted_column": column, "manifest": manifest}
 
 
 def file_column_ranges(dir_path: str, column: str) -> list[tuple]:
@@ -1865,10 +2182,152 @@ WHERE NOT (doc_id % 13 = 0
 """
 
 
+def q_corpus_redact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of COLUMN takedown (r13): build a corpus
+    carrying a synthetic PII column (``email``), redact it corpus-wide,
+    and read the committed files back. The oracle is the documents
+    projection WITHOUT the column. In-entry assertions make a silent
+    partial redact fail the driver row loudly: the manifest schema must
+    lack the column, every committed parquet footer must physically
+    lack it (narrowing is a REWRITE — scan-time hiding would leave the
+    bytes), and a byte sweep of every file under the corpus root must
+    find no trace of the synthetic email domain."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        F.concat(
+            F.lit("user"), F.col("doc_id"), F.lit("@redact.example")
+        ).alias("email"),
+    )
+    out = scratch_dir("corpus_rd_")
+    write_partitioned_corpus(docs, out)
+    rep = redact_column_from_corpus(spark, out, "email")
+    names = [f["name"] for f in rep["manifest"]["schema"]["fields"]]
+    if "email" in names:
+        raise RuntimeError("redact roundtrip: manifest schema kept email")
+    for root, dirs, files in os.walk(out):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, fn)
+            if fn.endswith(".parquet"):
+                if "email" in _pq.ParquetFile(p).schema_arrow.names:
+                    raise RuntimeError(
+                        f"redact roundtrip: {p} still has the column"
+                    )
+            with open(p, "rb") as fh:
+                if b"@redact.example" in fh.read():
+                    raise RuntimeError(
+                        f"redact roundtrip: {p} still holds redacted bytes"
+                    )
+    return read_corpus(spark, out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_redact_roundtrip.stateful_build = True
+
+
+def q_corpus_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the VACUUM path and the durable
+    commit log (r13, ADVICE r12 #1): build a corpus, run a takedown
+    delete (every 11th doc plus one whole source), then reconstruct on
+    disk the exact post-commit residue a writer crashed between its
+    manifest dump and its deferred cleanup leaves (the deleted
+    partition's bytes back in ``_trash_{token}``, the staged swap list
+    beside them), and — the load-bearing twist — commit a SUBSEQUENT
+    upsert so the manifest's ``writer_token`` no longer names the
+    crashed delete. :func:`vacuum_corpus` must classify the stale
+    residue as post-commit via the manifest's ``committed_tokens`` log
+    and roll it FORWARD (the latest-token-only r12 check would have
+    rolled it BACK, resurrecting the taken-down partition). In-entry
+    assertions: the residue token is reported rolled-forward, nothing
+    was restored, no residue dirs survive, and the deleted partition
+    stays gone. The oracle computes the delete + upsert relationally."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_vc_")
+    write_partitioned_corpus(docs, out)
+    msrc = docs.agg(F.max("source")).collect()[0][0]  # 1 bounded row
+    gone = f"source={_hive_escape(_val_str(msrc))}"
+    keep = os.path.join(out, "_keep_aside")  # fabricate-residue copy
+    _shutil.copytree(os.path.join(out, gone), keep)
+    rep = delete_from_corpus(
+        spark, out, (F.col("doc_id") % 11 == 0) | (F.col("source") == msrc)
+    )
+    wtok = rep["manifest"]["writer_token"]
+    # the post-commit crash state: displaced original in trash, swap
+    # list in staging (the staged dir itself vanished — may_vanish)
+    os.makedirs(os.path.join(out, f"_trash_{wtok}"), exist_ok=True)
+    os.rename(keep, os.path.join(out, f"_trash_{wtok}", gone))
+    os.makedirs(os.path.join(out, f"_staging_{wtok}"), exist_ok=True)
+    with open(os.path.join(out, f"_staging_{wtok}", SWAPLIST), "w") as f:
+        json.dump([gone], f)
+    # a subsequent writer commits: writer_token moves past the delete's
+    surv = read_corpus(spark, out)
+    upsert_corpus(
+        surv.filter(F.col("doc_id") % 17 == 0).withColumn(
+            "text", F.concat(F.lit("VUP: "), F.col("text"))
+        ),
+        out,
+    )
+    report = vacuum_corpus(out, spark)
+    if wtok not in report["rolled_forward"] or report["restored"]:
+        raise RuntimeError(
+            f"vacuum roundtrip: expected roll-forward of {wtok}, "
+            f"got {report}"
+        )
+    if [d for d in os.listdir(out)
+            if d.startswith(("_staging_", "_trash_"))]:
+        raise RuntimeError("vacuum roundtrip: residue dirs survived")
+    if os.path.isdir(os.path.join(out, gone)):
+        raise RuntimeError(
+            f"vacuum roundtrip: taken-down partition {gone} resurrected"
+        )
+    return read_corpus(spark, out).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_vacuum_roundtrip.stateful_build = True
+
+
+_CORPUS_REDACT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
+FROM documents
+"""
+
+_CORPUS_VACUUM_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       md5(CASE WHEN doc_id % 17 = 0 THEN 'VUP: ' || text
+                ELSE text END) AS h
+FROM documents
+WHERE NOT (doc_id % 11 = 0
+           OR source = (SELECT max(source) FROM documents))
+"""
+
+
 QUERIES = {
     "corpus_upsert_roundtrip": q_corpus_upsert_roundtrip,
     "corpus_evolve_roundtrip": q_corpus_evolve_roundtrip,
     "corpus_delete_roundtrip": q_corpus_delete_roundtrip,
+    "corpus_redact_roundtrip": q_corpus_redact_roundtrip,
+    "corpus_vacuum_roundtrip": q_corpus_vacuum_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
     "corpus_layout_roundtrip": q_corpus_layout_roundtrip,
@@ -1884,6 +2343,15 @@ ORACLES = {
     # predicate takedown: the committed content is the anti-filter
     # (whole-partition removal + count reconciliation are in-entry)
     "corpus_delete_roundtrip": _CORPUS_DELETE_SQL,
+    # column takedown: the committed content is the projection without
+    # the redacted column (manifest-schema narrowing, physical column
+    # absence, and the byte sweep are in-entry)
+    "corpus_redact_roundtrip": _CORPUS_REDACT_SQL,
+    # vacuum + durable commit log: residue of a committed-then-crashed
+    # delete is rolled FORWARD even after a subsequent commit moved
+    # writer_token on (the roll-direction and residue-absence
+    # assertions are in-entry); content = delete + upsert relationally
+    "corpus_vacuum_roundtrip": _CORPUS_VACUUM_SQL,
     # per-key replacement is epoch-composable: any micro-batch split of
     # the same delta converges to the batch merge — oracle verbatim
     "corpus_upsert_streaming": _corpus_upsert_roundtrip_sql(),

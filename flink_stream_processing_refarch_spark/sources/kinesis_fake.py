@@ -379,14 +379,28 @@ def verify_wire_stream(
         # fingerprints are positional in the writer's numeric rename
         # order, which equals lexicographic order only below
         # MAX_FILES_PER_EPOCH — sort by the parsed index so the pairing
-        # is index-true regardless of width
-        listed[name] = sorted(
-            (
-                os.path.basename(p)
-                for p in _glob.glob(os.path.join(ed, "records-*.json"))
-            ),
-            key=_rec_index,
-        )
+        # is index-true regardless of width. A glob match whose index
+        # segment is NOT numeric (hand-renamed/copied file, e.g.
+        # records-copy.json) is external corruption: report it through
+        # the fsck's corruption channel like the unreadable-manifest
+        # case, instead of letting sorted() propagate a bare ValueError
+        # (r13, ADVICE r12 #3).
+        try:
+            listed[name] = sorted(
+                (
+                    os.path.basename(p)
+                    for p in _glob.glob(os.path.join(ed, "records-*.json"))
+                ),
+                key=_rec_index,
+            )
+        except ValueError as e:
+            raise RuntimeError(
+                f"wire stream {stream_name}: epoch {name} contains a "
+                f"record file with a non-numeric index ({e}) — the "
+                "writer only ever emits records-NNNNN.json, so this is "
+                "external corruption (hand-renamed or stray file); "
+                "inspect the epoch directory by hand"
+            ) from e
     by: dict[str, dict[str, tuple[int, int, int]]] = {}
     paths = [
         os.path.join(sdir, e, "records-*.json")

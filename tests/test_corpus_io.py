@@ -2041,3 +2041,347 @@ def test_recover_rolls_forward_committed_delete_residue(spark, monkeypatch):
         assert back.filter(F.col("source") == "s1").count() == 0
         assert back.count() == 40
         assert corpus_io.verify_manifest(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# r13: durable commit log, manifest history, type-change guard,
+#      column redaction, vacuum (right-to-be-forgotten byte loop)
+# ---------------------------------------------------------------------------
+
+
+def _sweep_bytes(root: str, needle: bytes) -> list[str]:
+    """Every file under ``root`` (hidden dirs/files INCLUDED — residue
+    is exactly what hides there) whose raw bytes contain ``needle``."""
+    hits = []
+    for r, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(r, fn)
+            with open(p, "rb") as f:
+                if needle in f.read():
+                    hits.append(p)
+    return hits
+
+
+def test_upsert_rejects_shared_column_type_change(spark):
+    """ADVICE r12 #2: the extra/narrow guard compared NAMES only — a
+    same-width delta with a retyped shared column slipped through,
+    unionByName silently widened, and the coerced schema became the
+    manifest authority while untouched partitions' files held the old
+    physical type. A retype must raise, with or without the evolution
+    flag."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        retyped = docs.limit(3).withColumn(
+            "doc_id", F.col("doc_id").cast("double")
+        )
+        for flag in (False, True):
+            with pytest.raises(ValueError, match="never retypes"):
+                corpus_io.upsert_corpus(
+                    retyped, out, allow_schema_evolution=flag
+                )
+        # a retyped PARTITION column is caught against the manifest-
+        # recorded schema (the read-back is structurally string there)
+        part_retyped = docs.limit(3).withColumn(
+            "source", F.lit(1).cast("int")
+        )
+        with pytest.raises(ValueError, match="never retypes"):
+            corpus_io.upsert_corpus(
+                part_retyped, out, allow_schema_evolution=True
+            )
+        # the corpus is untouched and still verifies
+        assert corpus_io.verify_manifest(spark, out)
+        # LOSSLESS upcast direction is fine: an int delta into a bigint
+        # corpus casts UP to the corpus type — the manifest authority
+        # never moves
+        m = corpus_io.upsert_corpus(
+            docs.filter(F.col("doc_id") == 1).withColumn(
+                "doc_id", F.col("doc_id").cast("int")
+            ).withColumn("text", F.lit("upcast")),
+            out,
+        )
+        fields = {
+            f["name"]: f["type"] for f in m["schema"]["fields"]
+        }
+        assert fields["doc_id"] == "long"  # corpus type, not delta's
+        back = corpus_io.read_corpus(spark, out)
+        assert back.schema["doc_id"].dataType.simpleString() == "bigint"
+        assert back.filter(F.col("doc_id") == 1).collect()[0]["text"] \
+            == "upcast"
+
+
+def test_manifest_commit_log_and_history(spark, monkeypatch):
+    """r13 (ADVICE r12 #1 + VERDICT r12 #8): every _dump_manifest
+    appends its token to the manifest's durable ``committed_tokens``
+    log (in commit order, atomic with the commit itself) and mirrors
+    the stamped manifest into ``_manifest_history/``, pruned to the
+    log's tail."""
+    import json as _json
+
+    monkeypatch.setattr(corpus_io, "MANIFEST_HISTORY_KEEP", 2)
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        m1 = corpus_io.upsert_corpus(
+            docs.limit(2).withColumn("text", F.lit("u1")), out
+        )
+        m2 = corpus_io.delete_from_corpus(
+            spark, out, F.col("doc_id") == 59
+        )["manifest"]
+        toks = [m["writer_token"] for m in (m0, m1, m2)]
+        assert m2["committed_tokens"] == toks  # commit order, durable
+        with open(os.path.join(out, corpus_io.MANIFEST)) as f:
+            assert _json.load(f)["committed_tokens"] == toks
+        hist = os.path.join(out, corpus_io.MANIFEST_HISTORY)
+        names = sorted(os.listdir(hist))
+        # pruned to the last KEEP=2 tokens of the log
+        assert names == sorted(f"manifest_{t}.json" for t in toks[-2:])
+        # each history entry is the manifest that commit produced
+        with open(os.path.join(hist, f"manifest_{toks[-1]}.json")) as f:
+            assert _json.load(f) == m2
+
+
+def test_recover_rolls_forward_stale_residue_after_subsequent_commit(
+    spark, monkeypatch
+):
+    """THE ADVICE r12 #1 scenario: a delete commits its manifest,
+    crashes before cleanup, the lease ages out, and a SUBSEQUENT
+    writer commits (moving ``writer_token`` past the delete's) before
+    recovery runs. The latest-token-only r12 check misclassified the
+    stale residue as pre-commit and rolled it BACK — resurrecting the
+    taken-down partition. The durable commit log must roll it
+    FORWARD."""
+    import shutil as _shutil
+
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        real_rmtree = _shutil.rmtree
+
+        def crashing_rmtree(path, *a, **k):
+            if f"{os.sep}_staging_" in str(path) or \
+                    f"{os.sep}_trash_" in str(path):
+                raise RuntimeError("simulated post-commit crash")
+            return real_rmtree(path, *a, **k)
+
+        monkeypatch.setattr("shutil.rmtree", crashing_rmtree)
+        with pytest.raises(RuntimeError, match="simulated post-commit"):
+            corpus_io.delete_from_corpus(spark, out, F.col("source") == "s1")
+        monkeypatch.setattr("shutil.rmtree", real_rmtree)
+        import json as _json
+
+        with open(os.path.join(out, corpus_io.MANIFEST)) as f:
+            del_tok = _json.load(f)["writer_token"]
+        # the subsequent commit: writer_token moves past the delete's
+        m2 = corpus_io.upsert_corpus(
+            docs.filter(F.col("source") == "s0").limit(2).withColumn(
+                "text", F.lit("after-delete")
+            ),
+            out,
+        )
+        assert m2["writer_token"] != del_tok
+        assert del_tok in m2["committed_tokens"]
+        report = corpus_io.recover_corpus(out, spark)
+        assert del_tok in report["rolled_forward"], report
+        assert report["rolled_back"] == [] and report["restored"] == []
+        assert not os.path.isdir(os.path.join(out, "source=s1"))
+        back = corpus_io.read_corpus(spark, out)
+        assert back.filter(F.col("source") == "s1").count() == 0
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_redact_column_end_to_end(spark):
+    """r13 (VERDICT r12 #2 gap): column-level takedown — the column is
+    physically absent from every rewritten file, the manifest schema
+    is narrowed (first narrowing evolution), counts are unchanged, and
+    after the deferred cleanup + vacuum no redacted byte survives
+    anywhere under the corpus root."""
+    import pyarrow.parquet as _pq
+
+    docs = _evo_docs(spark).withColumn(
+        "ssn", F.concat(F.lit("SSN-SECRET-"), F.col("doc_id"))
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        assert _sweep_bytes(out, b"SSN-SECRET-")  # the bytes were there
+        rep = corpus_io.redact_column_from_corpus(spark, out, "ssn")
+        m = rep["manifest"]
+        assert rep["redacted_column"] == "ssn"
+        assert m["partitions"] == m0["partitions"]
+        assert m["total_rows"] == m0["total_rows"]
+        names = [f["name"] for f in m["schema"]["fields"]]
+        assert "ssn" not in names and "text" in names
+        for r, dirs, files in os.walk(out):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    pf = _pq.ParquetFile(os.path.join(r, fn))
+                    assert "ssn" not in pf.schema_arrow.names
+        corpus_io.vacuum_corpus(out, spark)
+        assert _sweep_bytes(out, b"SSN-SECRET-") == []
+        back = corpus_io.read_corpus(spark, out)
+        assert sorted(back.columns) == ["doc_id", "source", "text"]
+        assert back.count() == 60
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_redact_refuses_partition_and_missing_column(spark):
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        with pytest.raises(ValueError, match="partition"):
+            corpus_io.redact_column_from_corpus(spark, out, "source")
+        with pytest.raises(ValueError, match="no column"):
+            corpus_io.redact_column_from_corpus(spark, out, "nope")
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_recover_rolls_back_crashed_redact_mid_swap(spark, monkeypatch):
+    """A redact killed between swap renames rolls BACK (its narrowed
+    manifest never committed): the original corpus — column included —
+    is restored, and re-running the redact converges."""
+    import pytest
+
+    docs = _evo_docs(spark).withColumn(
+        "ssn", F.concat(F.lit("SSN-SECRET-"), F.col("doc_id"))
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        before = {
+            r["doc_id"]: (r["text"], r["ssn"])
+            for r in corpus_io.read_corpus(spark, out).collect()
+        }
+        real_rename = os.rename
+        trash_renames = [0]
+
+        def crashing_rename(src, dst):
+            real_rename(src, dst)
+            if f"{os.sep}_trash_" in dst:
+                trash_renames[0] += 1
+                if trash_renames[0] == 2:
+                    raise RuntimeError("simulated mid-swap crash")
+
+        monkeypatch.setattr(corpus_io.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated mid-swap"):
+            corpus_io.redact_column_from_corpus(spark, out, "ssn")
+        monkeypatch.setattr(corpus_io.os, "rename", real_rename)
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["rolled_back"], report
+        after = {
+            r["doc_id"]: (r["text"], r["ssn"])
+            for r in corpus_io.read_corpus(spark, out).collect()
+        }
+        assert after == before  # pre-redact corpus restored exactly
+        # the documented protocol: re-run, then certify the byte loop
+        corpus_io.redact_column_from_corpus(spark, out, "ssn")
+        corpus_io.vacuum_corpus(out, spark)
+        assert _sweep_bytes(out, b"SSN-SECRET-") == []
+        assert "ssn" not in corpus_io.read_corpus(spark, out).columns
+
+
+def test_vacuum_closes_right_to_be_forgotten_byte_loop(spark, monkeypatch):
+    """VERDICT r12 #3: after a takedown, the deleted rows' bytes must
+    not survive ANYWHERE under the corpus root — including crash
+    residue. Both roll directions:
+
+    - post-commit crash (manifest committed, cleanup died): vacuum
+      rolls the residue forward and the bytes are gone;
+    - pre-commit crash (killed mid-swap): recovery legitimately
+      RESTORES the rows (the takedown never committed); re-running the
+      takedown + vacuum then destroys the bytes."""
+    import shutil as _shutil
+
+    import pytest
+
+    docs = _evo_docs(spark).withColumn(
+        "text",
+        F.when(
+            F.col("source") == "s1",
+            F.concat(F.lit("FORGETME-"), F.col("doc_id")),
+        ).otherwise(F.col("text")),
+    )
+    real_rmtree = _shutil.rmtree
+
+    def crashing_rmtree(path, *a, **k):
+        if f"{os.sep}_staging_" in str(path) or \
+                f"{os.sep}_trash_" in str(path):
+            raise RuntimeError("simulated post-commit crash")
+        return real_rmtree(path, *a, **k)
+
+    # direction 1: post-commit crash -> vacuum rolls forward
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        monkeypatch.setattr("shutil.rmtree", crashing_rmtree)
+        with pytest.raises(RuntimeError, match="simulated post-commit"):
+            corpus_io.delete_from_corpus(spark, out, F.col("source") == "s1")
+        monkeypatch.setattr("shutil.rmtree", real_rmtree)
+        assert _sweep_bytes(out, b"FORGETME-")  # residue holds the bytes
+        report = corpus_io.vacuum_corpus(out, spark)
+        assert report["rolled_forward"], report
+        assert _sweep_bytes(out, b"FORGETME-") == []
+        assert corpus_io.verify_manifest(spark, out)
+
+    # direction 2: pre-commit crash -> recovery restores, re-run, vacuum
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        real_rename = os.rename
+
+        def crashing_rename(src, dst):
+            real_rename(src, dst)
+            if f"{os.sep}_trash_" in dst:
+                raise RuntimeError("simulated mid-swap crash")
+
+        monkeypatch.setattr(corpus_io.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated mid-swap"):
+            corpus_io.delete_from_corpus(spark, out, F.col("source") == "s1")
+        monkeypatch.setattr(corpus_io.os, "rename", real_rename)
+        report = corpus_io.vacuum_corpus(out, spark)  # rolls BACK
+        assert report["rolled_back"], report
+        # the takedown never committed: rows are legitimately live
+        assert corpus_io.read_corpus(spark, out).filter(
+            F.col("source") == "s1"
+        ).count() == 20
+        # the documented protocol: re-run the takedown, then vacuum
+        corpus_io.delete_from_corpus(spark, out, F.col("source") == "s1")
+        corpus_io.vacuum_corpus(out, spark)
+        assert _sweep_bytes(out, b"FORGETME-") == []
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_vacuum_sweeps_stale_lease_droppings(spark):
+    """Phase 2 of vacuum: aged-out lease/manifest temp droppings (a
+    crashed acquirer's .tmp, a breaker's aside file) are swept; fresh
+    ones are NOT (a live writer may own them)."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        stale = [
+            corpus_io.LEASE + ".123-999.tmp",
+            corpus_io.LEASE + ".broken.123-999",
+            corpus_io.MANIFEST + ".tmp",
+        ]
+        for name in stale:
+            with open(os.path.join(out, name), "w") as f:
+                f.write("{}")
+            os.utime(os.path.join(out, name), (1.0, 1.0))  # ancient
+        fresh = corpus_io.LEASE + ".456-111.tmp"
+        with open(os.path.join(out, fresh), "w") as f:
+            f.write("{}")
+        report = corpus_io.vacuum_corpus(out, spark)
+        assert sorted(report["swept_files"]) == sorted(stale)
+        assert os.path.exists(os.path.join(out, fresh))
+        assert corpus_io.verify_manifest(spark, out)

@@ -538,3 +538,25 @@ def test_verify_wire_stream_at_rest_audit(spark, tmp_path):
         f.write("\n".join(lines + [lines[0]]) + "\n")
     with pytest.raises(RuntimeError, match="records-e000000"):
         kinesis_fake.verify_wire_stream(spark, root, "s7")
+
+
+def test_verify_wire_stream_non_numeric_record_index(spark, tmp_path):
+    """ADVICE r12 #3: a hand-renamed/stray file matching records-*.json
+    with a non-numeric index segment (records-copy.json) is external
+    corruption — the fsck must report it through its descriptive
+    corruption channel, not crash with a bare ValueError from
+    sorted()."""
+    import pytest
+
+    root = str(tmp_path / "streams")
+    a = spark.createDataFrame([("A",), ("B",)], "value string")
+    kinesis_fake.write_wire_batch(
+        kinesis.wire_frame(a).repartition(1), 0, root, "s9"
+    )
+    e0 = kinesis_fake.epoch_dir(root, "s9", 0)
+    victim = sorted(glob.glob(os.path.join(e0, "records-*.json")))[0]
+    import shutil as _shutil
+
+    _shutil.copy(victim, os.path.join(e0, "records-copy.json"))
+    with pytest.raises(RuntimeError, match="non-numeric index"):
+        kinesis_fake.verify_wire_stream(spark, root, "s9")
