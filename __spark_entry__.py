@@ -70,15 +70,19 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 #   - q1_kinesis_wire: the at-rest fsck reports a hand-renamed
 #     records file (non-numeric index) through its corruption channel
 #     instead of crashing in sorted() (ADVICE r12 #3).
-# Slots 9-10 are NEW this round: corpus_redact_roundtrip — COLUMN
+# Slots 9-11 are NEW this round: corpus_redact_roundtrip — COLUMN
 # takedown (full-corpus rewrite through the staged swap, manifest
 # schema narrowed, physical column absence + byte sweep asserted
-# in-entry; VERDICT r12 #4) — and corpus_vacuum_roundtrip — the
-# vacuum op + THE ADVICE r12 #1 scenario end-to-end (committed delete
-# residue + subsequent upsert commit, rolled FORWARD via the durable
-# log; VERDICT r12 #3).
-# The remaining 40 slots continue the staleness sweep (VERDICT r12
-# #2): all 29 r09-green rows, then the 11 oldest r10 rows — after r13
+# in-entry; VERDICT r12 #4) — corpus_vacuum_roundtrip — the vacuum op
+# + THE ADVICE r12 #1 scenario end-to-end (committed delete residue +
+# subsequent upsert commit, rolled FORWARD via the durable log;
+# VERDICT r12 #3) — and corpus_changes_roundtrip — the changes-since
+# CDC reader over the manifest's new per-partition content
+# fingerprints (a replacement-only, count-identical upsert is
+# fingerprint-detected; the removed partition is reported; untouched
+# partitions' fingerprints carry verbatim).
+# The remaining 39 slots continue the staleness sweep (VERDICT r12
+# #2): all 29 r09-green rows, then the 10 oldest r10 rows — after r13
 # no entry's external-driver evidence predates r10. Everything rotated
 # out is r10+-green over an r13-unchanged plan (LEDGER.md); per-round
 # rotation rationale lives in the git history of this file.
@@ -94,6 +98,7 @@ PRIORITY = [
     "corpus_delete_roundtrip",
     "corpus_redact_roundtrip",
     "corpus_vacuum_roundtrip",
+    "corpus_changes_roundtrip",
     "stratified_cap",
     "range_join_bands",
     "priority_lists",
@@ -133,8 +138,8 @@ PRIORITY = [
     "passage_dedup",
     "dup_provenance",
     "bigram_lm",
-    "sequence_packing",
     # ---- past the window: r10+-green over unchanged plans ----
+    "sequence_packing",
     "media_decode_wav",
     "media_decode_ppm",
     "order_count_distribution",

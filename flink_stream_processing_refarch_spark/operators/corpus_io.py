@@ -608,6 +608,20 @@ def write_partitioned_corpus(
         return _dump_manifest(out_dir, manifest, tok)
 
 
+def _row_fingerprint_col(columns: list[str]):
+    """The per-row hash the manifest's partition fingerprints aggregate
+    (r13, changes-since CDC): ``xxhash64(to_json(struct(sorted cols)))``.
+    ``to_json`` OMITS null fields, which is load-bearing — it makes the
+    fingerprint stable across schema WIDENING: a partition untouched by
+    an evolution reads back with the new column null-filled, serializes
+    to exactly the JSON it produced before the column existed, and its
+    recorded fingerprint stays valid without a rescan. Sorted column
+    names make the hash independent of projection order."""
+    return F.xxhash64(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(columns)]))
+    )
+
+
 def _manifest_from_files(
     spark: SparkSession,
     out_dir: str,
@@ -615,22 +629,46 @@ def _manifest_from_files(
     pred=None,
     schema_hint=None,
 ) -> dict:
-    """Per-partition row counts from the committed files. With ``pred``
-    (a partition-column predicate) the read-back is PARTITION-PRUNED —
-    only the matching partition directories are opened; upsert uses this
-    so a delta merge never re-scans the whole corpus. The read carries
-    the explicit string-partition schema (:func:`_read_corpus`) so the
-    rendered keys match the physical directories even for
-    numeric-looking string values; any ``pred`` must therefore compare
-    STRING partition columns (:func:`_partition_pred`)."""
+    """Per-partition row counts AND content fingerprints from the
+    committed files. With ``pred`` (a partition-column predicate) the
+    read-back is PARTITION-PRUNED — only the matching partition
+    directories are opened; upsert uses this so a delta merge never
+    re-scans the whole corpus. The read carries the explicit
+    string-partition schema (:func:`_read_corpus`) so the rendered keys
+    match the physical directories even for numeric-looking string
+    values; any ``pred`` must therefore compare STRING partition
+    columns (:func:`_partition_pred`).
+
+    Fingerprints (r13): per partition, ``[bit_xor(h), sum(pmod(h,
+    2^31))]`` of the row hash (:func:`_row_fingerprint_col`) — the
+    same order-independent multiplicity-sensitive pair the wire fake's
+    epoch manifests use. They ride the same scan as the counts (no
+    extra pass), are always computed from the STRING-partition
+    read-back (so every recording site renders values identically),
+    and power content-sensitive :func:`verify_manifest`, compaction's
+    content-preservation check, and :func:`corpus_changes_since`."""
     back = _read_corpus(spark, out_dir, partition_cols, schema_hint)
     if pred is not None:
         back = back.filter(pred)
-    rows = back.groupBy(*partition_cols).count().collect()
+    rows = (
+        back.withColumn("_h", _row_fingerprint_col(back.columns))
+        .groupBy(*partition_cols)
+        .agg(
+            F.count("*").alias("count"),
+            F.expr("bit_xor(_h)").alias("_x"),
+            F.expr("sum(pmod(_h, 2147483648))").alias("_s"),
+        )
+        .collect()
+    )  # bounded: one row per (matching) partition
     parts = {_pkey(partition_cols, r): r["count"] for r in rows}
+    fps = {
+        _pkey(partition_cols, r): [int(r["_x"]), int(r["_s"])]
+        for r in rows
+    }
     return {
         "partition_cols": list(partition_cols),
         "partitions": parts,
+        "fingerprints": fps,
         "total_rows": sum(parts.values()),
     }
 
@@ -961,9 +999,17 @@ def _upsert_corpus_locked(
     if prior is not None:  # incremental: merge touched counts in
         parts = dict(prior["partitions"])
         parts.update(back["partitions"])
+        # fingerprints merge the same way: untouched partitions carry
+        # their recorded pair verbatim (valid across widening — see
+        # _row_fingerprint_col), touched ones are recomputed from the
+        # read-back; a legacy (pre-r13) manifest contributes none, so
+        # the map may be partial — consumers treat absence as unknown
+        fps = dict(prior.get("fingerprints", {}))
+        fps.update(back["fingerprints"])
         manifest = {
             "partition_cols": list(partition_cols),
             "partitions": parts,
+            "fingerprints": fps,
             "total_rows": sum(parts.values()),
         }
     else:  # recovery: rebuild from all committed files
@@ -1391,7 +1437,31 @@ def _compact_corpus_locked(
             f"manifest (expected {expected}, found {back['partitions']})"
             " — partial commit"
         )
+    _check_content_preserved("compact_corpus", manifest, back, plan)
     return {"compacted": plan, "manifest": manifest}
+
+
+def _check_content_preserved(
+    op: str, manifest: dict, back: dict, pkeys
+) -> None:
+    """Content-preservation fence for the maintenance rewriters (r13):
+    compaction and layout clustering promise to change LAYOUT, never
+    content — with per-partition fingerprints in the manifest that
+    promise is now CHECKED, not just count-checked (a rewrite that
+    mangled a row while keeping the row count used to pass). Compares
+    only partitions whose fingerprint the manifest recorded (legacy
+    pre-r13 manifests carry none)."""
+    recorded = manifest.get("fingerprints", {})
+    bad = [
+        k for k in pkeys
+        if k in recorded and back["fingerprints"].get(k) != recorded[k]
+    ]
+    if bad:
+        raise RuntimeError(
+            f"{op}: post-write content fingerprints diverge from the "
+            f"manifest for partitions {bad} — the rewrite did not "
+            "preserve content; partial/corrupt commit"
+        )
 
 
 def cluster_corpus_layout(
@@ -1468,6 +1538,10 @@ def _cluster_corpus_layout_locked(
             f"the manifest (expected {manifest['partitions']}, found "
             f"{back['partitions']}) — partial commit"
         )
+    _check_content_preserved(
+        "cluster_corpus_layout", manifest, back,
+        sorted(manifest["partitions"]),
+    )
     return {"range_tasks": n, "manifest": manifest}
 
 
@@ -1580,14 +1654,19 @@ def _delete_from_corpus_locked(
             "updated"
         )
     parts = dict(prior["partitions"])
+    fps = dict(prior.get("fingerprints", {}))
     for k, n_del in del_counts.items():
         if k in expected:
             parts[k] = expected[k]
+            if k in back["fingerprints"]:
+                fps[k] = back["fingerprints"][k]
         else:
             parts.pop(k, None)
+            fps.pop(k, None)
     manifest = {
         "partition_cols": list(partition_cols),
         "partitions": parts,
+        "fingerprints": fps,
         "total_rows": sum(parts.values()),
     }
     if prior.get("schema") is not None:  # deletes never change schema
@@ -1692,6 +1771,9 @@ def _redact_column_locked(
     manifest = {
         "partition_cols": list(partition_cols),
         "partitions": dict(prior["partitions"]),
+        # every partition was rewritten without the column: every
+        # fingerprint is recomputed (the content DID change)
+        "fingerprints": fresh["fingerprints"],
         "total_rows": prior["total_rows"],
     }
     if prior.get("schema") is not None:  # narrow the schema authority
@@ -1735,19 +1817,33 @@ def file_column_ranges(dir_path: str, column: str) -> list[tuple]:
 
 def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     """True iff the manifest on disk matches a fresh read-back — the
-    consumer-side integrity check before a corpus is used."""
+    consumer-side integrity check before a corpus is used. Since r13
+    the check is CONTENT-sensitive, not just count-sensitive: every
+    recorded per-partition fingerprint must match the recomputation
+    (a corrupted or swapped file with the right row count used to
+    verify). Fingerprints recorded before an evolution stay valid —
+    the row hash serializes through ``to_json``, which omits the
+    null-filled new columns (see :func:`_row_fingerprint_col`).
+    Legacy manifests without fingerprints keep the count-only check."""
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
     fresh = _manifest_from_files(
         spark, out_dir, tuple(manifest["partition_cols"])
     )
+    recorded = manifest.get("fingerprints", {})
     return (
         fresh["partitions"] == manifest["partitions"]
         and fresh["total_rows"] == manifest["total_rows"]
+        and all(
+            fresh["fingerprints"].get(k) == v
+            for k, v in recorded.items()
+        )
     )
 
 
-def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_corpus(
+    spark: SparkSession, out_dir: str, _partition_pred=None
+) -> DataFrame:
     """The consumer-side corpus reader (r12, schema evolution): read
     the committed files under the MANIFEST's recorded schema — the only
     schema authority once a corpus has evolved, because files written
@@ -1766,12 +1862,88 @@ def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
         manifest = json.load(f)
     partition_cols = tuple(manifest["partition_cols"])
     df = _read_corpus(spark, out_dir, partition_cols)
+    if _partition_pred is not None:
+        # internal (corpus_changes_since): a string-rendered partition
+        # predicate applied BEFORE the typed cast, so it prunes at the
+        # scan exactly like the writers' pruned read-backs
+        df = df.filter(_partition_pred)
     if manifest.get("schema") is not None:
         recorded = T.StructType.fromJson(manifest["schema"])
         for c in partition_cols:
             df = df.withColumn(c, F.col(c).cast(recorded[c].dataType))
         df = df.select(*[f.name for f in recorded.fields])
     return df
+
+
+def corpus_changes_since(
+    spark: SparkSession, out_dir: str, since_token: str
+) -> dict:
+    """Incremental (CDC-style) consumer read (r13): everything that
+    changed since the commit ``since_token`` — the question every
+    downstream incremental pipeline (index refresh, embedding
+    backfill, mirror sync) asks a corpus. Returns ``{"changed":
+    [pkeys], "removed": [pkeys], "df": DataFrame, "from": token,
+    "to": current writer_token}`` where ``df`` is the CURRENT content
+    of the changed partitions (typed, partition-pruned scan — cost is
+    O(changed partitions), never a corpus scan).
+
+    Mechanism: the commit at ``since_token`` left its stamped manifest
+    in ``_manifest_history/``; diff its per-partition (count,
+    fingerprint) against the current manifest. The fingerprint makes
+    the diff SOUND for replacement-only upserts, which keep counts
+    identical — a count-only diff under-reports exactly the delta-wins
+    merges this corpus is built on. Change detection is at partition
+    granularity (the unit every writer commits at); a partition with a
+    missing fingerprint on either side (legacy manifests) is reported
+    changed — conservative over-reporting, never under-reporting.
+
+    Retention contract: the history keeps the manifests of the last
+    :data:`MANIFEST_HISTORY_KEEP` commits — an incremental consumer
+    must poll within that window; an unknown/pruned token raises
+    ``ValueError`` telling it to fall back to a full re-read (the same
+    contract every log-compacted CDC source has)."""
+    hist = os.path.join(
+        out_dir, MANIFEST_HISTORY, f"manifest_{since_token}.json"
+    )
+    try:
+        with open(hist) as f:
+            old = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"corpus_changes_since: no history manifest for token "
+            f"{since_token!r} — it either never committed here or was "
+            f"pruned past the last {MANIFEST_HISTORY_KEEP} commits; "
+            "fall back to a full read_corpus"
+        ) from None
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        new = json.load(f)
+    old_p, new_p = old["partitions"], new["partitions"]
+    old_f = old.get("fingerprints", {})
+    new_f = new.get("fingerprints", {})
+    changed = sorted(
+        k for k in new_p
+        if k not in old_p
+        or old_p[k] != new_p[k]
+        or old_f.get(k) is None
+        or old_f.get(k) != new_f.get(k)
+    )
+    removed = sorted(k for k in old_p if k not in new_p)
+    partition_cols = tuple(new["partition_cols"])
+    if changed:
+        pred = _partition_pred(
+            partition_cols,
+            [_parse_pkey(partition_cols, k) for k in changed],
+        )
+        df = read_corpus(spark, out_dir, _partition_pred=pred)
+    else:
+        df = read_corpus(spark, out_dir).limit(0)
+    return {
+        "changed": changed,
+        "removed": removed,
+        "df": df,
+        "from": since_token,
+        "to": new.get("writer_token"),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -2306,6 +2478,74 @@ def q_corpus_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_vacuum_roundtrip.stateful_build = True
 
 
+def q_corpus_changes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the incremental CHANGES-SINCE reader
+    (r13): build a corpus (commit T0), upsert a REPLACEMENT-ONLY delta
+    into one partition (every 5th doc's text changes; the partition's
+    row count is IDENTICAL before and after — asserted in-entry, so a
+    count-only diff would miss it), delete one whole other source, and
+    ask ``corpus_changes_since(T0)``. It must name exactly the
+    replaced partition as changed (fingerprint-detected) and the
+    deleted partition as removed, and return the changed partition's
+    CURRENT content — which the oracle computes relationally. Every
+    untouched partition must be absent from the report (their
+    fingerprints carried verbatim through the incremental manifest
+    merge)."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_ch_")
+    m0 = write_partitioned_corpus(docs, out)
+    t0 = m0["writer_token"]
+    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
+    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    chg_key = f"source={_hive_escape(_val_str(msrc))}"
+    del_key = f"source={_hive_escape(_val_str(xsrc))}"
+    delta = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("source") == msrc)
+    ).withColumn("text", F.concat(F.lit("CHG: "), F.col("text")))
+    m1 = upsert_corpus(delta, out)
+    if m1["partitions"][chg_key] != m0["partitions"][chg_key]:
+        raise RuntimeError(
+            "changes roundtrip: the replacement delta changed the row "
+            "count — the count-blindness claim would be vacuous"
+        )
+    delete_from_corpus(spark, out, F.col("source") == xsrc)
+    ch = corpus_changes_since(spark, out, t0)
+    if ch["changed"] != [chg_key]:
+        raise RuntimeError(
+            f"changes roundtrip: changed={ch['changed']}, expected "
+            f"[{chg_key}] — count-equal replacement not fingerprint-"
+            "detected, or untouched partitions over-reported"
+        )
+    if ch["removed"] != [del_key]:
+        raise RuntimeError(
+            f"changes roundtrip: removed={ch['removed']}, expected "
+            f"[{del_key}]"
+        )
+    return ch["df"].select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+
+
+q_corpus_changes_roundtrip.stateful_build = True
+
+
+_CORPUS_CHANGES_SQL = """
+WITH msrc AS (SELECT min(source) AS s FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       md5(CASE WHEN doc_id % 5 = 0 THEN 'CHG: ' || text
+                ELSE text END) AS h
+FROM documents
+WHERE source = (SELECT s FROM msrc)
+"""
+
+
 _CORPUS_REDACT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
 FROM documents
@@ -2327,6 +2567,7 @@ QUERIES = {
     "corpus_evolve_roundtrip": q_corpus_evolve_roundtrip,
     "corpus_delete_roundtrip": q_corpus_delete_roundtrip,
     "corpus_redact_roundtrip": q_corpus_redact_roundtrip,
+    "corpus_changes_roundtrip": q_corpus_changes_roundtrip,
     "corpus_vacuum_roundtrip": q_corpus_vacuum_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
@@ -2347,6 +2588,10 @@ ORACLES = {
     # the redacted column (manifest-schema narrowing, physical column
     # absence, and the byte sweep are in-entry)
     "corpus_redact_roundtrip": _CORPUS_REDACT_SQL,
+    # changes-since CDC: the returned frame is the changed
+    # partition's current content (replacement-only change,
+    # fingerprint-detected; report assertions are in-entry)
+    "corpus_changes_roundtrip": _CORPUS_CHANGES_SQL,
     # vacuum + durable commit log: residue of a committed-then-crashed
     # delete is rolled FORWARD even after a subsequent commit moved
     # writer_token on (the roll-direction and residue-absence

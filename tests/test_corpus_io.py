@@ -2536,3 +2536,153 @@ def test_concurrent_writer_mix_matches_serialized_replay(spark, duck):
             if d.startswith(("_staging_", "_trash_"))
         ]
         assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+
+
+# ---------------------------------------------------------------------------
+# r13: manifest content fingerprints + changes-since CDC
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprints_detect_count_equal_replacement(spark):
+    """A replacement-only upsert keeps a partition's row count
+    IDENTICAL — the exact change a count-only manifest is blind to.
+    The per-partition fingerprint must move for the touched partition
+    and be carried VERBATIM for untouched ones (no rescan)."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        delta = docs.filter(
+            (F.col("source") == "s0") & (F.col("doc_id") % 2 == 0)
+        ).withColumn("text", F.concat(F.lit("R "), F.col("text")))
+        m1 = corpus_io.upsert_corpus(delta, out)
+        assert m1["partitions"] == m0["partitions"]  # counts identical
+        assert m1["fingerprints"]["source=s0"] != \
+            m0["fingerprints"]["source=s0"]
+        for k in ("source=s1", "source=s2"):
+            assert m1["fingerprints"][k] == m0["fingerprints"][k]
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_verify_manifest_is_content_sensitive(spark):
+    """r13: a corrupted file with the RIGHT row count used to verify —
+    the fingerprint check must catch a same-count content swap
+    (external corruption, the case counts cannot see)."""
+    import glob as _glob
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        assert corpus_io.verify_manifest(spark, out)
+        # same-count corruption: rewrite one partition's rows with the
+        # text mangled, row count preserved, outside any writer
+        pdir = os.path.join(out, "source=s1")
+        rows = spark.read.parquet(pdir).withColumn(
+            "text", F.lit("MANGLED")
+        ).collect()
+        for f in _glob.glob(os.path.join(pdir, "*.parquet")):
+            os.unlink(f)
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(pdir)
+        back = corpus_io.read_corpus(spark, out)
+        assert back.filter(F.col("source") == "s1").count() == 20
+        assert not corpus_io.verify_manifest(spark, out)
+
+
+def test_fingerprints_stable_across_schema_evolution(spark):
+    """The row hash serializes through to_json, which omits null
+    fields — so an untouched partition's recorded fingerprint stays
+    valid after an evolution null-fills a new column over it, and the
+    evolved corpus still verifies content-sensitively without any
+    rescan of untouched partitions."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        delta = docs.filter(F.col("source") == "s0").limit(3).withColumn(
+            "lang", F.lit("en")
+        )
+        m1 = corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        for k in ("source=s1", "source=s2"):  # untouched: carried
+            assert m1["fingerprints"][k] == m0["fingerprints"][k]
+        # content-sensitive verify under the EVOLVED manifest schema
+        # must still pass for the pre-evolution fingerprints
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_corpus_changes_since_end_to_end(spark):
+    """changes-since CDC: replacement-only change (count-equal,
+    fingerprint-detected), an ADDED partition, a REMOVED partition,
+    untouched partitions absent from the report, the returned frame =
+    the changed partitions' current content, same-token no-op, and the
+    pruned/unknown-token retention contract."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        t0 = m0["writer_token"]
+        # no commits since t0: empty report, empty frame
+        ch0 = corpus_io.corpus_changes_since(spark, out, t0)
+        assert ch0["changed"] == [] and ch0["removed"] == []
+        assert ch0["df"].count() == 0
+        # replacement-only upsert into s0 + a brand-new partition s9
+        delta = docs.filter(
+            (F.col("source") == "s0") & (F.col("doc_id") % 2 == 0)
+        ).withColumn("text", F.concat(F.lit("R "), F.col("text")))
+        new_part = spark.createDataFrame(
+            [(900, "brand new", "s9")],
+            "doc_id long, text string, source string",
+        )
+        corpus_io.upsert_corpus(delta.unionByName(new_part), out)
+        corpus_io.delete_from_corpus(spark, out, F.col("source") == "s2")
+        ch = corpus_io.corpus_changes_since(spark, out, t0)
+        assert ch["changed"] == ["source=s0", "source=s9"]
+        assert ch["removed"] == ["source=s2"]
+        got = {
+            r["doc_id"]: r["text"] for r in ch["df"].collect()
+        }
+        assert got[900] == "brand new"
+        assert got[0].startswith("R ") and got[3] == "base 3"
+        assert all(  # only s0 + s9 content came back
+            v == "brand new" or v.startswith(("R ", "base"))
+            for v in got.values()
+        )
+        assert len(got) == 21  # 20 rows of s0 + the new s9 row
+        # retention contract: unknown/pruned token raises, naming the
+        # fallback
+        with pytest.raises(ValueError, match="full read_corpus"):
+            corpus_io.corpus_changes_since(spark, out, "no-such-token")
+
+
+def test_compact_refuses_to_bless_corrupted_content(spark):
+    """r13 content-preservation fence: compaction's post-write check
+    now compares fingerprints, so compacting a partition that was
+    externally corrupted (same row count, different bytes) RAISES
+    instead of silently re-blessing the corruption under the
+    manifest."""
+    import glob as _glob
+
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(
+            docs, out, max_records_per_file=3
+        )
+        pdir = os.path.join(out, "source=s1")
+        rows = spark.read.parquet(pdir).withColumn(
+            "text", F.lit("MANGLED")
+        ).collect()
+        for f in _glob.glob(os.path.join(pdir, "*.parquet")):
+            os.unlink(f)
+        # many small files so s1 stays in the compaction plan
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(10).write.mode("append").parquet(pdir)
+        with pytest.raises(RuntimeError, match="did not preserve content"):
+            corpus_io.compact_corpus(spark, out, target_rows_per_file=100)
