@@ -1196,8 +1196,19 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
         "restored": [], "removed_new": [],
     }
     with corpus_lease(out_dir, "recover"):
-        with open(os.path.join(out_dir, MANIFEST)) as f:
-            committed_manifest = json.load(f)
+        try:
+            with open(os.path.join(out_dir, MANIFEST)) as f:
+                committed_manifest = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"recover_corpus: {out_dir} has no committed manifest — "
+                "either this is not a corpus directory, or the initial "
+                "write_partitioned_corpus crashed between its data "
+                "commit and its first manifest dump. Recovery needs the "
+                "last committed manifest to classify leftovers; for a "
+                "crashed initial build, re-run write_partitioned_corpus "
+                "(it is a blind self-contained rebuild)"
+            ) from None
         committed = set(committed_manifest["partitions"])
         tokens = sorted({
             name.split("_", 2)[2]
@@ -1981,6 +1992,13 @@ def corpus_changes_since(
     with open(os.path.join(out_dir, MANIFEST)) as f:
         new = json.load(f)
     old_p, new_p = old["partitions"], new["partitions"]
+    # schema changes are a CORPUS-level signal, not a per-partition
+    # one: a widening rewrites nothing (untouched partitions'
+    # fingerprints stay valid and they are correctly NOT reported
+    # changed — their visible rows only gained a null-filled column),
+    # but an incremental consumer still needs to know its target
+    # schema moved — surface the delta explicitly
+    schema_changed = old.get("schema") != new.get("schema")
     old_f = old.get("fingerprints", {})
     new_f = new.get("fingerprints", {})
     changed = sorted(
@@ -2003,6 +2021,7 @@ def corpus_changes_since(
     return {
         "changed": changed,
         "removed": removed,
+        "schema_changed": schema_changed,
         "df": df,
         "from": since_token,
         "to": new.get("writer_token"),

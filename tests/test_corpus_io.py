@@ -2735,3 +2735,50 @@ def test_diagnose_corpus_names_the_diverged_commit(spark):
         ).write.mode("overwrite").parquet(os.path.join(out, "source=s0"))
         rep = corpus_io.diagnose_corpus(spark, out)
         assert rep["diverged"]["source=s0"]["last_matching_token"] is None
+
+
+def test_changes_since_surfaces_schema_change(spark):
+    """A widening evolution rewrites nothing, so untouched partitions
+    are correctly NOT reported changed — but the consumer's target
+    schema moved; changes_since must surface that as a corpus-level
+    signal."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        t0 = m0["writer_token"]
+        delta = docs.filter(F.col("source") == "s0").limit(2).withColumn(
+            "lang", F.lit("en")
+        )
+        corpus_io.upsert_corpus(delta, out, allow_schema_evolution=True)
+        ch = corpus_io.corpus_changes_since(spark, out, t0)
+        assert ch["schema_changed"] is True
+        assert ch["changed"] == ["source=s0"]  # only the delta's partition
+        # a content-only change does NOT flag the schema
+        rep = corpus_io.delete_from_corpus(spark, out, F.col("doc_id") == 1)
+        ch2 = corpus_io.corpus_changes_since(
+            spark, out, rep["manifest"]["writer_token"]
+        )
+        assert ch2["schema_changed"] is False
+        assert ch2["changed"] == [] and ch2["removed"] == []
+
+
+def test_recover_without_manifest_explains_itself(spark):
+    """A corpus whose initial build crashed before its first manifest
+    dump has nothing to recover FROM — recover/vacuum must say so
+    descriptively (re-run the blind rebuild), not leak a bare
+    FileNotFoundError."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        # the crashed-initial-build state: data landed, no manifest
+        docs.write.partitionBy("source").parquet(out)
+        with pytest.raises(RuntimeError, match="re-run write_partitioned"):
+            corpus_io.recover_corpus(out)
+        with pytest.raises(RuntimeError, match="re-run write_partitioned"):
+            corpus_io.vacuum_corpus(out)
+        # and the documented protocol works: the blind rebuild
+        corpus_io.write_partitioned_corpus(docs, out)
+        assert corpus_io.verify_manifest(spark, out)
