@@ -2782,3 +2782,166 @@ def test_recover_without_manifest_explains_itself(spark):
         # and the documented protocol works: the blind rebuild
         corpus_io.write_partitioned_corpus(docs, out)
         assert corpus_io.verify_manifest(spark, out)
+
+
+def _mp_writer_mix_worker(out_dir, worker_id, go_file, result_file):
+    """Spawn target (module-level, importable): its OWN SparkSession,
+    a seeded random op sequence from the writer family, every commit
+    token recorded with its op so the parent can replay the
+    serialization order relationally."""
+    import json
+    import os
+    import random
+    import time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_refarch_spark.operators import corpus_io
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName(f"mixworker{worker_id}")
+        .getOrCreate()
+    )
+    while not os.path.exists(go_file):
+        time.sleep(0.05)
+    # base seed 7100: across 3 workers x 3 ops every kind appears
+    # (2 upserts, 2 evolves, 3 deletes, 2 compacts — RNG-replayed)
+    rng = random.Random(7100 + worker_id)
+    oplog = {}
+
+    def retry(op):
+        return corpus_io.retry_on_lease_held(
+            op, max_wait_sec=600, backoff_sec=0.1
+        )
+
+    for opnum in range(3):
+        kind = rng.choice(["upsert", "evolve", "delete", "compact"])
+        if kind in ("upsert", "evolve"):
+            ids = rng.sample(range(0, 200), rng.randint(4, 8))
+            tag = f"G{worker_id}{opnum}" if kind == "evolve" else None
+            rows = [
+                (i, f"U{worker_id}-{opnum}-{i}", f"s{i % 3}", tag)
+                for i in sorted(ids)
+            ]
+            if kind == "evolve":
+                delta = spark.createDataFrame(
+                    rows,
+                    "doc_id long, text string, source string, tag string",
+                )
+            else:
+                delta = spark.createDataFrame(
+                    [r[:3] for r in rows],
+                    "doc_id long, text string, source string",
+                )
+            m = retry(
+                lambda d=delta: corpus_io.upsert_corpus(
+                    d, out_dir, allow_schema_evolution=True
+                )
+            )
+            oplog[m["writer_token"]] = ["upsert", rows]
+        elif kind == "delete":
+            mmod = rng.choice([17, 19, 23])
+            rr = rng.randrange(mmod)
+            rep = retry(
+                lambda mm=mmod, r=rr: corpus_io.delete_from_corpus(
+                    spark, out_dir, F.col("doc_id") % mm == r
+                )
+            )
+            if rep["deleted_rows"] > 0:
+                oplog[rep["manifest"]["writer_token"]] = [
+                    "delete", [mmod, rr]
+                ]
+        else:
+            retry(lambda: corpus_io.compact_corpus(spark, out_dir))
+    with open(result_file, "w") as f:
+        json.dump(oplog, f)
+    spark.stop()
+
+
+def test_writer_mix_across_processes_matches_serialized_replay(
+    spark, duck, tmp_path
+):
+    """VERDICT r12 #6, the literal shape: N SPAWNED PROCESSES (own
+    SparkSessions, real cross-process lease arbitration) each run a
+    seeded random writer-family op sequence against one corpus; the
+    manifest's durable committed_tokens order is the serialization
+    witness and the final corpus must equal that exact sequence
+    replayed relationally in DuckDB. The thread variant covers all
+    five writers cheaply; this one proves the arbitration holds where
+    it actually matters — across interpreter/JVM boundaries."""
+    import json as _json
+    import multiprocessing as mp
+
+    docs = spark.createDataFrame(
+        [(i, f"base {i}", f"s{i % 3}") for i in range(150)],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "corpus")
+    corpus_io.write_partitioned_corpus(docs, out)
+    go_file = str(tmp_path / "go")
+    ctx = mp.get_context("spawn")
+    procs, results = [], []
+    for w in range(3):
+        res = str(tmp_path / f"mix{w}.json")
+        results.append(res)
+        procs.append(ctx.Process(
+            target=_mp_writer_mix_worker, args=(out, w, go_file, res)
+        ))
+    for p in procs:
+        p.start()
+    with open(go_file, "w") as f:
+        f.write("go")
+    for p in procs:
+        p.join(timeout=600)
+    assert all(p.exitcode == 0 for p in procs), [p.exitcode for p in procs]
+    oplog: dict = {}
+    for res in results:
+        with open(res) as f:
+            oplog.update(_json.load(f))
+    with open(os.path.join(out, corpus_io.MANIFEST)) as f:
+        committed = _json.load(f)["committed_tokens"]
+    assert set(committed[1:]) == set(oplog), (committed, list(oplog))
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE pmodel("
+        "doc_id BIGINT, text VARCHAR, source VARCHAR, tag VARCHAR)"
+    )
+    duck.executemany(
+        "INSERT INTO pmodel VALUES (?, ?, ?, NULL)",
+        [(i, f"base {i}", f"s{i % 3}") for i in range(150)],
+    )
+    for tok in committed[1:]:
+        kind, payload = oplog[tok]
+        if kind == "upsert":
+            duck.executemany(
+                "DELETE FROM pmodel WHERE doc_id = ?",
+                [(r[0],) for r in payload],
+            )
+            duck.executemany(
+                "INSERT INTO pmodel VALUES (?, ?, ?, ?)", payload
+            )
+        else:
+            mmod, rr = payload
+            duck.execute(
+                f"DELETE FROM pmodel WHERE doc_id % {mmod} = {rr}"
+            )
+    expect = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute("SELECT * FROM pmodel").fetchall()
+    }
+    back = corpus_io.read_corpus(spark, out)
+    has_tag = "tag" in back.columns
+    got = {
+        r["doc_id"]: (r["text"], r["source"], r["tag"] if has_tag else None)
+        for r in back.collect()
+    }
+    assert got == expect
+    assert corpus_io.verify_manifest(spark, out)
+    assert not [
+        d for d in os.listdir(out)
+        if d.startswith(("_staging_", "_trash_"))
+    ]
+    assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
