@@ -616,9 +616,17 @@ def _row_fingerprint_col(columns: list[str]):
     an evolution reads back with the new column null-filled, serializes
     to exactly the JSON it produced before the column existed, and its
     recorded fingerprint stays valid without a rescan. Sorted column
-    names make the hash independent of projection order."""
+    names make the hash independent of projection order; the explicit
+    ``timeZone`` option pins timestamp rendering, so a corpus written
+    under one session timezone still verifies under another (without
+    it, ``to_json`` renders timestamps in ``spark.sql.session.timeZone``
+    and a TZ-drifted verifier would false-negative every
+    timestamp-carrying partition)."""
     return F.xxhash64(
-        F.to_json(F.struct(*[F.col(c) for c in sorted(columns)]))
+        F.to_json(
+            F.struct(*[F.col(c) for c in sorted(columns)]),
+            {"timeZone": "UTC"},
+        )
     )
 
 

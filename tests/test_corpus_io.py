@@ -2945,3 +2945,47 @@ def test_writer_mix_across_processes_matches_serialized_replay(
         if d.startswith(("_staging_", "_trash_"))
     ]
     assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+
+
+def test_fingerprint_invariants(spark):
+    """The CDC soundness rests on these fingerprint invariants — pin
+    them directly: invariant to row order, file split, and projection
+    order; invariant to null-widening (the to_json omission that makes
+    evolution rescan-free); invariant to session timezone for
+    timestamp columns (explicit UTC rendering); and SENSITIVE to an
+    actual value change."""
+    import pyspark.sql.functions as SF
+
+    base = [(1, "a", "2024-01-02 03:04:05"), (2, "b", "2024-06-07 08:09:10")]
+    schema = "doc_id long, text string, ts_s string"
+
+    def fp(df):
+        return df.withColumn(
+            "_h", corpus_io._row_fingerprint_col(df.columns)
+        ).agg(
+            SF.expr("bit_xor(_h)").alias("x"),
+            SF.expr("sum(pmod(_h, 2147483648))").alias("s"),
+        ).collect()[0]
+
+    df = spark.createDataFrame(base, schema).withColumn(
+        "ts", SF.to_timestamp("ts_s")
+    ).drop("ts_s")
+    ref = tuple(fp(df))
+    # row order / partitioning
+    assert tuple(fp(df.orderBy(SF.desc("doc_id")).repartition(7))) == ref
+    # projection order
+    assert tuple(fp(df.select("ts", "text", "doc_id"))) == ref
+    # null-widening (the evolution case)
+    assert tuple(fp(df.withColumn("lang", SF.lit(None).cast("string")))) \
+        == ref
+    # session timezone drift must NOT move a timestamp fingerprint
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert tuple(fp(df)) == ref
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # sensitivity: any value change moves it
+    assert tuple(fp(df.withColumn(
+        "text", SF.when(SF.col("doc_id") == 1, "A").otherwise(SF.col("text"))
+    ))) != ref
