@@ -1869,7 +1869,11 @@ def diagnose_corpus(spark: SparkSession, out_dir: str) -> dict:
     LAST COMMIT whose recorded fingerprint matches the bytes on disk —
     i.e. which writer's commit the corruption postdates. Read-only
     (no lease: a diagnosis must be runnable while writers are wedged);
-    one distributed scan plus bounded history-file reads.
+    one distributed scan plus bounded history-file reads. Because it
+    takes no lease, racing a LIVE writer mid-swap can show transient
+    divergence on the partitions being swapped — re-run on a quiescent
+    corpus (or hold the lease around the call) before acting on a
+    report taken next to an active writer.
 
     Returns ``{"ok": bool, "diverged": {pkey: {"expected", "found",
     "last_matching_token": token-or-None, "count_expected",
