@@ -99,6 +99,8 @@ PRIORITY = [
     "corpus_redact_roundtrip",
     "corpus_vacuum_roundtrip",
     "corpus_changes_roundtrip",
+    "corpus_pinned_snapshot",
+    "cdc_index_refresh",
     "stratified_cap",
     "range_join_bands",
     "priority_lists",

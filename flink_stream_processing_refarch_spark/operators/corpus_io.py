@@ -47,6 +47,15 @@ SWAPLIST = "_swaplist.json"
 #: considered crashed after this and its lease may be broken.
 LEASE_TTL_SEC = 3600.0
 
+#: measurement seam for the r14 decade A/B
+#: (tools/scale_checkpoint_ab.py): True restores the r10-era eager
+#: corpus-sized ``localCheckpoint`` on the FULL-REWRITE writers
+#: (layout clustering, column redaction) that r14 removed — the
+#: staged swap already guarantees the source files are untouched
+#: until the post-job renames, so the snapshot bought no safety and
+#: roughly doubled the rewrite's I/O. Production default: False.
+EAGER_REWRITE_CHECKPOINT = False
+
 
 class MaintenanceLeaseHeld(RuntimeError):
     """Another writer holds the corpus maintenance lease."""
@@ -400,6 +409,91 @@ MANIFEST_HISTORY_KEEP = 16
 COMMITTED_TOKENS_KEEP = 64
 
 
+def _token_time_ns(token: str) -> int | None:
+    """Creation time embedded in a lease token ('{pid}-{time_ns}'),
+    or None for a token this module's writer did not mint (fabricated
+    test tokens, external residue)."""
+    _, _, ts = token.partition("-")
+    try:
+        return int(ts)
+    except ValueError:
+        return None
+
+
+def _absence_is_proof(token: str, log: list[str]) -> bool:
+    """True iff ``token``'s absence from the manifest's durable commit
+    log PROVES it never committed (r14, ADVICE r13 #1). Two sound
+    cases:
+
+    - the log is UNSATURATED (fewer than :data:`COMMITTED_TOKENS_KEEP`
+      entries): nothing has ever been pruned, so the log holds every
+      commit since the corpus was born — absence is proof;
+    - the residue token's embedded creation time is YOUNGER than the
+      oldest retained entry's: writers serialize on the per-corpus
+      lease and tokens are minted at acquisition, so creation order
+      tracks commit order — had this token committed, it would have
+      committed after the oldest retained entry and still be in the
+      log.
+
+    Everything else (saturated log + older-or-unparseable residue
+    token) is ambiguous — the token COULD be a committed writer's,
+    pruned past the retention window — and the caller must raise for
+    manual inspection instead of defaulting to rollback, which would
+    resurrect taken-down data if the guess is wrong."""
+    if len(log) < COMMITTED_TOKENS_KEEP:
+        return True
+    t = _token_time_ns(token)
+    oldest = _token_time_ns(log[0]) if log else None
+    return t is not None and oldest is not None and t > oldest
+
+
+def _atomic_manifest_replace(out_dir: str, manifest: dict) -> None:
+    """fsync'd temp-write + ``os.replace`` + directory fsync — the
+    old-or-new-never-torn manifest publish discipline (see
+    :func:`_dump_manifest`), shared with the layout-only file-list
+    rewrite (r14)."""
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    dfd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _rewrite_manifest_files(out_dir: str, pkeys) -> dict:
+    """Refresh the manifest's per-partition FILE LISTS in place without
+    a commit (r14, snapshot-isolated reads): compaction and layout
+    clustering change file names but not content, so they must not
+    appear in the ``committed_tokens`` log (its order is the
+    serialization witness of CONTENT-changing commits, replayed by the
+    writer-mix property tests) and must not move ``writer_token`` (a
+    CDC consumer stores the reported 'to' token; pointing it at a
+    token with no history manifest would break its next poll). Only
+    the ``files`` map moves — counts, fingerprints, schema, tokens all
+    stay byte-identical — via the same atomic replace as a commit.
+    Caller holds the lease. A crash between the swap and this rewrite
+    leaves stale file lists; :func:`pin_corpus_snapshot` degrades
+    gracefully there (retry, then the caller falls back to a plain
+    read)."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    files = {
+        **manifest.get("files", {}),
+        **_partition_files(out_dir, pkeys),
+    }
+    # never carry an entry for a partition the manifest no longer has
+    manifest["files"] = {
+        k: v for k, v in files.items() if k in manifest["partitions"]
+    }
+    _atomic_manifest_replace(out_dir, manifest)
+    return manifest
+
+
 def _dump_manifest(out_dir: str, manifest: dict, token: str) -> dict:
     """ATOMIC manifest commit (r12 review): the manifest dump is every
     writer's commit point, but a plain ``open(w)`` + ``json.dump``
@@ -456,19 +550,9 @@ def _dump_manifest(out_dir: str, manifest: dict, token: str) -> dict:
             [t for t in prior_tokens if t != token] + [token]
         )[-COMMITTED_TOKENS_KEEP:],
     }
-    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(out_dir, MANIFEST))
-    dfd = os.open(out_dir, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    _atomic_manifest_replace(out_dir, manifest)
     hist = os.path.join(out_dir, MANIFEST_HISTORY)
-    with contextlib.suppress(OSError):
+    try:
         os.makedirs(hist, exist_ok=True)
         with open(os.path.join(hist, f"manifest_{token}.json"), "w") as f:
             json.dump(manifest, f, sort_keys=True)
@@ -479,6 +563,30 @@ def _dump_manifest(out_dir: str, manifest: dict, token: str) -> dict:
         for name in os.listdir(hist):
             if name not in keep:
                 os.unlink(os.path.join(hist, name))
+    except OSError as e:
+        # the history mirror is diagnostic, written AFTER the commit
+        # point — its failure must not fail a commit that already
+        # happened, but it must not be SILENT either (r14, ADVICE r13
+        # #3: a swallowed failure here makes a later
+        # corpus_changes_since(token) for this genuinely committed
+        # token report 'never committed or pruned' — a misleading
+        # diagnosis — and diagnose_corpus silently loses the commit
+        # from forensics). Mark the RETURNED manifest (the committed
+        # file cannot change — it is already the commit) and warn, so
+        # the operator can distinguish a lost history entry from a
+        # pruned one.
+        import warnings
+
+        warnings.warn(
+            f"corpus manifest history write failed for commit {token} "
+            f"({e}) — the commit itself is durable, but "
+            f"corpus_changes_since({token!r}) and diagnose_corpus will "
+            "not see this commit in the history; CDC consumers should "
+            "resync from a retained manifest",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        manifest = {**manifest, "history_write_failed": str(e)}
     return manifest
 
 
@@ -677,8 +785,33 @@ def _manifest_from_files(
         "partition_cols": list(partition_cols),
         "partitions": parts,
         "fingerprints": fps,
+        # per-partition data-file names (r14, snapshot-isolated reads):
+        # the committed manifest names the exact files of its version,
+        # which is what pin_corpus_snapshot hard-links — metadata-only
+        # (one listdir per scanned partition), riding the same call
+        "files": _partition_files(out_dir, parts),
         "total_rows": sum(parts.values()),
     }
+
+
+def _partition_files(out_dir: str, pkeys) -> dict:
+    """Sorted committed data-file names per partition directory —
+    the file-level version pointer a manifest records (r14): Spark's
+    part-file names embed job/task UUIDs, so a name is globally unique
+    across commits and a (pkey, name) pair identifies one immutable
+    committed file forever (no writer ever modifies a data file in
+    place — every write lands new files via the staged swap)."""
+    out = {}
+    for k in pkeys:
+        try:
+            names = os.listdir(os.path.join(out_dir, k))
+        except FileNotFoundError:
+            continue  # racing removal; the caller's counts govern
+        out[k] = sorted(
+            n for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    return out
 
 
 def upsert_corpus(
@@ -987,10 +1120,14 @@ def _upsert_corpus_locked(
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-merge
     # staged commit (r10): the Spark write lands in a private staging
     # dir, the fence re-checks, and only then do per-partition renames
-    # swap the result live — see _staged_swap_write
-    _staged_swap_write(
+    # swap the result live — see _staged_swap_write. Cleanup deferred
+    # past the manifest dump (r14, snapshot reads): the displaced
+    # originals stay findable in trash until the new manifest commits,
+    # so a pinning reader holding the PRIOR manifest can still link
+    # that version's files throughout the swap->dump window.
+    leftovers = _staged_swap_write(
         merged, out_dir, partition_cols, sorted(expected), token,
-        max_records_per_file,
+        max_records_per_file, defer_cleanup=True,
     )
     check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
     back = _manifest_from_files(
@@ -1014,10 +1151,15 @@ def _upsert_corpus_locked(
         # the map may be partial — consumers treat absence as unknown
         fps = dict(prior.get("fingerprints", {}))
         fps.update(back["fingerprints"])
+        # file lists merge identically (r14, snapshot reads): untouched
+        # partitions' files are untouched by construction
+        files = dict(prior.get("files", {}))
+        files.update(back["files"])
         manifest = {
             "partition_cols": list(partition_cols),
             "partitions": parts,
             "fingerprints": fps,
+            "files": files,
             "total_rows": sum(parts.values()),
         }
     else:  # recovery: rebuild from all committed files
@@ -1029,7 +1171,12 @@ def _upsert_corpus_locked(
     # the newest columns (r12)
     manifest["schema"] = json.loads(merged.schema.json())
     check_lease(out_dir, token)  # fence the manifest dump as well
-    return _dump_manifest(out_dir, manifest, token)
+    manifest = _dump_manifest(out_dir, manifest, token)  # commit point
+    import shutil as _shutil
+
+    for d in leftovers or ():
+        _shutil.rmtree(d, ignore_errors=True)
+    return manifest
 
 
 def _staged_swap_write(
@@ -1057,10 +1204,15 @@ def _staged_swap_write(
     and some old, with the replaced originals intact under the trash
     dir — :func:`recover_corpus` rolls the corpus back to the last
     committed state from exactly those leftovers (r11, VERDICT r10 #4);
-    readers racing the swap can see a partition absent for one rename
-    (same brief window dynamic overwrite's commit has). A real
-    deployment swaps a metastore pointer instead — this is the
-    local-filesystem stand-in with the same protocol shape.
+    a PLAIN reader racing the swap can see a partition absent for one
+    rename (same brief window dynamic overwrite's commit has) or a mix
+    of two commits across partitions — readers that need one committed
+    version pin it via :func:`pin_corpus_snapshot` (r14), which this
+    residual no longer reaches (the pin links the manifest's named
+    files from live-or-trash; cleanup is deferred past the manifest
+    dump precisely so those files stay findable). A real deployment
+    swaps a metastore pointer instead — this is the local-filesystem
+    stand-in with the same protocol shape.
 
     Recovery markers: the swap list is dumped to ``_swaplist.json``
     inside staging before the fence (so recovery knows exactly which
@@ -1197,109 +1349,165 @@ def recover_corpus(out_dir: str, spark: SparkSession | None = None) -> dict:
     ``{"discarded_staging": [tokens], "rolled_back": [tokens],
     "rolled_forward": [tokens], "restored": [pkeys],
     "removed_new": [pkeys]}``."""
+    with corpus_lease(out_dir, "recover"):
+        return _recover_corpus_locked(out_dir, spark)
+
+
+def _recover_corpus_locked(
+    out_dir: str, spark: SparkSession | None = None
+) -> dict:
+    """Body of :func:`recover_corpus`; the maintenance lease is held.
+    Exposed as a locked body (r14, ADVICE r13 #4) so
+    :func:`vacuum_corpus` can run recovery and its file sweep under ONE
+    lease — the two-lease version had a gap between releasing the
+    recover lease and acquiring the vacuum one, during which a takedown
+    could start and crash, leaving residue the just-returned vacuum
+    report would not mention."""
     import shutil
 
     report: dict = {
         "discarded_staging": [], "rolled_back": [], "rolled_forward": [],
         "restored": [], "removed_new": [],
     }
-    with corpus_lease(out_dir, "recover"):
-        try:
-            with open(os.path.join(out_dir, MANIFEST)) as f:
-                committed_manifest = json.load(f)
-        except FileNotFoundError:
-            raise RuntimeError(
-                f"recover_corpus: {out_dir} has no committed manifest — "
-                "either this is not a corpus directory, or the initial "
-                "write_partitioned_corpus crashed between its data "
-                "commit and its first manifest dump. Recovery needs the "
-                "last committed manifest to classify leftovers; for a "
-                "crashed initial build, re-run write_partitioned_corpus "
-                "(it is a blind self-contained rebuild)"
-            ) from None
-        committed = set(committed_manifest["partitions"])
-        tokens = sorted({
-            name.split("_", 2)[2]
-            for name in os.listdir(out_dir)
-            if name.startswith(("_staging_", "_trash_"))
-        })
-        durably_committed = set(
-            committed_manifest.get("committed_tokens", [])
-        ) | {committed_manifest.get("writer_token")}
-        for token in tokens:
-            staging = os.path.join(out_dir, f"_staging_{token}")
-            trash = os.path.join(out_dir, f"_trash_{token}")
-            if token in durably_committed:
-                # this writer's commit token is in the manifest's
-                # durable commit log (r13, ADVICE r12 #1 — previously
-                # only the LATEST writer_token was checked, so a
-                # subsequent commit before recovery ran misclassified
-                # stale post-commit residue as pre-commit and rolled
-                # it BACK, resurrecting taken-down partitions): its
-                # dump — the commit point — already happened, so these
-                # leftovers are post-commit residue of a
-                # deferred-cleanup writer (delete/redact keep their
-                # trash until the manifest commits). Roll FORWARD:
-                # drop both dirs; rolling back here would resurrect
-                # data the committed manifest says is gone.
-                shutil.rmtree(staging, ignore_errors=True)
-                shutil.rmtree(trash, ignore_errors=True)
-                report["rolled_forward"].append(token)
-                continue
-            if not os.path.isdir(trash):
-                shutil.rmtree(staging, ignore_errors=True)
-                report["discarded_staging"].append(token)
-                continue
-            slpath = os.path.join(staging, SWAPLIST)
-            try:
-                with open(slpath) as f:
-                    pkeys = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError, OSError) as e:
-                raise RuntimeError(
-                    f"recover_corpus: {trash} exists but the swap list "
-                    f"{slpath} is unreadable ({e}) — the writer dumps it "
-                    "before any swap begins, so this is external "
-                    "corruption; inspect the trash/staging dirs by hand"
-                ) from e
-            for pkey in pkeys:
-                live = os.path.join(out_dir, pkey)
-                tdst = os.path.join(trash, pkey)
-                if os.path.isdir(tdst):  # original displaced: restore it
-                    shutil.rmtree(live, ignore_errors=True)
-                    os.rename(tdst, live)
-                    report["restored"].append(pkey)
-                elif os.path.isdir(os.path.join(staging, pkey)):
-                    pass  # never swapped — live still holds the original
-                elif os.path.isdir(live) and pkey not in committed:
-                    # new partition already swapped in: the committed
-                    # manifest has no such partition, so the pre-crash
-                    # corpus had nothing here. The manifest check is
-                    # load-bearing (r12): a manifest partition in this
-                    # branch is an original RESTORED by a prior recovery
-                    # run that died mid-rollback — deleting it would
-                    # destroy committed data on re-entry.
-                    shutil.rmtree(live)
-                    report["removed_new"].append(pkey)
-            shutil.rmtree(trash, ignore_errors=True)
-            shutil.rmtree(staging, ignore_errors=True)
-            report["rolled_back"].append(token)
+    try:
         with open(os.path.join(out_dir, MANIFEST)) as f:
-            manifest = json.load(f)
-        missing = [
-            k for k in manifest["partitions"]
-            if not os.path.isdir(os.path.join(out_dir, k))
-        ]
-        if missing:
+            committed_manifest = json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"recover_corpus: {out_dir} has no committed manifest — "
+            "either this is not a corpus directory, or the initial "
+            "write_partitioned_corpus crashed between its data "
+            "commit and its first manifest dump. Recovery needs the "
+            "last committed manifest to classify leftovers; for a "
+            "crashed initial build, re-run write_partitioned_corpus "
+            "(it is a blind self-contained rebuild)"
+        ) from None
+    committed = set(committed_manifest["partitions"])
+    tokens = sorted({
+        name.split("_", 2)[2]
+        for name in os.listdir(out_dir)
+        if name.startswith(("_staging_", "_trash_"))
+    })
+    log = list(committed_manifest.get("committed_tokens", []))
+    durably_committed = set(log) | {
+        committed_manifest.get("writer_token")
+    }
+    for token in tokens:
+        staging = os.path.join(out_dir, f"_staging_{token}")
+        trash = os.path.join(out_dir, f"_trash_{token}")
+        if token not in durably_committed and not _absence_is_proof(
+            token, log
+        ):
+            # the commit log is SATURATED and this residue token is
+            # not provably younger than the oldest retained entry
+            # (r14, ADVICE r13 #1): its absence no longer proves it
+            # never committed — a committed takedown's residue that
+            # survived COMMITTED_TOKENS_KEEP subsequent commits
+            # would have had its token PRUNED from the log, and
+            # rolling it back here resurrects the taken-down data
+            # (the exact bug the durable log exists to prevent,
+            # re-opened at the log boundary). Tokens embed their
+            # creation time ('{pid}-{time_ns}') and writers
+            # serialize on the lease, so creation order ~ commit
+            # order: a residue token YOUNGER than the oldest
+            # retained log entry would still be in the log had it
+            # committed (absence = proof, handled above); an OLDER
+            # or unparseable one is ambiguous — raise for manual
+            # inspection instead of guessing a roll direction.
             raise RuntimeError(
-                f"recover_corpus: manifest partitions missing on disk "
-                f"after rollback: {missing}"
+                f"recover_corpus: residue token {token!r} is absent "
+                "from the SATURATED commit log of the last "
+                f"{COMMITTED_TOKENS_KEEP} commits and is not "
+                "provably younger than the oldest retained entry "
+                "— it may be a committed writer's residue "
+                "whose token was pruned, and rolling it back could "
+                "resurrect taken-down data. Inspect "
+                f"_staging_{token} / _trash_{token} by hand: if the "
+                "live corpus verifies against the manifest "
+                "(verify_manifest), the residue is post-commit — "
+                "delete both dirs; otherwise restore the trash "
+                "originals"
             )
-        if spark is not None and not verify_manifest(spark, out_dir):
+        if token in durably_committed:
+            # this writer's commit token is in the manifest's
+            # durable commit log (r13, ADVICE r12 #1 — previously
+            # only the LATEST writer_token was checked, so a
+            # subsequent commit before recovery ran misclassified
+            # stale post-commit residue as pre-commit and rolled
+            # it BACK, resurrecting taken-down partitions): its
+            # dump — the commit point — already happened, so these
+            # leftovers are post-commit residue of a
+            # deferred-cleanup writer (delete/redact keep their
+            # trash until the manifest commits). Roll FORWARD:
+            # drop both dirs; rolling back here would resurrect
+            # data the committed manifest says is gone.
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
+            report["rolled_forward"].append(token)
+            continue
+        if not os.path.isdir(trash):
+            shutil.rmtree(staging, ignore_errors=True)
+            report["discarded_staging"].append(token)
+            continue
+        slpath = os.path.join(staging, SWAPLIST)
+        try:
+            with open(slpath) as f:
+                pkeys = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError) as e:
             raise RuntimeError(
-                "recover_corpus: post-rollback read-back does not match "
-                "the manifest — the leftovers did not account for the "
-                "divergence; inspect the corpus by hand"
-            )
+                f"recover_corpus: {trash} exists but the swap list "
+                f"{slpath} is unreadable ({e}) — the writer dumps it "
+                "before any swap begins, so this is external "
+                "corruption; inspect the trash/staging dirs by hand"
+            ) from e
+        for pkey in pkeys:
+            live = os.path.join(out_dir, pkey)
+            tdst = os.path.join(trash, pkey)
+            if os.path.isdir(tdst):  # original displaced: restore it
+                shutil.rmtree(live, ignore_errors=True)
+                os.rename(tdst, live)
+                report["restored"].append(pkey)
+            elif os.path.isdir(os.path.join(staging, pkey)):
+                pass  # never swapped — live still holds the original
+            elif os.path.isdir(live) and pkey not in committed:
+                # new partition already swapped in: the committed
+                # manifest has no such partition, so the pre-crash
+                # corpus had nothing here. The manifest check is
+                # load-bearing (r12): a manifest partition in this
+                # branch is an original RESTORED by a prior recovery
+                # run that died mid-rollback — deleting it would
+                # destroy committed data on re-entry.
+                shutil.rmtree(live)
+                report["removed_new"].append(pkey)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        report["rolled_back"].append(token)
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    missing = [
+        k for k in manifest["partitions"]
+        if not os.path.isdir(os.path.join(out_dir, k))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"recover_corpus: manifest partitions missing on disk "
+            f"after rollback: {missing}"
+        )
+    if spark is not None and not verify_manifest(spark, out_dir):
+        raise RuntimeError(
+            "recover_corpus: post-rollback read-back does not match "
+            "the manifest — the leftovers did not account for the "
+            "divergence; inspect the corpus by hand"
+        )
+    if report["rolled_back"] or report["rolled_forward"]:
+        # self-heal the manifest's file lists (r14, snapshot reads): a
+        # compact/layout crash between its file-list rewrite and its
+        # cleanup gets rolled BACK here (content-preserving, so the
+        # restored originals are correct), leaving lists that name the
+        # discarded staged files — after any roll, the live dirs ARE
+        # the committed version, so relisting them restores
+        # list<->disk agreement. listdir-only, O(partitions).
+        _rewrite_manifest_files(out_dir, list(manifest["partitions"]))
     return report
 
 
@@ -1316,7 +1524,11 @@ def vacuum_corpus(
     that guarantees they are GONE, not one that happens to drop them
     as a side effect.
 
-    Two phases, each serialized on the maintenance lease:
+    Two phases under ONE maintenance lease (r14, ADVICE r13 #4 — the
+    two-lease version released the recover lease before acquiring the
+    vacuum one, and a takedown starting and crashing in that gap left
+    residue the just-returned report did not mention, weakening the
+    single-invocation post-condition below):
 
     1. :func:`recover_corpus` — classifies every leftover
        staging/trash token against the manifest's durable commit log
@@ -1338,17 +1550,30 @@ def vacuum_corpus(
     once every takedown has committed, no removed row's bytes survive
     anywhere under the corpus root. Returns the recovery report plus
     ``{"swept_files": [names]}``."""
-    report = recover_corpus(out_dir, spark)
+    import shutil as _shutil
+
     swept: list[str] = []
     with corpus_lease(out_dir, "vacuum", ttl_sec=ttl_sec):
+        report = _recover_corpus_locked(out_dir, spark)
         now = time.time()
         for name in sorted(os.listdir(out_dir)):
+            path = os.path.join(out_dir, name)
+            if name.startswith("_pin_"):
+                # aged snapshot pins from crashed/leaked readers (r14):
+                # a pin holds hard links that keep old versions' bytes
+                # alive, so a leaked pin is both a space leak and an
+                # RTBF hazard — sweep past the TTL (a live reader's
+                # pin is younger by construction; pins are transient)
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(path) > ttl_sec:
+                        _shutil.rmtree(path, ignore_errors=True)
+                        swept.append(name)
+                continue
             if not (
                 name.startswith(LEASE + ".")
                 or name == MANIFEST + ".tmp"
             ):
                 continue
-            path = os.path.join(out_dir, name)
             with contextlib.suppress(OSError):
                 if os.path.isfile(path) and (
                     now - os.path.getmtime(path) > ttl_sec
@@ -1443,9 +1668,14 @@ def _compact_corpus_locked(
         _read_corpus(spark, out_dir, partition_cols).filter(pred)
     ).localCheckpoint(eager=True)  # decouple from the path being rewritten
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
-    _staged_swap_write(
+    # cleanup deferred past the file-list rewrite (r14, snapshot reads):
+    # the displaced originals stay findable in trash until the manifest
+    # names the new files, so a pinning reader racing this rewrite can
+    # always link the manifest's version — live or trash
+    leftovers = _staged_swap_write(
         merged.repartition(*[F.col(c) for c in partition_cols]),
         out_dir, partition_cols, plan, token, target_rows_per_file,
+        defer_cleanup=True,
     )
     check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols, pred=pred)
@@ -1457,6 +1687,12 @@ def _compact_corpus_locked(
             " — partial commit"
         )
     _check_content_preserved("compact_corpus", manifest, back, plan)
+    check_lease(out_dir, token)
+    manifest = _rewrite_manifest_files(out_dir, plan)
+    import shutil as _shutil
+
+    for d in leftovers or ():
+        _shutil.rmtree(d, ignore_errors=True)
     return {"compacted": plan, "manifest": manifest}
 
 
@@ -1503,15 +1739,16 @@ def cluster_corpus_layout(
 
     Content-preserving like :func:`compact_corpus`: staged-swap
     commit, post-write counts checked against the (unchanged) manifest;
-    a mismatch raises. Cost: one full read + range-shuffle + write of
-    the corpus — the classic offline OPTIMIZE job, run at much lower
-    frequency than compaction. The ``localCheckpoint`` decoupling the
-    read from the path being overwritten materializes the corpus to
-    executor storage once (the same write-safety pattern as
-    ``upsert_corpus``, where it is delta-sized); at true 100 TB scale a
-    metastore-backed deployment stages the clustered copy to a fresh
-    location and swaps pointers instead — the checkpoint is the
-    local-filesystem stand-in for that staging step.
+    a mismatch raises. Cost: one range-sampling pass + one full read +
+    range-shuffle + write of the corpus — the classic offline OPTIMIZE
+    job, run at much lower frequency than compaction. The input is
+    LAZY (r14, VERDICT r13 #2): the staged swap already decouples the
+    read from the path being rewritten (the Spark job lands in a
+    private staging dir; source files are untouched until the post-job
+    renames), so the r10-era eager ``localCheckpoint`` — a corpus-sized
+    copy to executor-local disk that roughly doubled the rewrite's I/O
+    — was no longer buying any safety and is gone; the x1000-decade
+    A/B is in SCALING_DECADE2.md.
 
     Concurrency contract (r09): serializes on the per-corpus maintenance
     lease (:func:`corpus_lease`), exactly like :func:`compact_corpus` —
@@ -1539,15 +1776,29 @@ def _cluster_corpus_layout_locked(
         manifest = json.load(f)
     total = manifest["total_rows"]
     n = max(1, -(-total // target_rows_per_file))
-    merged = _read_corpus(spark, out_dir, partition_cols).localCheckpoint(
-        eager=True
-    )
-    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
+    # LAZY input (r14, VERDICT r13 #2): the r10-era eager
+    # localCheckpoint here predated the staged swap and materialized
+    # the ENTIRE corpus to executor-local disk before the rewrite — a
+    # corpus-sized extra write that roughly doubled the job's I/O at
+    # scale. It is no longer load-bearing: the staged write lands in a
+    # private staging dir and the source partition dirs are untouched
+    # until the post-job renames, so every task (and any task retry)
+    # re-reads stable committed files; ``merged`` is consumed by
+    # exactly one job (repartitionByRange's sampling pass plus the
+    # write — two scans of the source parquet, still cheaper than
+    # checkpoint write + two checkpoint reads). A/B at the x1000
+    # decade: SCALING_DECADE2.md (r14).
+    merged = _read_corpus(spark, out_dir, partition_cols)
+    if EAGER_REWRITE_CHECKPOINT:  # r13-compat arm for the decade A/B
+        merged = merged.localCheckpoint(eager=True)
+    check_lease(out_dir, token)  # fence: abort if TTL-broken mid-plan
     cols = [F.col(c) for c in partition_cols] + [F.col(cluster_col)]
-    _staged_swap_write(
+    # cleanup deferred past the file-list rewrite (r14) — see
+    # _compact_corpus_locked for the pinning-reader rationale
+    leftovers = _staged_swap_write(
         merged.repartitionByRange(n, *cols).sortWithinPartitions(*cols),
         out_dir, partition_cols, sorted(manifest["partitions"]), token,
-        target_rows_per_file,
+        target_rows_per_file, defer_cleanup=True,
     )
     check_lease(out_dir, token)  # post-swap fence (see corpus_lease)
     back = _manifest_from_files(spark, out_dir, partition_cols)
@@ -1561,6 +1812,14 @@ def _cluster_corpus_layout_locked(
         "cluster_corpus_layout", manifest, back,
         sorted(manifest["partitions"]),
     )
+    check_lease(out_dir, token)
+    manifest = _rewrite_manifest_files(
+        out_dir, sorted(manifest["partitions"])
+    )
+    import shutil as _shutil
+
+    for d in leftovers or ():
+        _shutil.rmtree(d, ignore_errors=True)
     return {"range_tasks": n, "manifest": manifest}
 
 
@@ -1674,18 +1933,23 @@ def _delete_from_corpus_locked(
         )
     parts = dict(prior["partitions"])
     fps = dict(prior.get("fingerprints", {}))
+    files = dict(prior.get("files", {}))
     for k, n_del in del_counts.items():
         if k in expected:
             parts[k] = expected[k]
             if k in back["fingerprints"]:
                 fps[k] = back["fingerprints"][k]
+            if k in back["files"]:
+                files[k] = back["files"][k]
         else:
             parts.pop(k, None)
             fps.pop(k, None)
+            files.pop(k, None)
     manifest = {
         "partition_cols": list(partition_cols),
         "partitions": parts,
         "fingerprints": fps,
+        "files": files,
         "total_rows": sum(parts.values()),
     }
     if prior.get("schema") is not None:  # deletes never change schema
@@ -1768,8 +2032,15 @@ def _redact_column_locked(
             f"redact_column_from_corpus: corpus has no column "
             f"{column!r} (columns: {sorted(back.columns)})"
         )
-    # column pruning: the rewrite plan never reads the doomed column
-    merged = back.drop(column).localCheckpoint(eager=True)
+    # column pruning: the rewrite plan never reads the doomed column.
+    # LAZY input (r14, VERDICT r13 #2): no eager localCheckpoint — the
+    # staged write reads the stable committed files (untouched until
+    # the post-job renames) in its one and only consuming job, so the
+    # corpus-sized executor-local snapshot the checkpoint paid for
+    # bought nothing; see _cluster_corpus_layout_locked for the A/B.
+    merged = back.drop(column)
+    if EAGER_REWRITE_CHECKPOINT:  # r13-compat arm for the decade A/B
+        merged = merged.localCheckpoint(eager=True)
     pkeys = sorted(prior["partitions"])
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-read
     leftovers = _staged_swap_write(
@@ -1793,6 +2064,7 @@ def _redact_column_locked(
         # every partition was rewritten without the column: every
         # fingerprint is recomputed (the content DID change)
         "fingerprints": fresh["fingerprints"],
+        "files": fresh["files"],
         "total_rows": prior["total_rows"],
     }
     if prior.get("schema") is not None:  # narrow the schema authority
@@ -1928,7 +2200,8 @@ def diagnose_corpus(spark: SparkSession, out_dir: str) -> dict:
 
 
 def read_corpus(
-    spark: SparkSession, out_dir: str, _partition_pred=None
+    spark: SparkSession, out_dir: str, _partition_pred=None,
+    _manifest: dict | None = None,
 ) -> DataFrame:
     """The consumer-side corpus reader (r12, schema evolution): read
     the committed files under the MANIFEST's recorded schema — the only
@@ -1940,12 +2213,20 @@ def read_corpus(
     so the frame round-trips the writer's typed schema exactly. Legacy
     manifests (no schema field, pre-r12) fall back to the
     single-footer read, valid there because a never-evolved corpus has
-    one schema."""
+    one schema.
+
+    ``_manifest`` (internal): an already-loaded manifest snapshot to
+    read under instead of re-reading the file — callers that diff or
+    report against a specific manifest (``corpus_changes_since``) pass
+    the one they diffed, so the returned frame's schema/pruning cannot
+    drift to a NEWER commit than the report (r14, ADVICE r13 #2)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    with open(os.path.join(out_dir, MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = _manifest
+    if manifest is None:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            manifest = json.load(f)
     partition_cols = tuple(manifest["partition_cols"])
     df = _read_corpus(spark, out_dir, partition_cols)
     if _partition_pred is not None:
@@ -1959,6 +2240,177 @@ def read_corpus(
             df = df.withColumn(c, F.col(c).cast(recorded[c].dataType))
         df = df.select(*[f.name for f in recorded.fields])
     return df
+
+
+class SnapshotPinError(RuntimeError):
+    """pin_corpus_snapshot could not assemble a consistent snapshot
+    within its deadline (a maintenance writer wedged mid-commit, or
+    the manifest's file lists are stale after an unrecovered crash —
+    run recover_corpus, or fall back to a plain read_corpus)."""
+
+
+class _PinRace(Exception):
+    """Internal: a concurrent commit moved files mid-pin; retry."""
+
+
+class CorpusSnapshot:
+    """A pinned, self-describing view of ONE committed corpus version
+    (r14, VERDICT r13 #1 — snapshot-isolated reads). ``pin_dir`` holds
+    hard links to exactly the data files the pinned manifest named
+    (plus a copy of that manifest), so the snapshot stays readable —
+    bytes and all — no matter how many maintenance swaps, deletes, or
+    redactions commit after the pin: hard links keep the inodes alive
+    even after the writer's cleanup unlinks the original names.
+    ``read`` returns the typed frame under the PINNED schema; the pin
+    directory also satisfies :func:`verify_manifest` directly (the
+    racing-reader property test's oracle)."""
+
+    def __init__(self, out_dir: str, pin_dir: str, manifest: dict):
+        self.out_dir = out_dir
+        self.pin_dir = pin_dir
+        self.manifest = manifest
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The pinned version's typed frame — schema, partition types,
+        and content all from the pinned commit, regardless of what has
+        committed since. Collect before the pin context exits (the
+        exit drops the links)."""
+        return read_corpus(spark, self.pin_dir, _manifest=self.manifest)
+
+
+@contextlib.contextmanager
+def pin_corpus_snapshot(
+    out_dir: str,
+    max_wait_sec: float = 60.0,
+    backoff_sec: float = 0.05,
+):
+    """Snapshot-isolated corpus read (r14, VERDICT r13 #1): yield a
+    :class:`CorpusSnapshot` of exactly one committed version, immune
+    to every concurrent maintenance writer. Closes the documented
+    reader-vs-swap residual: a plain reader racing
+    ``_staged_swap_write`` can see a partition absent for one rename,
+    or a MIX of two commits across partitions; a pinned reader sees
+    the one version its manifest committed, atomically.
+
+    Protocol (optimistic, reader-only — takes NO lease, blocks NO
+    writer, needs NO writer cooperation beyond manifests recording
+    their file lists):
+
+    1. read the current manifest M (atomic: manifests publish via
+       ``os.replace``);
+    2. hard-link every data file M names (``files``) from the live
+       partition dirs — or, if a racing swap already displaced them,
+       from the swapper's ``_trash_*`` dir (writers defer trash
+       cleanup past their manifest dump since r14, so M's files are
+       findable in live-or-trash throughout the swap->dump window) —
+       into a private ``_pin_{token}`` dir mirroring the partition
+       layout;
+    3. any file findable in neither place means a commit landed
+       mid-pin: drop the partial pin, re-read the manifest, retry
+       (bounded by ``max_wait_sec``, then :class:`SnapshotPinError`).
+
+    Soundness: Spark part-file names embed job UUIDs, so a (pkey,
+    name) pair denotes one immutable committed file forever — every
+    successfully-linked file IS the file M committed, wherever it was
+    linked from, and a fully-linked pin is therefore exactly M's
+    version with no cross-partition mixing. Data files are never
+    modified in place (all writers stage + rename), so the links are
+    true snapshots. Legacy manifests without file lists fall back to
+    a listdir-based pin revalidated by manifest-token equality.
+
+    Scale shape: pinning is O(files) driver-side metadata (hard
+    links), the local-filesystem stand-in for an object-store/
+    metastore snapshot pointer — the same substitution the lease and
+    the staged swap already make; the data itself is never copied.
+    The pin lives under the corpus root (same filesystem, hidden from
+    plain scans by the underscore prefix); exiting the context drops
+    it, and :func:`vacuum_corpus` sweeps aged pins from crashed
+    readers."""
+    import shutil as _shutil
+
+    token = f"{os.getpid()}-{time.time_ns()}"
+    pin_dir = os.path.join(out_dir, f"_pin_{token}")
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        manifest = _current_manifest(out_dir)
+        try:
+            _link_snapshot(out_dir, pin_dir, manifest)
+            break
+        except _PinRace as e:
+            _shutil.rmtree(pin_dir, ignore_errors=True)
+            if time.monotonic() > deadline:
+                raise SnapshotPinError(
+                    f"pin_corpus_snapshot: could not assemble a "
+                    f"consistent snapshot of {out_dir} within "
+                    f"{max_wait_sec}s (last race: {e}) — a maintenance "
+                    "writer may be wedged mid-commit or a crash left "
+                    "stale file lists; run recover_corpus, or fall "
+                    "back to read_corpus"
+                ) from e
+            time.sleep(backoff_sec)
+    try:
+        yield CorpusSnapshot(out_dir, pin_dir, manifest)
+    finally:
+        _shutil.rmtree(pin_dir, ignore_errors=True)
+
+
+def _link_snapshot(out_dir: str, pin_dir: str, manifest: dict) -> None:
+    """Hard-link ``manifest``'s named data files into ``pin_dir``
+    (live dirs first, any ``_trash_*`` as the mid-swap fallback) and
+    drop a copy of the manifest inside, making the pin dir a
+    self-describing corpus readable by :func:`read_corpus` /
+    :func:`verify_manifest`. Raises :class:`_PinRace` if any named
+    file is findable nowhere (a commit landed mid-pin — retry with a
+    fresh manifest)."""
+    recorded = manifest.get("files")
+    os.makedirs(pin_dir, exist_ok=True)
+    for pkey in manifest["partitions"]:
+        src_dir = os.path.join(out_dir, pkey)
+        names = None if recorded is None else recorded.get(pkey)
+        if names is None:
+            # legacy manifest (no file lists): listdir-based pin,
+            # revalidated below by manifest-token equality
+            try:
+                names = sorted(
+                    n for n in os.listdir(src_dir)
+                    if n.endswith(".parquet")
+                    and not n.startswith(("_", "."))
+                )
+            except FileNotFoundError:
+                raise _PinRace(f"partition dir vanished: {pkey}") from None
+        dst_dir = os.path.join(pin_dir, pkey)
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in names:
+            dst = os.path.join(dst_dir, name)
+            try:
+                os.link(os.path.join(src_dir, name), dst)
+                continue
+            except FileNotFoundError:
+                pass
+            # racing swap: the manifest's file may be displaced into
+            # the swapper's trash (writers defer trash cleanup past
+            # their manifest dump) — same name, same immutable bytes
+            for tname in sorted(os.listdir(out_dir)):
+                if not tname.startswith("_trash_"):
+                    continue
+                try:
+                    os.link(os.path.join(out_dir, tname, pkey, name), dst)
+                    break
+                except FileNotFoundError:
+                    continue
+            else:
+                raise _PinRace(f"file not found live or in trash: "
+                               f"{pkey}/{name}")
+    if recorded is None:
+        # listdir-based pins have no name-level version proof: accept
+        # only if no commit moved the manifest while we linked
+        if (
+            _current_manifest(out_dir).get("writer_token")
+            != manifest.get("writer_token")
+        ):
+            raise _PinRace("manifest moved during legacy (listdir) pin")
+    with open(os.path.join(pin_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
 
 
 def corpus_changes_since(
@@ -1986,8 +2438,22 @@ def corpus_changes_since(
     Retention contract: the history keeps the manifests of the last
     :data:`MANIFEST_HISTORY_KEEP` commits — an incremental consumer
     must poll within that window; an unknown/pruned token raises
-    ``ValueError`` telling it to fall back to a full re-read (the same
-    contract every log-compacted CDC source has)."""
+    ``ValueError`` telling it to resync instead — either
+    :func:`corpus_changes_vs_manifest` with its own retained manifest
+    (still O(changed), r14) or a full :func:`read_corpus` (the same
+    contract every log-compacted CDC source has).
+
+    Consistency (r14, ADVICE r13 #2): the diff, the report, and the
+    returned frame's schema/pruning all derive from ONE read of the
+    current manifest (the 'to' snapshot) — a writer committing between
+    the two manifest opens can no longer make them mutually
+    inconsistent. Like every reader, this takes NO lease: the returned
+    frame is lazy, and a maintenance swap committing before it is
+    collected can race the scan (the same residual every reader has —
+    see ``_staged_swap_write``); a consumer that needs a collected
+    snapshot consistent with the report materializes the frame via
+    :func:`pin_corpus_snapshot` or collects on a quiescent corpus,
+    exactly as :func:`diagnose_corpus` documents."""
     hist = os.path.join(
         out_dir, MANIFEST_HISTORY, f"manifest_{since_token}.json"
     )
@@ -1999,10 +2465,53 @@ def corpus_changes_since(
             f"corpus_changes_since: no history manifest for token "
             f"{since_token!r} — it either never committed here or was "
             f"pruned past the last {MANIFEST_HISTORY_KEEP} commits; "
-            "fall back to a full read_corpus"
+            "resync via corpus_changes_vs_manifest(consumer_manifest) "
+            "(O(changed)) or fall back to a full read_corpus"
         ) from None
     with open(os.path.join(out_dir, MANIFEST)) as f:
         new = json.load(f)
+    return _changes_between(spark, out_dir, old, new, since_token)
+
+
+def corpus_changes_vs_manifest(
+    spark: SparkSession, out_dir: str, consumer_manifest: dict
+) -> dict:
+    """Fingerprint resync for a CDC consumer past the retention cliff
+    (r14, VERDICT r13 #7): :func:`corpus_changes_since` raises once a
+    consumer falls more than :data:`MANIFEST_HISTORY_KEEP` commits
+    behind (its token's history manifest was pruned) — but a consumer
+    that RETAINED its own last-seen manifest (every writer returns the
+    stamped dict it committed; ``read``-side consumers can copy the
+    manifest file) never needs the history at all: the per-partition
+    (count, fingerprint) pairs in ITS manifest diff against the
+    current one exactly like a history snapshot would. Same O(changed
+    partitions) cost, same report shape, arbitrarily stale consumers
+    — the token path is just the convenience form for consumers that
+    kept only a token.
+
+    Hash-equivalence with the token path is pinned by
+    ``tests/test_corpus_io.py``: a consumer whose token was pruned
+    resyncs via its manifest and gets the identical changed/removed
+    sets and frame."""
+    return _changes_between(
+        spark, out_dir, consumer_manifest,
+        _current_manifest(out_dir),
+        consumer_manifest.get("writer_token"),
+    )
+
+
+def _current_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        return json.load(f)
+
+
+def _changes_between(
+    spark: SparkSession, out_dir: str, old: dict, new: dict, from_token
+) -> dict:
+    """Shared diff body of :func:`corpus_changes_since` /
+    :func:`corpus_changes_vs_manifest`: per-partition (count,
+    fingerprint) diff of two stamped manifests + a partition-pruned
+    typed read of the changed set under the 'to' snapshot."""
     old_p, new_p = old["partitions"], new["partitions"]
     # schema changes are a CORPUS-level signal, not a per-partition
     # one: a widening rewrites nothing (untouched partitions'
@@ -2027,15 +2536,17 @@ def corpus_changes_since(
             partition_cols,
             [_parse_pkey(partition_cols, k) for k in changed],
         )
-        df = read_corpus(spark, out_dir, _partition_pred=pred)
+        df = read_corpus(
+            spark, out_dir, _partition_pred=pred, _manifest=new
+        )
     else:
-        df = read_corpus(spark, out_dir).limit(0)
+        df = read_corpus(spark, out_dir, _manifest=new).limit(0)
     return {
         "changed": changed,
         "removed": removed,
         "schema_changed": schema_changed,
         "df": df,
-        "from": since_token,
+        "from": from_token,
         "to": new.get("writer_token"),
     }
 
@@ -2640,6 +3151,51 @@ WHERE source = (SELECT s FROM msrc)
 """
 
 
+def q_corpus_pinned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of SNAPSHOT-ISOLATED reads (r14, VERDICT
+    r13 #1): build a corpus, PIN a snapshot, then — with the pin held —
+    commit a predicate takedown (every 3rd doc) AND a full layout
+    rewrite (every surviving partition's file names change, the old
+    files' cleanup runs). The pinned read must still return the
+    PRE-takedown version exactly — the oracle is the pristine documents
+    table — while in-entry assertions prove the live corpus actually
+    moved (its row count shrank) and the pin still verifies
+    content-fingerprint-clean against its own manifest. A reader
+    racing maintenance seeing anything but one committed version fails
+    the driver row loudly."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_pin_")
+    m0 = write_partitioned_corpus(docs, out)
+    with pin_corpus_snapshot(out) as snap:
+        delete_from_corpus(spark, out, F.col("doc_id") % 3 == 0)
+        cluster_corpus_layout(spark, out)
+        if not verify_manifest(spark, snap.pin_dir):
+            raise RuntimeError(
+                "pinned snapshot: pin no longer verifies against its "
+                "own manifest after concurrent maintenance"
+            )
+        live_rows = read_corpus(spark, out).count()
+        if live_rows >= m0["total_rows"]:
+            raise RuntimeError(
+                "pinned snapshot: the takedown did not move the live "
+                "corpus — the isolation claim would be vacuous"
+            )
+        # materialize before the pin drops (the driver collects after
+        # this entry returns; the links die with the context)
+        return snap.read(spark).select(
+            "doc_id", "source", F.md5("text").alias("h")
+        ).localCheckpoint(eager=True)
+
+
+q_corpus_pinned_snapshot.stateful_build = True
+
+
 _CORPUS_REDACT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
 FROM documents
@@ -2662,6 +3218,7 @@ QUERIES = {
     "corpus_delete_roundtrip": q_corpus_delete_roundtrip,
     "corpus_redact_roundtrip": q_corpus_redact_roundtrip,
     "corpus_changes_roundtrip": q_corpus_changes_roundtrip,
+    "corpus_pinned_snapshot": q_corpus_pinned_snapshot,
     "corpus_vacuum_roundtrip": q_corpus_vacuum_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
@@ -2686,6 +3243,10 @@ ORACLES = {
     # partition's current content (replacement-only change,
     # fingerprint-detected; report assertions are in-entry)
     "corpus_changes_roundtrip": _CORPUS_CHANGES_SQL,
+    # snapshot isolation: the pinned read is the PRE-takedown version
+    # verbatim (the live-moved and pin-verifies assertions are
+    # in-entry), so the oracle is simply the pristine table
+    "corpus_pinned_snapshot": _CORPUS_COMPACT_SQL,
     # vacuum + durable commit log: residue of a committed-then-crashed
     # delete is rolled FORWARD even after a subsequent commit moved
     # writer_token on (the roll-direction and residue-absence

@@ -246,5 +246,172 @@ FROM flagged f LEFT JOIN near n ON n.doc_id = f.doc_id
 """
 
 
-QUERIES = {"dedup_incremental": q_dedup_incremental}
-ORACLES = {"dedup_incremental": _incremental_sql()}
+def refresh_corpus_index(
+    spark: SparkSession,
+    out_dir: str,
+    prior_index: DataFrame,
+    since_token: str,
+    recompute,
+    partition_cols: tuple[str, ...] = ("source",),
+) -> tuple[DataFrame, dict]:
+    """CDC-driven incremental refresh of a corpus-derived index
+    relation (r14, VERDICT r13 #3 — the first real consumer of
+    ``corpus_changes_since``): given the index as of commit
+    ``since_token`` and a ``recompute(changed_df) -> index rows``
+    function, return the index as of the CURRENT commit by touching
+    only what changed — drop the (changed ∪ removed) partitions' rows
+    from the prior index and union in ``recompute`` over the changed
+    partitions' current content.
+
+    This cashes the 100 TB promise the incremental dedup gate's
+    docstring makes ('the corpus-side relations are materialized once
+    at ingest and maintained incrementally'): the corpus hash set, the
+    band-signature index, per-source BM25 stats — anything derived
+    per-partition — refreshes at O(changed partitions): the diff is
+    metadata-only (two manifests), the recompute scan is
+    partition-pruned (``ch['df']``), and the prior-index prune is one
+    partition-column filter (pushable; in production the index table
+    is itself partitioned the same way, so the drop is partition-level
+    too). The fingerprint-sensitive diff makes this SOUND for
+    count-equal replacement upserts — exactly the delta-wins merges a
+    count-only diff under-reports (pinned in the driver entry).
+
+    Correctness contract (the driver oracle): refreshed-incrementally
+    == rebuilt-from-scratch over the current corpus, bit-exact, for
+    any per-partition-decomposable ``recompute`` (index(corpus) =
+    ⊎ index(partition) — true for hash sets, signature indexes,
+    per-partition stats; NOT for global aggregates like corpus-wide
+    IDF, which need their own merge step).
+
+    Returns ``(refreshed_index, changes_report)``."""
+    from .corpus_io import _parse_pkey, corpus_changes_since
+
+    ch = corpus_changes_since(spark, out_dir, since_token)
+    stale = sorted(set(ch["changed"]) | set(ch["removed"]))
+    keep = prior_index
+    if stale:
+        vals = [_parse_pkey(partition_cols, k) for k in stale]
+        pred = None
+        for tup in vals:
+            clause = None
+            for c, v in zip(partition_cols, tup):
+                # the index carries TYPED partition columns; compare on
+                # the directory rendering (cast to string) — null-safe,
+                # matching _pkey's rendering of the changed keys
+                eq = F.col(c).cast("string").eqNullSafe(
+                    F.lit(None) if v is None else F.lit(v)
+                )
+                clause = eq if clause is None else (clause & eq)
+            pred = clause if pred is None else (pred | clause)
+        keep = prior_index.filter(~F.coalesce(pred, F.lit(False)))
+    fresh = recompute(ch["df"])
+    return keep.unionByName(fresh), ch
+
+
+def q_cdc_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the CDC->index composition (r14,
+    VERDICT r13 #3): build a corpus (commit T0) and materialize its
+    hash-set index — the corpus-side relation the incremental dedup
+    gate probes. Then commit the three change shapes CDC must carry:
+    a REPLACEMENT-ONLY upsert into one partition (count-equal —
+    asserted in-entry, so a count-only diff would silently produce a
+    STALE index and fail the driver hash), a brand-new partition, and
+    a whole-partition delete. Refresh the index through
+    ``refresh_corpus_index`` — O(changed): the recompute scan is the
+    changes frame's partition-pruned read, never the corpus — and
+    return it. The oracle is the index REBUILT FROM SCRATCH over the
+    final corpus state, computed relationally: refreshed == rebuilt,
+    bit-exact."""
+    from ..schemas import scratch_dir
+    from .corpus_io import (
+        _hive_escape,
+        _val_str,
+        read_corpus,
+        upsert_corpus,
+        write_partitioned_corpus,
+    )
+    from .corpus_io import delete_from_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("cdc_idx_")
+    m0 = write_partitioned_corpus(docs, out)
+    t0 = m0["writer_token"]
+
+    def hash_index(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "source", F.md5("text").alias("h"))
+
+    # the standing index as of T0 — in production a maintained table;
+    # materialized here so the refresh provably never rescans it
+    index0 = hash_index(read_corpus(spark, out)).localCheckpoint(
+        eager=True
+    )
+    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
+    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    chg_key = f"source={_hive_escape(_val_str(msrc))}"
+    del_key = f"source={_hive_escape(_val_str(xsrc))}"
+    new_key = "source=zz_cdc"
+    delta = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("source") == msrc)
+    ).withColumn(
+        "text", F.concat(F.lit("CHG: "), F.col("text"))
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            "text",
+            F.lit("zz_cdc").alias("source"),
+        )
+    )
+    m1 = upsert_corpus(delta, out)
+    if m1["partitions"][chg_key] != m0["partitions"][chg_key]:
+        raise RuntimeError(
+            "cdc refresh: the replacement delta changed the row count "
+            "— the count-blindness claim would be vacuous"
+        )
+    delete_from_corpus(spark, out, F.col("source") == xsrc)
+    refreshed, ch = refresh_corpus_index(
+        spark, out, index0, t0, hash_index
+    )
+    if ch["changed"] != [chg_key, new_key] or ch["removed"] != [del_key]:
+        raise RuntimeError(
+            f"cdc refresh: unexpected change report {ch['changed']} / "
+            f"{ch['removed']} — expected [{chg_key}, {new_key}] / "
+            f"[{del_key}]"
+        )
+    return refreshed
+
+
+q_cdc_index_refresh.stateful_build = True
+
+
+_CDC_INDEX_SQL = """
+WITH msrc AS (SELECT min(source) AS s FROM documents),
+xsrc AS (SELECT max(source) AS s FROM documents),
+final AS (
+  SELECT doc_id,
+         CASE WHEN source = (SELECT s FROM msrc) AND doc_id % 5 = 0
+              THEN 'CHG: ' || text ELSE text END AS text,
+         source
+  FROM documents
+  WHERE source <> (SELECT s FROM xsrc)
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text, 'zz_cdc' AS source
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
+FROM final
+"""
+
+
+QUERIES = {
+    "dedup_incremental": q_dedup_incremental,
+    "cdc_index_refresh": q_cdc_index_refresh,
+}
+ORACLES = {
+    "dedup_incremental": _incremental_sql(),
+    # CDC-driven incremental index refresh == the index rebuilt from
+    # scratch over the final corpus state (replacement + new partition
+    # + whole-partition delete; O(changed) assertions are in-entry)
+    "cdc_index_refresh": _CDC_INDEX_SQL,
+}

@@ -2989,3 +2989,433 @@ def test_fingerprint_invariants(spark):
     assert tuple(fp(df.withColumn(
         "text", SF.when(SF.col("doc_id") == 1, "A").otherwise(SF.col("text"))
     ))) != ref
+
+
+def test_recover_refuses_ambiguous_residue_when_log_saturated(spark):
+    """r14 (ADVICE r13 #1): once the committed_tokens log is SATURATED,
+    a residue token's absence no longer proves it never committed — it
+    may be a committed takedown's residue whose token was pruned, and
+    rolling it back would resurrect the taken-down data. Recovery must
+    raise for manual inspection unless the token is provably YOUNGER
+    than the oldest retained log entry (writers serialize on the
+    lease, so creation order tracks commit order: a younger committed
+    token would still be in the log)."""
+    import json as _json
+
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        # saturate the log with synthetic but well-formed tokens whose
+        # embedded time_ns values are ordered
+        mpath = os.path.join(out, corpus_io.MANIFEST)
+        with open(mpath) as f:
+            m = _json.load(f)
+        m["committed_tokens"] = [
+            f"1-{1000 + i}"
+            for i in range(corpus_io.COMMITTED_TOKENS_KEEP)
+        ]
+        m["writer_token"] = m["committed_tokens"][-1]
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+
+        def residue(tok):
+            os.makedirs(os.path.join(out, f"_staging_{tok}"), exist_ok=True)
+
+        # OLDER than the oldest retained entry: ambiguous -> raise
+        residue("1-5")
+        with pytest.raises(RuntimeError, match="SATURATED"):
+            corpus_io.recover_corpus(out)
+        os.rmdir(os.path.join(out, "_staging_1-5"))
+        # unparseable token: ambiguous -> raise
+        residue("crashed")
+        with pytest.raises(RuntimeError, match="SATURATED"):
+            corpus_io.recover_corpus(out)
+        os.rmdir(os.path.join(out, "_staging_crashed"))
+        # YOUNGER than the oldest retained entry: absence is proof of
+        # non-commit -> normal rollback path (trash absent: discard)
+        residue("1-999999")
+        rep = corpus_io.recover_corpus(out)
+        assert rep["discarded_staging"] == ["1-999999"]
+        # unsaturated log (the normal regime): unparseable tokens keep
+        # rolling back — absence from a never-pruned log IS proof
+        m["committed_tokens"] = m["committed_tokens"][:3]
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+        residue("crashed")
+        rep = corpus_io.recover_corpus(out)
+        assert rep["discarded_staging"] == ["crashed"]
+
+
+def test_vacuum_holds_one_lease_across_both_phases(spark, monkeypatch):
+    """r14 (ADVICE r13 #4): vacuum's recovery phase and file sweep run
+    under ONE 'vacuum' lease — no gap where a takedown could start and
+    crash unreported between the phases."""
+    import json as _json
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        seen = {}
+        real = corpus_io._recover_corpus_locked
+
+        def spy(out_dir, spark_arg=None):
+            with open(os.path.join(out_dir, corpus_io.LEASE)) as f:
+                seen["purpose"] = _json.load(f)["purpose"]
+            return real(out_dir, spark_arg)
+
+        monkeypatch.setattr(corpus_io, "_recover_corpus_locked", spy)
+        corpus_io.vacuum_corpus(out)
+        # recovery ran under the vacuum lease itself, not a separate
+        # released-then-reacquired recover lease
+        assert seen["purpose"] == "vacuum"
+
+
+def test_history_write_failure_is_surfaced(spark):
+    """r14 (ADVICE r13 #3): a failed _manifest_history mirror write is
+    no longer swallowed — the commit stays durable, but the returned
+    manifest carries a 'history_write_failed' marker and a
+    RuntimeWarning names the consequence (CDC/forensics will not see
+    this commit), so operators can tell a lost history entry from a
+    pruned one."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        # make the history mirror unwritable: replace the dir with a file
+        hist = os.path.join(out, corpus_io.MANIFEST_HISTORY)
+        import shutil as _shutil
+
+        _shutil.rmtree(hist)
+        with open(hist, "w") as f:
+            f.write("not a directory")
+        delta = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("U "), F.col("text"))
+        )
+        with pytest.warns(RuntimeWarning, match="history write failed"):
+            m = corpus_io.upsert_corpus(delta, out)
+        assert "history_write_failed" in m
+        # the commit itself is durable: the committed manifest matches
+        # the returned one minus the marker
+        import json as _json
+
+        with open(os.path.join(out, corpus_io.MANIFEST)) as f:
+            on_disk = _json.load(f)
+        assert on_disk["writer_token"] == m["writer_token"]
+        assert "history_write_failed" not in on_disk
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_changes_vs_manifest_resyncs_pruned_consumer(spark):
+    """r14 (VERDICT r13 #7): a CDC consumer whose token fell past the
+    history retention window resyncs via its own retained manifest —
+    corpus_changes_vs_manifest must return the identical
+    changed/removed sets and frame content the token path returned
+    before the pruning, at the same O(changed) cost."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m0 = corpus_io.write_partitioned_corpus(docs, out)
+        t0 = m0["writer_token"]
+        delta = docs.filter(
+            (F.col("source") == "s0") & (F.col("doc_id") % 2 == 0)
+        ).withColumn("text", F.concat(F.lit("R "), F.col("text")))
+        corpus_io.upsert_corpus(delta, out)
+        corpus_io.delete_from_corpus(spark, out, F.col("source") == "s2")
+        ch_tok = corpus_io.corpus_changes_since(spark, out, t0)
+        rows_tok = sorted(
+            (r["doc_id"], r["text"]) for r in ch_tok["df"].collect()
+        )
+        # simulate the retention cliff: prune t0's history manifest
+        os.unlink(os.path.join(
+            out, corpus_io.MANIFEST_HISTORY, f"manifest_{t0}.json"
+        ))
+        with pytest.raises(ValueError, match="corpus_changes_vs_manifest"):
+            corpus_io.corpus_changes_since(spark, out, t0)
+        ch = corpus_io.corpus_changes_vs_manifest(spark, out, m0)
+        assert ch["changed"] == ch_tok["changed"]
+        assert ch["removed"] == ch_tok["removed"]
+        assert ch["from"] == t0 and ch["to"] == ch_tok["to"]
+        rows = sorted((r["doc_id"], r["text"]) for r in ch["df"].collect())
+        assert rows == rows_tok
+
+
+# ---------------------------------------------------------------------------
+# r14: snapshot-isolated reads (pin_corpus_snapshot)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_records_file_lists_and_maintenance_refreshes_them(spark):
+    """r14: every committed manifest names its exact data files per
+    partition; upsert merges lists incrementally, delete pops removed
+    partitions, and compact/layout — which change file names without a
+    content commit — refresh the lists in place without touching the
+    committed_tokens log or writer_token."""
+    import glob as _glob
+    import json as _json
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m = corpus_io.write_partitioned_corpus(
+            docs, out, max_records_per_file=7
+        )
+
+        def disk_files(pkey):
+            return sorted(
+                os.path.basename(p)
+                for p in _glob.glob(os.path.join(out, pkey, "*.parquet"))
+            )
+
+        for k in m["partitions"]:
+            assert m["files"][k] == disk_files(k)
+        tok_before = m["writer_token"]
+        log_before = m["committed_tokens"]
+        rep = corpus_io.compact_corpus(spark, out)
+        assert rep["compacted"]  # 7-row files: fragmented by design
+        m2 = rep["manifest"]
+        for k in m2["partitions"]:
+            assert m2["files"][k] == disk_files(k)  # refreshed
+        # layout-only rewrite: no commit-log or token movement
+        assert m2["writer_token"] == tok_before
+        assert m2["committed_tokens"] == log_before
+        # delete pops the removed partition's list
+        rep = corpus_io.delete_from_corpus(
+            spark, out, F.col("source") == "s2"
+        )
+        assert "source=s2" not in rep["manifest"]["files"]
+        for k in rep["manifest"]["partitions"]:
+            assert rep["manifest"]["files"][k] == disk_files(k)
+
+
+def test_pin_survives_subsequent_takedown_and_compaction(spark):
+    """r14 (VERDICT r13 #1): a snapshot pinned BEFORE a takedown +
+    compaction still reads the pinned version — schema, rows, bytes —
+    after both commit; the live read sees the new version. Hard links
+    keep the pinned files alive through the writers' cleanup."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(
+            docs, out, max_records_per_file=7
+        )
+        before = sorted(
+            (r["doc_id"], r["text"], r["source"])
+            for r in corpus_io.read_corpus(spark, out).collect()
+        )
+        with corpus_io.pin_corpus_snapshot(out) as snap:
+            corpus_io.delete_from_corpus(
+                spark, out, F.col("source") == "s1"
+            )
+            corpus_io.compact_corpus(spark, out)
+            pinned = sorted(
+                (r["doc_id"], r["text"], r["source"])
+                for r in snap.read(spark).collect()
+            )
+            assert pinned == before
+            # the pin dir is itself a verifiable corpus of that version
+            assert corpus_io.verify_manifest(spark, snap.pin_dir)
+            live = corpus_io.read_corpus(spark, out)
+            assert live.filter(F.col("source") == "s1").count() == 0
+        # exit drops the pin
+        assert not os.path.isdir(snap.pin_dir)
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_pin_legacy_manifest_listdir_fallback(spark):
+    """A pre-r14 manifest (no file lists) still pins: listdir-based
+    snapshot revalidated by manifest-token equality."""
+    import json as _json
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        mpath = os.path.join(out, corpus_io.MANIFEST)
+        with open(mpath) as f:
+            m = _json.load(f)
+        del m["files"]
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+        with corpus_io.pin_corpus_snapshot(out) as snap:
+            assert snap.read(spark).count() == docs.count()
+            assert corpus_io.verify_manifest(spark, snap.pin_dir)
+
+
+def test_vacuum_sweeps_aged_pins_only(spark):
+    """Aged _pin_* dirs (crashed/leaked readers) are swept by vacuum;
+    fresh pins — a live reader — survive."""
+    import time
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        old_pin = os.path.join(out, "_pin_1-42")
+        os.makedirs(os.path.join(old_pin, "source=s0"))
+        past = time.time() - 7200.0
+        os.utime(old_pin, (past, past))
+        with corpus_io.pin_corpus_snapshot(out) as snap:
+            rep = corpus_io.vacuum_corpus(out)
+            assert "_pin_1-42" in rep["swept_files"]
+            assert not os.path.isdir(old_pin)
+            assert os.path.isdir(snap.pin_dir)  # fresh pin untouched
+            assert corpus_io.verify_manifest(spark, snap.pin_dir)
+
+
+def test_pinned_reads_are_snapshot_isolated_under_live_maintenance(spark):
+    """r14 racing-reader property test (VERDICT r13 #1's done
+    criterion): a reader loop pins snapshots WHILE a writer thread
+    runs a live mix of upsert / delete / compact / layout against the
+    same corpus. Every pin must verify against its own pinned manifest
+    (content fingerprints — i.e. every read equals exactly the
+    committed version its manifest names, never a partial or mixed
+    state), including pins taken inside the swap->dump window (the
+    trash-fallback path)."""
+    import threading
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("base "), F.col("id").cast("string")).alias("text"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias(
+            "source"
+        ),
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(
+            docs, out, max_records_per_file=11
+        )
+        errors: list[Exception] = []
+        done = threading.Event()
+
+        def retry(op):
+            return corpus_io.retry_on_lease_held(
+                op, max_wait_sec=300, backoff_sec=0.05
+            )
+
+        def writer():
+            try:
+                for i in range(6):
+                    delta = spark.createDataFrame(
+                        [
+                            (j, f"W{i}-{j}", f"s{j % 3}")
+                            for j in range(i * 7, i * 7 + 9)
+                        ],
+                        "doc_id long, text string, source string",
+                    )
+                    retry(lambda d=delta: corpus_io.upsert_corpus(d, out))
+                    if i % 3 == 0:
+                        retry(lambda: corpus_io.compact_corpus(
+                            spark, out, target_rows_per_file=50
+                        ))
+                    elif i % 3 == 1:
+                        retry(lambda m=i: corpus_io.delete_from_corpus(
+                            spark, out, F.col("doc_id") % 29 == m
+                        ))
+                    else:
+                        retry(lambda: corpus_io.cluster_corpus_layout(
+                            spark, out, target_rows_per_file=60
+                        ))
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errors.append(e)
+            finally:
+                done.set()
+
+        th = threading.Thread(target=writer)
+        th.start()
+        pins = 0
+        try:
+            while not done.is_set() or pins == 0:
+                with corpus_io.pin_corpus_snapshot(out) as snap:
+                    # the pin must be EXACTLY the committed version its
+                    # manifest names — content-fingerprint verified
+                    assert corpus_io.verify_manifest(spark, snap.pin_dir)
+                    got = snap.read(spark).count()
+                    assert got == snap.manifest["total_rows"]
+                pins += 1
+        finally:
+            th.join(timeout=600)
+        assert not errors, errors
+        assert pins >= 1
+        assert corpus_io.verify_manifest(spark, out)
+
+
+def test_lease_no_starvation_under_sustained_long_holder(tmp_path):
+    """r14 (VERDICT r13 #8): liveness under writer pressure. The lease
+    has NO queue — acquisition is racy retry (create-if-absent), so
+    fairness is not guaranteed by construction; what the protocol must
+    deliver is bounded wait whenever the holder's duty cycle leaves
+    gaps. One LONG writer holds the lease ~70% of the time (300 ms
+    hold / 100 ms gap, 8 cycles); 3 SHORT writers each need 5
+    acquisitions (10 ms hold) through retry_on_lease_held. Every short
+    acquisition must land, the longest observed wait must stay well
+    under the long holder's full run (no starvation-to-the-end), and
+    no TTL break may fire (contention is waiting, never stealing)."""
+    import threading
+    import time
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out, exist_ok=True)
+    break_before = corpus_io.BREAK_COUNT
+    errors: list[Exception] = []
+    waits: list[float] = []
+    lock = threading.Lock()
+
+    def long_driver():
+        # keep re-entering until 8 total holds complete or 30s pass
+        deadline = time.monotonic() + 30
+        holds = 0
+        try:
+            while holds < 8 and time.monotonic() < deadline:
+                try:
+                    with corpus_io.corpus_lease(out, "long"):
+                        time.sleep(0.3)
+                    holds += 1
+                    time.sleep(0.1)
+                except corpus_io.MaintenanceLeaseHeld:
+                    time.sleep(0.02)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def short_writer():
+        try:
+            for _ in range(5):
+                t0 = time.monotonic()
+
+                def hold():
+                    with corpus_io.corpus_lease(out, "short"):
+                        time.sleep(0.01)
+
+                corpus_io.retry_on_lease_held(
+                    hold, max_wait_sec=30.0, backoff_sec=0.02
+                )
+                with lock:
+                    waits.append(time.monotonic() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=long_driver)] + [
+        threading.Thread(target=short_writer) for _ in range(3)
+    ]
+    t_start = time.monotonic()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    total = time.monotonic() - t_start
+    assert not errors, errors
+    assert len(waits) == 15  # every short acquisition landed
+    # bounded wait: no short writer starved anywhere near the full run
+    assert max(waits) < total, (max(waits), total)
+    assert max(waits) < 10.0, f"starved acquisition: {sorted(waits)[-3:]}"
+    # contention was WAITING, never stealing
+    assert corpus_io.BREAK_COUNT == break_before
+    assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
