@@ -87,7 +87,10 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # out is r10+-green over an r13-unchanged plan (LEDGER.md); per-round
 # rotation rationale lives in the git history of this file.
 PRIORITY = [
-    # ---- slots 1-50: the r13 driver window (== LEDGER next-window) ----
+    # ---- slots 1-50: the r14 driver window (== LEDGER next-window:
+    # r14-changed corpus/wire + PQ-encoder entries and the two NEW
+    # entries first, then all 35 r10-green rows — post-r14 minimum
+    # driver evidence becomes r11, per VERDICT r13 #6) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
@@ -99,8 +102,46 @@ PRIORITY = [
     "corpus_redact_roundtrip",
     "corpus_vacuum_roundtrip",
     "corpus_changes_roundtrip",
+    "ann_pq",
+    "pq_ingest_streaming",
     "corpus_pinned_snapshot",
     "cdc_index_refresh",
+    "sequence_packing",
+    "bottomk_sample",
+    "mixture_weights",
+    "sketch_rollup",
+    "lang_id",
+    "cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_norms",
+    "embedding_quantize",
+    "media_metadata",
+    "media_features",
+    "media_resize",
+    "frame_sample",
+    "inverted_index",
+    "running_totals",
+    "time_rollup",
+    "asof_join",
+    "sliding_window_counts",
+    "session_windows",
+    "skew_salted_join",
+    "retention_cohorts",
+    "funnel_completion",
+    "stream_static_join",
+    "dedup_simhash",
+    "vocab_stats",
+    "decontaminate",
+    "minhash_signatures",
+    "simhash",
+    "token_count_bpe",
+    "dedup_exact",
+    "dedup_survivors",
+    "ngram_jaccard",
+    "doc_chunks",
+    "split_leakage",
+    # ---- past the window: r11+-green over unchanged plans ----
     "stratified_cap",
     "range_join_bands",
     "priority_lists",
@@ -140,8 +181,6 @@ PRIORITY = [
     "passage_dedup",
     "dup_provenance",
     "bigram_lm",
-    # ---- past the window: r10+-green over unchanged plans ----
-    "sequence_packing",
     "media_decode_wav",
     "media_decode_ppm",
     "order_count_distribution",
@@ -163,8 +202,6 @@ PRIORITY = [
     "source_signature_terms",
     "quality_funnel_streaming",
     "quantile_histogram_streaming",
-    "ann_pq",
-    "pq_ingest_streaming",
     "knn_label_accuracy",
     "ann_recall_eval",
     "corpus_ingest_streaming",
@@ -226,40 +263,6 @@ PRIORITY = [
     "product_profit",
     "lonely_returns",
     "min_cost_supplier",
-    "bottomk_sample",
-    "mixture_weights",
-    "sketch_rollup",
-    "lang_id",
-    "cosine_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_norms",
-    "embedding_quantize",
-    "media_metadata",
-    "media_features",
-    "media_resize",
-    "frame_sample",
-    "inverted_index",
-    "running_totals",
-    "time_rollup",
-    "asof_join",
-    "sliding_window_counts",
-    "session_windows",
-    "skew_salted_join",
-    "retention_cohorts",
-    "funnel_completion",
-    "stream_static_join",
-    "dedup_simhash",
-    "vocab_stats",
-    "decontaminate",
-    "minhash_signatures",
-    "simhash",
-    "token_count_bpe",
-    "dedup_exact",
-    "dedup_survivors",
-    "ngram_jaccard",
-    "doc_chunks",
-    "split_leakage",
 ]
 
 

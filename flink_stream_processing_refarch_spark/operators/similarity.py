@@ -485,20 +485,37 @@ def _pq_codes_udf(books_int: list[list[list[int]]]):
     Same engineering as dedup's ``_emb_codes_udf``: micro-unit integer
     quantization makes the distances exact int64, so codes are
     bit-identical across engines by construction, and the Arrow batch
-    does all PQ_SUBS x PQ_K x PQ_SUB_DIM work as one numpy broadcast
-    instead of interpreted HOF folds."""
+    does all PQ_SUBS x PQ_K x PQ_SUB_DIM work in numpy instead of
+    interpreted HOF folds.
+
+    The distance uses the expanded form ``||x||^2 - 2 x.c + ||c||^2``
+    (exact in int64, identical argmin values to the direct
+    ``((x-c)**2).sum()`` broadcast — same overflow envelope, proven
+    bit-equal) because the direct broadcast materializes an
+    n x S x K x D intermediate: ~132 KB of fresh int64 per ROW per
+    batch. That allocation churn is pure waste at 100 TB, and on this
+    bench box it was the measured root cause of the entry's 1.5s <-> 9s
+    sweep oscillation — a fresh worker's first big allocation pays a
+    bursty first-touch fault storm against the VM's memory backend
+    (host steal + guest system time, not user CPU; evidence in
+    README r14 / tools/probe_pq_ingest.py). The expanded form's
+    intermediates are n x S x K — D(=8)x smaller — and warm encode is
+    ~10x faster."""
     import numpy as np
     import pandas as pd
 
     books = np.array(books_int, dtype=np.int64)  # S x K x D
+    c2 = (books * books).sum(-1)  # S x K
 
     def codes(emb):
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         m = np.array([np.asarray(v, dtype=np.float64) for v in emb])
         eint = np.floor(m * 1e6 + 0.5).astype(np.int64)
-        sub = eint.reshape(len(eint), PQ_SUBS, 1, PQ_SUB_DIM)
-        d2 = ((sub - books[None, :, :, :]) ** 2).sum(axis=-1)  # n x S x K
+        x = eint.reshape(len(eint), PQ_SUBS, PQ_SUB_DIM)  # n x S x D
+        x2 = (x * x).sum(-1)  # n x S
+        xc = np.einsum("nsd,skd->nsk", x, books)  # exact int64 matmul
+        d2 = x2[:, :, None] - 2 * xc + c2[None, :, :]  # n x S x K
         return pd.Series(d2.argmin(axis=-1).astype(np.int32).tolist())
 
     codes.__annotations__ = {"emb": pd.Series, "return": pd.Series}

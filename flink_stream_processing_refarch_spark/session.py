@@ -14,6 +14,31 @@ from pyspark.sql import SparkSession
 from .vendorpath import ensure_protobuf
 
 
+def _export_pydaemon_pythonpath() -> str | None:
+    """Export the repo root on PYTHONPATH and name the preload daemon.
+
+    ``spark.python.daemon.module`` makes the JVM launch
+    ``python -m <module>`` for the worker daemon; the module must be
+    importable in that fresh interpreter, which only sees the
+    ``PYTHONPATH`` env var — set it BEFORE the JVM spawns, exactly like
+    :func:`vendorpath.ensure_protobuf`. Returns the module name to
+    configure, or None to keep the stock daemon (repo layout changed,
+    or ``SPARK_GRAFT_STOCK_DAEMON=1`` for A/B probes)."""
+    if os.environ.get("SPARK_GRAFT_STOCK_DAEMON"):
+        return None
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isfile(os.path.join(pkg_dir, "pydaemon.py")):
+        return None
+    repo_root = os.path.dirname(pkg_dir)
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if repo_root not in parts:
+        os.environ["PYTHONPATH"] = (
+            existing + os.pathsep + repo_root if existing else repo_root
+        )
+    return "flink_stream_processing_refarch_spark.pydaemon"
+
+
 def get_spark(
     app_name: str = "flink_stream_processing_refarch_spark",
     master: str | None = None,
@@ -32,6 +57,12 @@ def get_spark(
     # (transformWithStateInPandas state protocol). No-op when the real
     # protobuf distribution is installed.
     ensure_protobuf()
+    # Also before the JVM spawns: make the preloaded worker daemon
+    # (`pydaemon.py` — numpy/pandas/pyarrow imported once in the daemon,
+    # inherited COW by every forked worker) resolvable from the spawned
+    # `python -m`. Removes the per-respawn import pass after Spark's
+    # >60s idle-worker reaper and shares module memory across workers.
+    daemon_module = _export_pydaemon_pythonpath()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -52,6 +83,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if daemon_module:
+        builder = builder.config("spark.python.daemon.module", daemon_module)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

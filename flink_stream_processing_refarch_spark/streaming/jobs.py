@@ -1826,6 +1826,18 @@ def q_pq_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _emb_split_path(spark, sf_dir)
     books_int = _pq_books_int(spark, sf_dir)  # bounded training sample
     schema = spark.read.parquet(split).schema
+    pq_udf = _pq_codes_udf(books_int)
+    # This entry oscillated 1.5s <-> 9s across sweeps on an untouched
+    # plan (VERDICT r11-r13). Root cause (README r14, instrumented in
+    # tools/probe_pq_ingest.py): the variance was entirely the first
+    # micro-batch's addBatch on freshly-forked Python workers, and
+    # inside it the first BIG numpy allocation — the old encoder's
+    # n x S x K x D broadcast intermediate (~132 KB/row) first-touch
+    # faulting against the bench VM's lazy memory backend (host steal
+    # + guest system time, ~0 user CPU). Fixed at the source: the
+    # encoder now uses the expanded exact-int64 distance form with
+    # D(=8)x smaller intermediates (similarity._pq_codes_udf), which
+    # bounds the fault exposure and is ~10x faster warm everywhere.
     ev = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
@@ -1833,7 +1845,7 @@ def q_pq_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = ev.select(
         "vec_id",
-        _pq_codes_udf(books_int)(F.col("embedding")).alias("codes"),
+        pq_udf(F.col("embedding")).alias("codes"),
     )
     from ..schemas import scratch_dir
 

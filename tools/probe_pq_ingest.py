@@ -8,6 +8,32 @@ queryPlanning, getBatch, addBatch, walCommit, commitOffsets, plus
 observed input rows/files), so the oscillation's location is named
 from evidence, not inference.
 
+Findings (r14, idle box; full evidence chain in README r14):
+
+- the variance lives entirely in ONE epoch's addBatch (420 ms normal,
+  2.4-5.3 s inflated); offsets/WAL/planning flat;
+- a JVM-only variant (size(embedding) instead of the pandas UDF) is
+  FLAT (~150-190 ms addBatch) — the oscillator is the Python path;
+- a trivial pandas UDF is flat even after 70 s idles (the worker
+  reaper respawn is NOT the cost — preloading numpy/pandas in the
+  daemon changed nothing, which falsified the import-tax hypothesis);
+- per-call instrumentation inside the PQ UDF: fresh worker reaches
+  the UDF in ~0.25 s, then the FIRST call's numpy body takes 7.5-8.5 s
+  and every identical subsequent call 0.09-0.37 s;
+- /proc/stat across one slow call: user 0.8 s, SYSTEM 18 s, STEAL
+  14.8 s — the time is the VM's memory backend servicing first-touch
+  faults on a freshly-mapped arena, not compute;
+- fresh-process A/B of the encoder form (6 reps each): the old
+  n x S x K x D broadcast first-call = 0.12-16.5 s (bimodal); the
+  expanded ||x||^2 - 2 x.c + ||c||^2 form (D=8x smaller
+  intermediates, bit-identical argmin) = 0.05-2.7 s.
+
+Fix shipped at the source: similarity._pq_codes_udf now uses the
+expanded exact-int64 form — allocation churn drops ~8x, warm encode
+~10x faster, and the entry's fault-storm exposure is bounded. The
+residual tail is the box's bursty steal, which hits any fresh
+allocation anywhere; a real long-running ingest keeps its arenas warm.
+
 Run (idle box): python tools/probe_pq_ingest.py [N_RUNS] [SF_DIR]
 Prints one JSON line per run; paste the summary into README.md.
 """

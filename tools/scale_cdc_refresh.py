@@ -54,30 +54,41 @@ def _composite(spark, reps: int):
 
 
 def price_refresh(spark, reps: int, work: str) -> dict:
+    """The PRODUCTION shape: the index is itself a partitioned TABLE
+    (same partition columns as the corpus), so untouched index
+    partitions stay on disk untouched and a refresh WRITES only the
+    changed partitions (dynamic partition overwrite — the same
+    idempotent partition-replacement the corpus build uses) and drops
+    the removed ones. The refresh is timed as exactly that; the
+    rebuild re-derives and rewrites the whole index. Equality of the
+    two resulting tables is asserted (exceptAll both ways) outside
+    the timers."""
     from pyspark.sql import functions as F
 
     from flink_stream_processing_refarch_spark.operators.corpus_io import (
+        corpus_changes_since,
         delete_from_corpus,
         read_corpus,
         upsert_corpus,
         write_partitioned_corpus,
     )
-    from flink_stream_processing_refarch_spark.operators.incremental import (
-        refresh_corpus_index,
-    )
 
     out = os.path.join(work, f"corpus_x{reps}")
-    shutil.rmtree(out, ignore_errors=True)
+    idx = os.path.join(work, f"index_x{reps}")
+    rebuilt_dir = os.path.join(work, f"index_rebuilt_x{reps}")
+    for d in (out, idx, rebuilt_dir):
+        shutil.rmtree(d, ignore_errors=True)
     m0 = write_partitioned_corpus(_composite(spark, reps), out)
     t0_token = m0["writer_token"]
 
     def hash_index(df):
         return df.select("doc_id", "source", F.md5("text").alias("h"))
 
+    # the standing index table as of T0 (ingest-time materialization)
     t0 = time.time()
-    index0 = hash_index(read_corpus(spark, out)).localCheckpoint(
-        eager=True
-    )
+    hash_index(read_corpus(spark, out)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("source").parquet(idx)
     w_index0 = time.time() - t0
     srcs = sorted(k.split("=", 1)[1] for k in m0["partitions"])
     chg, dele = srcs[0], srcs[-1]
@@ -89,23 +100,31 @@ def price_refresh(spark, reps: int, work: str) -> dict:
     )
     upsert_corpus(delta, out)
     delete_from_corpus(spark, out, F.col("source") == dele)
-    # refresh: O(changed) — diff is metadata, recompute scan is pruned
+    # refresh: O(changed) end-to-end — metadata diff, pruned recompute
+    # scan, dynamic-overwrite write of ONLY the changed partitions,
+    # directory drop of the removed ones
     t0 = time.time()
-    refreshed, ch = refresh_corpus_index(
-        spark, out, index0, t0_token, hash_index
-    )
-    refreshed = refreshed.localCheckpoint(eager=True)
+    ch = corpus_changes_since(spark, out, t0_token)
+    if ch["changed"]:
+        hash_index(ch["df"]).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("source").parquet(idx)
+    for pkey in ch["removed"]:
+        shutil.rmtree(os.path.join(idx, pkey), ignore_errors=True)
     w_refresh = time.time() - t0
-    # rebuild: the O(corpus) baseline the refresh must equal
+    # rebuild: the O(corpus) baseline the refreshed table must equal
     t0 = time.time()
-    rebuilt = hash_index(read_corpus(spark, out)).localCheckpoint(
-        eager=True
-    )
+    hash_index(read_corpus(spark, out)).write.mode(
+        "overwrite"
+    ).partitionBy("source").parquet(rebuilt_dir)
     w_rebuild = time.time() - t0
+    refreshed = spark.read.parquet(idx)
+    rebuilt = spark.read.parquet(rebuilt_dir)
     assert refreshed.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(refreshed).count() == 0
     n = rebuilt.count()
-    shutil.rmtree(out, ignore_errors=True)
+    for d in (out, idx, rebuilt_dir):
+        shutil.rmtree(d, ignore_errors=True)
     return {
         "rows": m0["total_rows"],
         "index_rows": n,
@@ -133,12 +152,16 @@ def main() -> None:
         "## CDC-driven index refresh at the decade (r14)",
         "",
         f"Generated by `tools/scale_cdc_refresh.py {REPLICAS}"
-        f" {REPLICAS2}`: `refresh_corpus_index` (the hash-set index the"
-        " incremental dedup gate probes, maintained through"
-        " `corpus_changes_since`) vs the from-scratch rebuild it must"
-        " equal (asserted exceptAll both ways == 0 at every scale)."
-        " Changes: a one-partition count-equal replacement upsert"
-        " (fingerprint-detected) + a whole-partition delete on a"
+        f" {REPLICAS2}`: the hash-set index the incremental dedup gate"
+        " probes, maintained as a partitioned TABLE through"
+        " `corpus_changes_since` (the production shape of"
+        " `refresh_corpus_index`: untouched index partitions stay on"
+        " disk; the refresh dynamic-overwrites only the CHANGED"
+        " partitions and drops the removed ones) vs the from-scratch"
+        " rebuild it must equal (asserted exceptAll both ways == 0 at"
+        " every scale). Changes: a one-partition count-equal"
+        " replacement upsert (fingerprint-detected) + a"
+        " whole-partition delete on a"
         f" {r1['partitions']}-partition corpus.",
         "",
         "| corpus | rows | changed/removed parts | refresh (O(changed))"
@@ -155,11 +178,12 @@ def main() -> None:
         "",
         f"At x{REPLICAS} the refresh costs"
         f" {r1['refresh'] / max(r1['rebuild'], 1e-9):.2f}x of the"
-        " rebuild while touching 1 changed partition + the prior-index"
-        " prune (a pushable partition filter); the rebuild re-reads"
-        f" all {r1['partitions']} partitions. The gap widens with"
-        " partition count — at 100 TB with thousands of partitions the"
-        " refresh's recompute scan stays bounded by the day's changed"
+        " rebuild: its scan AND its write touch 1 changed partition of"
+        f" {r1['partitions']} (metadata diff + pruned read + dynamic"
+        " overwrite of that partition's index files), while the"
+        " rebuild re-reads and rewrites everything. The gap widens"
+        " with partition count — at 100 TB with thousands of"
+        " partitions the refresh stays bounded by the day's changed"
         " set, which is the entire point of fingerprint CDC.",
     ]
     with open("/root/repo/SCALING_DECADE2.md", "a") as f:
