@@ -52,45 +52,43 @@ from flink_stream_processing_refarch_spark.plans import funnels, relational, sub
 from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 # Priority order. Slots 1-50 = the driver's correctness window.
-# r12 rotation — the window IS the mechanical plan emitted by
+# The window IS the mechanical plan emitted by
 # ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7): changed-this-
 # round entries first in registry order, then every other entry ranked
 # by oldest last-green round (registry order as tiebreak), first 50 win.
-# The r13 changed set (8 entries):
-#   - the seven corpus write-path entries: every manifest dump now
-#     carries a durable ``committed_tokens`` commit log (atomic with
-#     the commit point) that recover_corpus classifies residue against
-#     — the latest-writer_token-only check misclassified a committed
-#     delete's stale residue as pre-commit once a SUBSEQUENT writer
-#     committed, resurrecting taken-down partitions (ADVICE r12 #1);
-#     the dump is fsynced file+dir (ADVICE r12 #4) and mirrored into
-#     ``_manifest_history/`` (VERDICT r12 #8); upsert's schema guard
-#     now rejects shared-column RETYPES (lossless upcasts cast the
-#     delta up instead; ADVICE r12 #2);
-#   - q1_kinesis_wire: the at-rest fsck reports a hand-renamed
-#     records file (non-numeric index) through its corruption channel
-#     instead of crashing in sorted() (ADVICE r12 #3).
-# Slots 9-11 are NEW this round: corpus_redact_roundtrip — COLUMN
-# takedown (full-corpus rewrite through the staged swap, manifest
-# schema narrowed, physical column absence + byte sweep asserted
-# in-entry; VERDICT r12 #4) — corpus_vacuum_roundtrip — the vacuum op
-# + THE ADVICE r12 #1 scenario end-to-end (committed delete residue +
-# subsequent upsert commit, rolled FORWARD via the durable log;
-# VERDICT r12 #3) — and corpus_changes_roundtrip — the changes-since
-# CDC reader over the manifest's new per-partition content
-# fingerprints (a replacement-only, count-identical upsert is
-# fingerprint-detected; the removed partition is reported; untouched
-# partitions' fingerprints carry verbatim).
-# The remaining 39 slots continue the staleness sweep (VERDICT r12
-# #2): all 29 r09-green rows, then the 10 oldest r10 rows — after r13
-# no entry's external-driver evidence predates r10. Everything rotated
-# out is r10+-green over an r13-unchanged plan (LEDGER.md); per-round
+# The r14 changed set (13 entries):
+#   - the eleven corpus/wire entries: manifests now record exact
+#     per-partition FILE LISTS; maintenance swaps defer trash cleanup
+#     past the manifest dump so pin_corpus_snapshot can assemble one
+#     committed version live-or-displaced (VERDICT r13 #1); vacuum
+#     holds ONE lease across recovery + sweep (ADVICE r13 #4);
+#     recover_corpus raises for saturated-log residue it cannot prove
+#     young (ADVICE r13 #1); history-write failures surface (ADVICE
+#     r13 #3); the full-rewrite writers drop the corpus-sized eager
+#     localCheckpoint (VERDICT r13 #2); version retention retires
+#     displaced originals when enabled;
+#   - ann_pq + pq_ingest_streaming: the PQ encoder's exact-int64
+#     distance moved to the expanded form (bit-identical argmin,
+#     D(=8)x smaller intermediates — the measured root cause of the
+#     entry's sweep oscillation; VERDICT r13 #4, README r14).
+# Slots 14-16 are NEW this round: corpus_pinned_snapshot —
+# snapshot-isolated read racing a live takedown + layout rewrite —
+# cdc_index_refresh — corpus_changes_since composed into an
+# incremental index maintainer proven equal to the full rebuild
+# (VERDICT r13 #3) — and corpus_time_travel — version retention +
+# pin_corpus_version reading the corpus as of a prior commit, with
+# purge-finality asserted (the vacuum compliance contract).
+# The remaining 34 slots continue the staleness sweep (VERDICT r13
+# #6): the oldest r10-green rows — after r14 at most one entry's
+# external-driver evidence predates r11 (split_leakage, displaced by
+# the new entry, rotates first next round). Everything rotated out is
+# r10+-green over an r14-unchanged plan (LEDGER.md); per-round
 # rotation rationale lives in the git history of this file.
 PRIORITY = [
     # ---- slots 1-50: the r14 driver window (== LEDGER next-window:
-    # r14-changed corpus/wire + PQ-encoder entries and the two NEW
-    # entries first, then all 35 r10-green rows — post-r14 minimum
-    # driver evidence becomes r11, per VERDICT r13 #6) ----
+    # 13 r14-changed corpus/wire/PQ-encoder entries + the 3 NEW
+    # entries first, then the oldest r10-green rows — post-r14
+    # minimum driver evidence becomes r11, per VERDICT r13 #6) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
@@ -106,6 +104,7 @@ PRIORITY = [
     "pq_ingest_streaming",
     "corpus_pinned_snapshot",
     "cdc_index_refresh",
+    "corpus_time_travel",
     "sequence_packing",
     "bottomk_sample",
     "mixture_weights",
@@ -140,8 +139,8 @@ PRIORITY = [
     "dedup_survivors",
     "ngram_jaccard",
     "doc_chunks",
+    # ---- past the window: r10+-green over unchanged plans ----
     "split_leakage",
-    # ---- past the window: r11+-green over unchanged plans ----
     "stratified_cap",
     "range_join_bands",
     "priority_lists",

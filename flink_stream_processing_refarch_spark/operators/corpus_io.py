@@ -47,6 +47,18 @@ SWAPLIST = "_swaplist.json"
 #: considered crashed after this and its lease may be broken.
 LEASE_TTL_SEC = 3600.0
 
+#: corpus-level version-retention setting (r14 time travel): written by
+#: :func:`set_corpus_retention`, read by every writer's post-commit
+#: cleanup. Absent file == retention disabled (displaced bytes are
+#: destroyed at end-of-op, the pre-r14 behavior, byte-identical).
+RETENTION = "_corpus_retention.json"
+
+#: displaced-original directories kept for time travel
+#: (``_retired_{token}/{pkey}/part-*.parquet``). Underscore-prefixed so
+#: Spark scans ignore them; distinct from ``_trash_`` so crash recovery
+#: never classifies a RETIRED version as rollback residue.
+RETIRED_PREFIX = "_retired_"
+
 #: measurement seam for the r14 decade A/B
 #: (tools/scale_checkpoint_ab.py): True restores the r10-era eager
 #: corpus-sized ``localCheckpoint`` on the FULL-REWRITE writers
@@ -588,6 +600,87 @@ def _dump_manifest(out_dir: str, manifest: dict, token: str) -> dict:
         )
         manifest = {**manifest, "history_write_failed": str(e)}
     return manifest
+
+
+def set_corpus_retention(out_dir: str, keep_versions: int) -> None:
+    """Enable/disable version retention (r14 time travel).
+
+    ``keep_versions=K`` (>0): every maintenance/merge writer RETIRES the
+    originals it displaces (``_retired_{token}/``) instead of destroying
+    them, so the last K committed versions stay readable via
+    :func:`pin_corpus_version`; :func:`expire_corpus_versions` (run
+    standalone or by ``vacuum_corpus``) destroys bytes once no retained
+    version can reference them. ``keep_versions=0`` disables retention
+    (the default): displaced bytes are destroyed at end-of-op, exactly
+    the pre-r14 behavior.
+
+    The pinnable window is additionally bounded by the manifest history
+    (:data:`MANIFEST_HISTORY_KEEP` commits) — the history manifest is
+    where a version's file list lives, so ``K`` beyond 16 retains bytes
+    no pin can name.
+
+    COMPLIANCE NOTE: with retention on, a committed
+    ``delete_from_corpus`` / ``redact_column_from_corpus`` is a
+    SOFT delete — the taken-down bytes survive in ``_retired_*`` until
+    they age past the horizon or ``vacuum_corpus(purge_versions=True)``
+    destroys every retired version. Right-to-be-forgotten finality on a
+    retention-enabled corpus is takedown + purge, the same contract as
+    any snapshot-retaining table format."""
+    path = os.path.join(out_dir, RETENTION)
+    if keep_versions <= 0:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"keep_versions": int(keep_versions)}, f)
+    os.replace(tmp, path)
+
+
+def get_corpus_retention(out_dir: str) -> int:
+    """The corpus's ``keep_versions`` setting; 0 == disabled."""
+    try:
+        with open(os.path.join(out_dir, RETENTION)) as f:
+            return int(json.load(f).get("keep_versions", 0))
+    except (FileNotFoundError, json.JSONDecodeError, OSError, ValueError):
+        return 0
+
+
+def _token_time_ns(token: str) -> int:
+    """Commit order proxy embedded in every token ('{pid}-{time_ns}').
+    Unparseable tokens sort OLDEST (0) so expiry treats them as past
+    any horizon rather than retaining them forever."""
+    try:
+        return int(token.rsplit("-", 1)[1])
+    except (IndexError, ValueError):
+        return 0
+
+
+def _finish_swap_cleanup(out_dir: str, leftovers) -> None:
+    """End-of-op disposal of a completed swap's (staging, trash) dirs.
+
+    Staging is always dropped (never-committed bytes). Trash — the
+    displaced ORIGINALS of the version this op replaced — is dropped
+    when retention is off, or atomically renamed to
+    ``_retired_{token}`` (same filesystem, one rename) when retention
+    is on, keeping prior committed versions' bytes findable for
+    :func:`pin_corpus_version` / the pin machinery's displaced-file
+    search. The token is recovered from the trash dir's own name, so
+    every deferred-cleanup call site stays one line."""
+    import shutil as _shutil
+
+    for d in leftovers or ():
+        base = os.path.basename(d)
+        if base.startswith("_trash_") and get_corpus_retention(out_dir):
+            token = base[len("_trash_"):]
+            retired = os.path.join(out_dir, f"{RETIRED_PREFIX}{token}")
+            try:
+                if os.path.isdir(d) and os.listdir(d):
+                    os.rename(d, retired)
+                    continue
+            except OSError:
+                pass  # cross-op name collision etc.: fall through
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 def _read_corpus(
@@ -1174,8 +1267,7 @@ def _upsert_corpus_locked(
     manifest = _dump_manifest(out_dir, manifest, token)  # commit point
     import shutil as _shutil
 
-    for d in leftovers or ():
-        _shutil.rmtree(d, ignore_errors=True)
+    _finish_swap_cleanup(out_dir, leftovers)
     return manifest
 
 
@@ -1285,9 +1377,9 @@ def _staged_swap_write(
         # dirs; recover_corpus rolls leftovers FORWARD when the
         # committed manifest carries the same token.
         return staging, trash
-    # success: drop the replaced originals and staging leftovers
-    shutil.rmtree(trash, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+    # success: dispose of the replaced originals (retire under
+    # retention, destroy otherwise) and the staging leftovers
+    _finish_swap_cleanup(out_dir, (staging, trash))
     return None
 
 
@@ -1439,10 +1531,12 @@ def _recover_corpus_locked(
             # leftovers are post-commit residue of a
             # deferred-cleanup writer (delete/redact keep their
             # trash until the manifest commits). Roll FORWARD:
-            # drop both dirs; rolling back here would resurrect
-            # data the committed manifest says is gone.
-            shutil.rmtree(staging, ignore_errors=True)
-            shutil.rmtree(trash, ignore_errors=True)
+            # complete the committed op's deferred cleanup exactly
+            # as the writer would have (retire the displaced
+            # originals under retention, destroy otherwise);
+            # rolling back here would resurrect data the committed
+            # manifest says is gone.
+            _finish_swap_cleanup(out_dir, (staging, trash))
             report["rolled_forward"].append(token)
             continue
         if not os.path.isdir(trash):
@@ -1515,6 +1609,7 @@ def vacuum_corpus(
     out_dir: str,
     spark: SparkSession | None = None,
     ttl_sec: float = LEASE_TTL_SEC,
+    purge_versions: bool = False,
 ) -> dict:
     """Reclaim every byte of crash residue — the maintenance op that
     CLOSES the right-to-be-forgotten loop (r13, VERDICT r12 #3): after
@@ -1548,13 +1643,21 @@ def vacuum_corpus(
     Post-condition (pinned byte-level by
     ``tests/test_corpus_io.py::test_vacuum_closes_right_to_be_forgotten_byte_loop``):
     once every takedown has committed, no removed row's bytes survive
-    anywhere under the corpus root. Returns the recovery report plus
-    ``{"swept_files": [names]}``."""
+    anywhere under the corpus root — on a RETENTION-ENABLED corpus
+    (r14, :func:`set_corpus_retention`) this requires
+    ``purge_versions=True``, which destroys every retired version's
+    bytes; the default vacuum expires only versions past the
+    ``keep_versions`` horizon (:func:`expire_corpus_versions`, run as
+    phase 3 under the same single lease). Returns the recovery report
+    plus ``{"swept_files": [names], "versions": expiry report}``."""
     import shutil as _shutil
 
     swept: list[str] = []
     with corpus_lease(out_dir, "vacuum", ttl_sec=ttl_sec):
         report = _recover_corpus_locked(out_dir, spark)
+        report["versions"] = expire_corpus_versions(
+            out_dir, purge_all=purge_versions, _locked=True
+        )
         now = time.time()
         for name in sorted(os.listdir(out_dir)):
             path = os.path.join(out_dir, name)
@@ -1691,8 +1794,7 @@ def _compact_corpus_locked(
     manifest = _rewrite_manifest_files(out_dir, plan)
     import shutil as _shutil
 
-    for d in leftovers or ():
-        _shutil.rmtree(d, ignore_errors=True)
+    _finish_swap_cleanup(out_dir, leftovers)
     return {"compacted": plan, "manifest": manifest}
 
 
@@ -1818,8 +1920,7 @@ def _cluster_corpus_layout_locked(
     )
     import shutil as _shutil
 
-    for d in leftovers or ():
-        _shutil.rmtree(d, ignore_errors=True)
+    _finish_swap_cleanup(out_dir, leftovers)
     return {"range_tasks": n, "manifest": manifest}
 
 
@@ -1958,8 +2059,7 @@ def _delete_from_corpus_locked(
     manifest = _dump_manifest(out_dir, manifest, token)  # commit point
     import shutil as _shutil
 
-    for d in leftovers or ():
-        _shutil.rmtree(d, ignore_errors=True)
+    _finish_swap_cleanup(out_dir, leftovers)
     return {
         "deleted_rows": sum(del_counts.values()),
         "removed_partitions": removed,
@@ -2077,8 +2177,7 @@ def _redact_column_locked(
         }
     check_lease(out_dir, token)  # fence the manifest dump as well
     manifest = _dump_manifest(out_dir, manifest, token)  # commit point
-    for d in leftovers or ():
-        _shutil.rmtree(d, ignore_errors=True)
+    _finish_swap_cleanup(out_dir, leftovers)
     return {"redacted_column": column, "manifest": manifest}
 
 
@@ -2389,9 +2488,11 @@ def _link_snapshot(out_dir: str, pin_dir: str, manifest: dict) -> None:
                 pass
             # racing swap: the manifest's file may be displaced into
             # the swapper's trash (writers defer trash cleanup past
-            # their manifest dump) — same name, same immutable bytes
+            # their manifest dump) — or, under version retention,
+            # into a _retired_ dir. Same name, same immutable bytes
+            # wherever it is found.
             for tname in sorted(os.listdir(out_dir)):
-                if not tname.startswith("_trash_"):
+                if not tname.startswith(("_trash_", RETIRED_PREFIX)):
                     continue
                 try:
                     os.link(os.path.join(out_dir, tname, pkey, name), dst)
@@ -2399,8 +2500,8 @@ def _link_snapshot(out_dir: str, pin_dir: str, manifest: dict) -> None:
                 except FileNotFoundError:
                     continue
             else:
-                raise _PinRace(f"file not found live or in trash: "
-                               f"{pkey}/{name}")
+                raise _PinRace(f"file not found live, in trash, or "
+                               f"retired: {pkey}/{name}")
     if recorded is None:
         # listdir-based pins have no name-level version proof: accept
         # only if no commit moved the manifest while we linked
@@ -2411,6 +2512,160 @@ def _link_snapshot(out_dir: str, pin_dir: str, manifest: dict) -> None:
             raise _PinRace("manifest moved during legacy (listdir) pin")
     with open(os.path.join(pin_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
+
+
+class VersionUnavailableError(RuntimeError):
+    """pin_corpus_version: the requested version's manifest or bytes no
+    longer exist (history pruned past MANIFEST_HISTORY_KEEP, retention
+    disabled when the displacing op ran, expiry past the keep_versions
+    horizon, or vacuum_corpus(purge_versions=True))."""
+
+
+@contextlib.contextmanager
+def pin_corpus_version(
+    out_dir: str,
+    token: str,
+    max_wait_sec: float = 10.0,
+    backoff_sec: float = 0.05,
+):
+    """Time travel (r14): pin and read the corpus AS OF the commit
+    ``token`` — any of the last :data:`MANIFEST_HISTORY_KEEP` commits
+    whose bytes version retention (:func:`set_corpus_retention`) has
+    kept alive. Yields the same :class:`CorpusSnapshot` as
+    :func:`pin_corpus_snapshot`; ``snapshot.read(spark)`` returns the
+    HISTORICAL version's typed frame under the historical schema
+    (pre-evolution columns, pre-delete rows, pre-redaction bytes).
+
+    Composition, not new machinery: the version's identity is its
+    stamped manifest in ``_manifest_history/`` (r13) + the exact
+    per-partition file names that manifest recorded (r14); the bytes
+    are wherever those immutable files now live — live partition dirs
+    (files the version shares with the present), a racing swapper's
+    ``_trash_*``, or the ``_retired_*`` dirs retention preserves. The
+    same live-or-displaced hard-link walk the snapshot pin uses
+    (:func:`_link_snapshot`) assembles the version; part-file names
+    embed job UUIDs, so every linked (pkey, name) pair is the
+    version's own immutable file wherever it was found.
+
+    Failure modes are all terminal :class:`VersionUnavailableError`
+    (after a short retry that absorbs a concurrent live->trash->retired
+    rename): an unknown/pruned token (older than the 16-commit
+    history), a pre-r14 manifest without file lists, or bytes already
+    destroyed (retention off at displacement time, expiry, purge).
+
+    Scale shape: O(files of one version) driver-side metadata, data
+    never copied — the local-FS stand-in for reading an object-store
+    table at a retained snapshot pointer."""
+    import shutil as _shutil
+
+    hist = os.path.join(out_dir, MANIFEST_HISTORY, f"manifest_{token}.json")
+    try:
+        with open(hist) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        raise VersionUnavailableError(
+            f"pin_corpus_version: no history manifest for commit "
+            f"{token!r} in {out_dir} — it either never committed here "
+            f"or was pruned past the last {MANIFEST_HISTORY_KEEP} "
+            "commits; time travel reaches at most the manifest-history "
+            "window"
+        ) from None
+    if manifest.get("files") is None:
+        raise VersionUnavailableError(
+            f"pin_corpus_version: commit {token!r} predates per-"
+            "partition file lists (pre-r14 manifest) — without them a "
+            "historical version has no name-level identity to pin"
+        )
+    pin_token = f"{os.getpid()}-{time.time_ns()}"
+    pin_dir = os.path.join(out_dir, f"_pin_{pin_token}")
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        try:
+            _link_snapshot(out_dir, pin_dir, manifest)
+            break
+        except _PinRace as e:
+            _shutil.rmtree(pin_dir, ignore_errors=True)
+            if time.monotonic() > deadline:
+                raise VersionUnavailableError(
+                    f"pin_corpus_version: commit {token!r}'s bytes are "
+                    f"not fully findable in {out_dir} ({e}) — the "
+                    "displacing writer ran with retention disabled, or "
+                    "the version aged past the keep_versions horizon "
+                    "(expire_corpus_versions / vacuum purge_versions). "
+                    "Destroyed versions are unrecoverable by design"
+                ) from e
+            time.sleep(backoff_sec)
+    try:
+        yield CorpusSnapshot(out_dir, pin_dir, manifest)
+    finally:
+        _shutil.rmtree(pin_dir, ignore_errors=True)
+
+
+def expire_corpus_versions(
+    out_dir: str,
+    purge_all: bool = False,
+    ttl_sec: float = LEASE_TTL_SEC,
+    _locked: bool = False,
+) -> dict:
+    """Destroy retired version bytes past the retention horizon (r14)
+    — the ``expire_snapshots`` / ``VACUUM horizon`` half of time
+    travel, without which retention is an unbounded space leak.
+
+    Horizon rule: with ``keep_versions=K``, a ``_retired_{t}`` dir is
+    droppable when ``t``'s embedded time_ns is OLDER than the K-th-
+    newest entry of the durable commit log — files displaced by a
+    commit older than the K-th-newest can only belong to versions
+    older than every retained one. Content-preserving rewrites
+    (compact/layout retire under their own ephemeral, never-committed
+    tokens) are covered by the same timestamp comparison: their
+    retired bytes are needed exactly as long as some retained version
+    predates the rewrite. Conservative by construction — expiry keeps
+    at least what the last K versions need, possibly one displacement
+    more.
+
+    ``purge_all=True`` destroys EVERY retired dir regardless of
+    horizon — the compliance switch: takedown finality on a
+    retention-enabled corpus is delete/redact + purge. With retention
+    DISABLED (the default), all retired dirs are droppable residue of
+    a previously-enabled retention period.
+
+    Runs under the maintenance lease (it destroys bytes; never race a
+    writer's in-flight retire rename); ``vacuum_corpus`` calls the
+    ``_locked`` form inside its own single lease."""
+
+    def _expire() -> dict:
+        keep = get_corpus_retention(out_dir)
+        horizon_ns = None
+        if keep and not purge_all:
+            try:
+                with open(os.path.join(out_dir, MANIFEST)) as f:
+                    log = json.load(f).get("committed_tokens", [])
+            except (FileNotFoundError, json.JSONDecodeError, OSError):
+                log = []
+            if len(log) >= keep:
+                horizon_ns = _token_time_ns(log[-keep])
+            else:
+                horizon_ns = 0  # fewer commits than K: keep everything
+        expired, kept = [], []
+        import shutil as _shutil
+
+        for name in sorted(os.listdir(out_dir)):
+            if not name.startswith(RETIRED_PREFIX):
+                continue
+            t_ns = _token_time_ns(name[len(RETIRED_PREFIX):])
+            if purge_all or not keep or t_ns < horizon_ns:
+                _shutil.rmtree(
+                    os.path.join(out_dir, name), ignore_errors=True
+                )
+                expired.append(name)
+            else:
+                kept.append(name)
+        return {"expired": expired, "kept": kept, "keep_versions": keep}
+
+    if _locked:
+        return _expire()
+    with corpus_lease(out_dir, "expire", ttl_sec=ttl_sec):
+        return _expire()
 
 
 def corpus_changes_since(
@@ -3201,6 +3456,78 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS h
 FROM documents
 """
 
+
+def q_corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of TIME TRAVEL under version retention
+    (r14): build a corpus (commit T1), enable ``keep_versions=4``, then
+    move the corpus three times — a replacement upsert (every 7th
+    doc, T2), a predicate takedown (every 3rd doc, T3), and a full
+    layout rewrite (every file name changes, old files retired under
+    an ephemeral token). ``pin_corpus_version(T1)`` must then return
+    the ORIGINAL table exactly — the oracle is the pristine documents
+    table — even though not one of T1's files is live anymore. In-entry
+    assertions prove the journey was real: the live corpus shrank; the
+    T2 pin still holds T1's row count with exactly the replaced docs
+    carrying the new text; and after ``vacuum_corpus(
+    purge_versions=True)`` the T1 pin raises
+    :class:`VersionUnavailableError` (destroyed versions stay
+    destroyed — the compliance contract)."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_tt_")
+    m1 = write_partitioned_corpus(docs, out)
+    t1 = m1["writer_token"]
+    set_corpus_retention(out, keep_versions=4)
+    delta = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.lit("TT: "), F.col("text"))
+    )
+    m2 = upsert_corpus(delta, out)
+    t2 = m2["writer_token"]
+    delete_from_corpus(spark, out, F.col("doc_id") % 3 == 0)
+    cluster_corpus_layout(spark, out)
+    live_rows = read_corpus(spark, out).count()
+    if live_rows >= m1["total_rows"]:
+        raise RuntimeError(
+            "time travel: the takedown did not move the live corpus — "
+            "the retention claim would be vacuous"
+        )
+    n_replaced = docs.filter(F.col("doc_id") % 7 == 0).count()
+    with pin_corpus_version(out, t2) as v2:
+        df2 = v2.read(spark).localCheckpoint(eager=True)
+    if df2.count() != m1["total_rows"]:
+        raise RuntimeError(
+            "time travel: the T2 version lost the replacement-only "
+            "row-count invariant"
+        )
+    if df2.filter(F.col("text").startswith("TT: ")).count() != n_replaced:
+        raise RuntimeError(
+            "time travel: the T2 version does not carry exactly the "
+            "replaced docs' new text"
+        )
+    with pin_corpus_version(out, t1) as v1:
+        result = v1.read(spark).select(
+            "doc_id", "source", F.md5("text").alias("h")
+        ).localCheckpoint(eager=True)
+    vacuum_corpus(out, purge_versions=True)
+    try:
+        with pin_corpus_version(out, t1):
+            pass
+        raise RuntimeError(
+            "time travel: T1 still pinnable after purge_versions — "
+            "right-to-be-forgotten finality is broken"
+        )
+    except VersionUnavailableError:
+        pass
+    return result
+
+
+q_corpus_time_travel.stateful_build = True
+
 _CORPUS_VACUUM_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        source,
@@ -3219,6 +3546,7 @@ QUERIES = {
     "corpus_redact_roundtrip": q_corpus_redact_roundtrip,
     "corpus_changes_roundtrip": q_corpus_changes_roundtrip,
     "corpus_pinned_snapshot": q_corpus_pinned_snapshot,
+    "corpus_time_travel": q_corpus_time_travel,
     "corpus_vacuum_roundtrip": q_corpus_vacuum_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
@@ -3247,6 +3575,9 @@ ORACLES = {
     # verbatim (the live-moved and pin-verifies assertions are
     # in-entry), so the oracle is simply the pristine table
     "corpus_pinned_snapshot": _CORPUS_COMPACT_SQL,
+    # time travel: the T1 version IS the pristine table, whatever the
+    # corpus has become since (journey + purge assertions are in-entry)
+    "corpus_time_travel": _CORPUS_REDACT_SQL,
     # vacuum + durable commit log: residue of a committed-then-crashed
     # delete is rolled FORWARD even after a subsequent commit moved
     # writer_token on (the roll-direction and residue-absence

@@ -3419,3 +3419,192 @@ def test_lease_no_starvation_under_sustained_long_holder(tmp_path):
     # contention was WAITING, never stealing
     assert corpus_io.BREAK_COUNT == break_before
     assert not os.path.exists(os.path.join(out, corpus_io.LEASE))
+
+
+# ---------------------------------------------------------------------------
+# version retention + time travel (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_retention_off_keeps_pre_r14_behavior(spark):
+    """Default (no retention file): displaced originals are destroyed
+    at end-of-op — no _retired_* dirs, old bytes gone."""
+    docs = _evo_docs(spark).withColumn(
+        "text", F.concat(F.lit("V1-"), F.col("doc_id"))
+    )
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        delta = docs.withColumn(
+            "text", F.concat(F.lit("V2-"), F.col("doc_id"))
+        )
+        corpus_io.upsert_corpus(delta, out)
+        assert [
+            n for n in os.listdir(out)
+            if n.startswith(corpus_io.RETIRED_PREFIX)
+        ] == []
+        assert _sweep_bytes(out, b"V1-") == []
+
+
+def test_time_travel_pins_each_retained_version(spark):
+    """With retention on, every commit in the history window is
+    readable as of its own manifest — through upsert, delete, AND a
+    content-preserving layout rewrite that renames every file."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m1 = corpus_io.write_partitioned_corpus(docs, out)
+        corpus_io.set_corpus_retention(out, keep_versions=8)
+        assert corpus_io.get_corpus_retention(out) == 8
+        delta = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "text", F.concat(F.lit("NEW-"), F.col("doc_id"))
+        )
+        m2 = corpus_io.upsert_corpus(delta, out)
+        corpus_io.delete_from_corpus(spark, out, F.col("source") == "s1")
+        corpus_io.compact_corpus(spark, out)
+        m3 = corpus_io._current_manifest(out)
+
+        with corpus_io.pin_corpus_version(out, m1["writer_token"]) as v:
+            got = {
+                (r["doc_id"], r["text"])
+                for r in v.read(spark).collect()
+            }
+        assert got == {(i, f"base {i}") for i in range(60)}
+
+        with corpus_io.pin_corpus_version(out, m2["writer_token"]) as v:
+            got = {
+                (r["doc_id"], r["text"])
+                for r in v.read(spark).collect()
+            }
+        assert got == {
+            (i, f"NEW-{i}" if i % 2 == 0 else f"base {i}")
+            for i in range(60)
+        }
+
+        # the current version pins too (post-compact: its history
+        # manifest still names the pre-compact files, found retired)
+        with corpus_io.pin_corpus_version(out, m3["writer_token"]) as v:
+            assert v.read(spark).count() == m3["total_rows"]
+
+
+def test_time_travel_unavailable_when_destroyed(spark):
+    """Three terminal failure modes, each named: unknown token, bytes
+    displaced before retention was enabled, purge_versions."""
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m1 = corpus_io.write_partitioned_corpus(docs, out)
+        with pytest.raises(
+            corpus_io.VersionUnavailableError, match="never committed"
+        ):
+            with corpus_io.pin_corpus_version(out, "999-123"):
+                pass
+        # retention OFF during the displacing upsert: v1 bytes die
+        delta = docs.withColumn("text", F.lit("gone"))
+        corpus_io.upsert_corpus(delta, out)
+        with pytest.raises(
+            corpus_io.VersionUnavailableError, match="not fully findable"
+        ):
+            with corpus_io.pin_corpus_version(
+                out, m1["writer_token"], max_wait_sec=0.3
+            ):
+                pass
+        # retention ON, then purge: pinnable until purged
+        corpus_io.set_corpus_retention(out, keep_versions=4)
+        m2 = corpus_io._current_manifest(out)
+        corpus_io.delete_from_corpus(spark, out, F.col("doc_id") < 30)
+        with corpus_io.pin_corpus_version(out, m2["writer_token"]) as v:
+            assert v.read(spark).count() == 60
+        corpus_io.vacuum_corpus(out, purge_versions=True)
+        with pytest.raises(
+            corpus_io.VersionUnavailableError, match="not fully findable"
+        ):
+            with corpus_io.pin_corpus_version(
+                out, m2["writer_token"], max_wait_sec=0.3
+            ):
+                pass
+
+
+def test_expiry_horizon_keeps_last_k_versions(spark):
+    """keep_versions=2 with a chain of commits: expiry destroys retired
+    dirs older than the K-th-newest commit and keeps the rest; the
+    last K versions stay pinnable afterwards."""
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        corpus_io.write_partitioned_corpus(docs, out)
+        corpus_io.set_corpus_retention(out, keep_versions=2)
+        tokens = []
+        for gen in range(4):
+            delta = docs.withColumn(
+                "text", F.concat(F.lit(f"G{gen}-"), F.col("doc_id"))
+            )
+            tokens.append(
+                corpus_io.upsert_corpus(delta, out)["writer_token"]
+            )
+        rep = corpus_io.expire_corpus_versions(out)
+        assert rep["keep_versions"] == 2
+        assert rep["expired"], rep  # something aged out
+        # the last 2 committed versions remain pinnable...
+        for tok in tokens[-2:]:
+            with corpus_io.pin_corpus_version(out, tok) as v:
+                assert v.read(spark).count() == 60
+        # ...the G0 generation's bytes are gone (displaced by G1,
+        # which is older than the horizon commit G2)
+        assert _sweep_bytes(out, b"G0-") == []
+        import pytest
+
+        with pytest.raises(corpus_io.VersionUnavailableError):
+            with corpus_io.pin_corpus_version(
+                out, tokens[0], max_wait_sec=0.3
+            ):
+                pass
+
+
+def test_recover_roll_forward_retires_under_retention(spark, monkeypatch):
+    """A committed takedown whose cleanup crashed: recovery completes
+    the deferred cleanup the way the writer would have — under
+    retention the displaced originals are RETIRED (prior versions stay
+    pinnable), not destroyed."""
+    import shutil as _shutil
+
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m1 = corpus_io.write_partitioned_corpus(docs, out)
+        corpus_io.set_corpus_retention(out, keep_versions=4)
+        real_rmtree = _shutil.rmtree
+        real_rename = os.rename
+
+        def crashing(path, *a, **k):
+            s = str(path)
+            if f"{os.sep}_staging_" in s or f"{os.sep}_trash_" in s:
+                raise RuntimeError("simulated post-commit crash")
+            return real_rmtree(path, *a, **k)
+
+        def crashing_rename(src, dst, *a, **k):
+            if f"{os.sep}_retired_" in str(dst):
+                raise OSError("simulated crash before retire rename")
+            return real_rename(src, dst, *a, **k)
+
+        monkeypatch.setattr("shutil.rmtree", crashing)
+        monkeypatch.setattr("os.rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated post-commit"):
+            corpus_io.delete_from_corpus(
+                spark, out, F.col("source") == "s1"
+            )
+        monkeypatch.setattr("shutil.rmtree", real_rmtree)
+        monkeypatch.setattr("os.rename", real_rename)
+        report = corpus_io.recover_corpus(out, spark)
+        assert report["rolled_forward"], report
+        retired = [
+            n for n in os.listdir(out)
+            if n.startswith(corpus_io.RETIRED_PREFIX)
+        ]
+        assert retired, "roll-forward destroyed bytes under retention"
+        with corpus_io.pin_corpus_version(out, m1["writer_token"]) as v:
+            assert v.read(spark).count() == 60
