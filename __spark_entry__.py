@@ -71,24 +71,29 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 #     distance moved to the expanded form (bit-identical argmin,
 #     D(=8)x smaller intermediates — the measured root cause of the
 #     entry's sweep oscillation; VERDICT r13 #4, README r14).
-# Slots 14-16 are NEW this round: corpus_pinned_snapshot —
-# snapshot-isolated read racing a live takedown + layout rewrite —
-# cdc_index_refresh — corpus_changes_since composed into an
-# incremental index maintainer proven equal to the full rebuild
-# (VERDICT r13 #3) — and corpus_time_travel — version retention +
-# pin_corpus_version reading the corpus as of a prior commit, with
-# purge-finality asserted (the vacuum compliance contract).
-# The remaining 34 slots continue the staleness sweep (VERDICT r13
-# #6): the oldest r10-green rows — after r14 at most one entry's
-# external-driver evidence predates r11 (split_leakage, displaced by
-# the new entry, rotates first next round). Everything rotated out is
-# r10+-green over an r14-unchanged plan (LEDGER.md); per-round
+# Slots 14-17 are NEW this round: corpus_pinned_snapshot —
+# snapshot-isolated read racing a live takedown + layout rewrite
+# (VERDICT r13 #1) — cdc_index_refresh — corpus_changes_since
+# composed into an incremental index maintainer proven equal to the
+# full rebuild (VERDICT r13 #3) — corpus_time_travel — version
+# retention + pin_corpus_version reading the corpus as of a prior
+# commit, with purge-finality asserted (the vacuum compliance
+# contract) — and corpus_cdc_stream — the CDC feed as a Structured
+# Streaming SOURCE (Spark 4 Python DataSource API; offsets = commit
+# tokens, per-batch planning = a history-manifest diff, reads =
+# changed files only).
+# The remaining 33 slots continue the staleness sweep (VERDICT r13
+# #6): the oldest r10-green rows — after r14 only the two rows the
+# new entries displaced (doc_chunks, split_leakage) still carry r10
+# driver evidence; they rotate first next round. Everything rotated
+# out is r10+-green over an r14-unchanged plan (LEDGER.md); per-round
 # rotation rationale lives in the git history of this file.
 PRIORITY = [
     # ---- slots 1-50: the r14 driver window (== LEDGER next-window:
-    # 13 r14-changed corpus/wire/PQ-encoder entries + the 3 NEW
+    # 13 r14-changed corpus/wire/PQ-encoder entries + the 4 NEW
     # entries first, then the oldest r10-green rows — post-r14
-    # minimum driver evidence becomes r11, per VERDICT r13 #6) ----
+    # minimum driver evidence becomes r11 for all but the two
+    # displaced r10 rows, per VERDICT r13 #6) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
@@ -105,6 +110,7 @@ PRIORITY = [
     "corpus_pinned_snapshot",
     "cdc_index_refresh",
     "corpus_time_travel",
+    "corpus_cdc_stream",
     "sequence_packing",
     "bottomk_sample",
     "mixture_weights",
@@ -138,8 +144,8 @@ PRIORITY = [
     "dedup_exact",
     "dedup_survivors",
     "ngram_jaccard",
-    "doc_chunks",
     # ---- past the window: r10+-green over unchanged plans ----
+    "doc_chunks",
     "split_leakage",
     "stratified_cap",
     "range_join_bands",

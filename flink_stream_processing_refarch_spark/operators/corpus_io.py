@@ -2760,20 +2760,18 @@ def _current_manifest(out_dir: str) -> dict:
         return json.load(f)
 
 
-def _changes_between(
-    spark: SparkSession, out_dir: str, old: dict, new: dict, from_token
-) -> dict:
-    """Shared diff body of :func:`corpus_changes_since` /
-    :func:`corpus_changes_vs_manifest`: per-partition (count,
-    fingerprint) diff of two stamped manifests + a partition-pruned
-    typed read of the changed set under the 'to' snapshot."""
+def _diff_partitions(old: dict, new: dict) -> tuple:
+    """Metadata-only (count, fingerprint) diff of two stamped manifests
+    -> (changed, removed, schema_changed). Shared by the batch CDC
+    readers (:func:`_changes_between`) and the streaming CDC source
+    (``sources/corpus_cdc.py``), which diffs HISTORY manifest pairs
+    per micro-batch. Schema changes are a CORPUS-level signal, not a
+    per-partition one: a widening rewrites nothing (untouched
+    partitions' fingerprints stay valid and they are correctly NOT
+    reported changed — their visible rows only gained a null-filled
+    column), but an incremental consumer still needs to know its
+    target schema moved — surfaced explicitly."""
     old_p, new_p = old["partitions"], new["partitions"]
-    # schema changes are a CORPUS-level signal, not a per-partition
-    # one: a widening rewrites nothing (untouched partitions'
-    # fingerprints stay valid and they are correctly NOT reported
-    # changed — their visible rows only gained a null-filled column),
-    # but an incremental consumer still needs to know its target
-    # schema moved — surface the delta explicitly
     schema_changed = old.get("schema") != new.get("schema")
     old_f = old.get("fingerprints", {})
     new_f = new.get("fingerprints", {})
@@ -2785,6 +2783,17 @@ def _changes_between(
         or old_f.get(k) != new_f.get(k)
     )
     removed = sorted(k for k in old_p if k not in new_p)
+    return changed, removed, schema_changed
+
+
+def _changes_between(
+    spark: SparkSession, out_dir: str, old: dict, new: dict, from_token
+) -> dict:
+    """Shared diff body of :func:`corpus_changes_since` /
+    :func:`corpus_changes_vs_manifest`: per-partition (count,
+    fingerprint) diff of two stamped manifests + a partition-pruned
+    typed read of the changed set under the 'to' snapshot."""
+    changed, removed, schema_changed = _diff_partitions(old, new)
     partition_cols = tuple(new["partition_cols"])
     if changed:
         pred = _partition_pred(
@@ -3457,6 +3466,91 @@ FROM documents
 """
 
 
+def q_corpus_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof of the CDC STREAMING SOURCE (r14,
+    ``sources/corpus_cdc.py`` — Spark 4 Python DataSource API): build
+    a corpus (commit T0), replacement-upsert every 4th doc of the MIN
+    source and delete the MAX source, then consume
+    ``readStream.format("corpus_cdc").option("since_token", T0)`` to
+    exhaustion (availableNow). The feed must deliver exactly the
+    changed partition's current content as ``update`` rows plus ONE
+    ``remove`` tombstone for the deleted partition — the relational
+    expectation the oracle computes. Row content is batch-interval-
+    invariant (however commits group into micro-batches), which is
+    what the driver hash proves."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import load_table, scratch_dir
+    from ..sources import corpus_cdc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("corpus_cdcs_")
+    m0 = write_partitioned_corpus(docs, out)
+    t0 = m0["writer_token"]
+    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
+    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    delta = docs.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("source") == msrc)
+    ).withColumn("text", F.concat(F.lit("CDC: "), F.col("text")))
+    upsert_corpus(delta, out)
+    delete_from_corpus(spark, out, F.col("source") == xsrc)
+
+    corpus_cdc.register(spark)
+    feed = (
+        spark.readStream.format("corpus_cdc")
+        .option("path", out)
+        .option("since_token", t0)
+        .load()
+    )
+    mem = f"cdc_feed_{os.path.basename(out).rstrip(os.sep)}".replace(
+        "-", "_"
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(mem)
+        .option("checkpointLocation", scratch_dir("corpus_cdcs_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(mem).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.col(corpus_cdc.CHANGE_COL).alias("change"),
+    ).localCheckpoint(eager=True)
+    n_rem = got.filter(F.col("change") == "remove").count()
+    if n_rem != 1:
+        raise RuntimeError(
+            f"cdc stream: expected exactly 1 remove tombstone, got "
+            f"{n_rem}"
+        )
+    return got
+
+
+q_corpus_cdc_stream.stateful_build = True
+
+
+_CORPUS_CDC_STREAM_SQL = """
+WITH msrc AS (SELECT min(source) AS s FROM documents),
+     xsrc AS (SELECT max(source) AS s FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       md5(CASE WHEN doc_id % 4 = 0 THEN 'CDC: ' || text
+                ELSE text END) AS h,
+       'update' AS change
+FROM documents
+WHERE source = (SELECT s FROM msrc)
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS doc_id,
+       (SELECT s FROM xsrc) AS source,
+       CAST(NULL AS VARCHAR) AS h,
+       'remove' AS change
+"""
+
+
 def q_corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable proof of TIME TRAVEL under version retention
     (r14): build a corpus (commit T1), enable ``keep_versions=4``, then
@@ -3547,6 +3641,7 @@ QUERIES = {
     "corpus_changes_roundtrip": q_corpus_changes_roundtrip,
     "corpus_pinned_snapshot": q_corpus_pinned_snapshot,
     "corpus_time_travel": q_corpus_time_travel,
+    "corpus_cdc_stream": q_corpus_cdc_stream,
     "corpus_vacuum_roundtrip": q_corpus_vacuum_roundtrip,
     "corpus_upsert_streaming": q_corpus_upsert_streaming,
     "corpus_compact_roundtrip": q_corpus_compact_roundtrip,
@@ -3578,6 +3673,9 @@ ORACLES = {
     # time travel: the T1 version IS the pristine table, whatever the
     # corpus has become since (journey + purge assertions are in-entry)
     "corpus_time_travel": _CORPUS_REDACT_SQL,
+    # CDC streaming source: the exhausted feed == changed partition's
+    # current content + one remove tombstone, relationally
+    "corpus_cdc_stream": _CORPUS_CDC_STREAM_SQL,
     # vacuum + durable commit log: residue of a committed-then-crashed
     # delete is rolled FORWARD even after a subsequent commit moved
     # writer_token on (the roll-direction and residue-absence
