@@ -3584,7 +3584,9 @@ def q_corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = m2["writer_token"]
     delete_from_corpus(spark, out, F.col("doc_id") % 3 == 0)
     cluster_corpus_layout(spark, out)
-    live_rows = read_corpus(spark, out).count()
+    # the takedown's effect is already committed metadata — no live
+    # re-scan needed to prove the corpus moved
+    live_rows = _current_manifest(out)["total_rows"]
     if live_rows >= m1["total_rows"]:
         raise RuntimeError(
             "time travel: the takedown did not move the live corpus — "
@@ -3592,13 +3594,20 @@ def q_corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     n_replaced = docs.filter(F.col("doc_id") % 7 == 0).count()
     with pin_corpus_version(out, t2) as v2:
-        df2 = v2.read(spark).localCheckpoint(eager=True)
-    if df2.count() != m1["total_rows"]:
+        # one aggregate over the pinned read: total rows + replaced
+        # rows in a single job (no checkpoint of the whole version)
+        row2 = v2.read(spark).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("text").startswith("TT: "), 1).otherwise(0)
+            ).alias("r"),
+        ).collect()[0]
+    if row2["n"] != m1["total_rows"]:
         raise RuntimeError(
             "time travel: the T2 version lost the replacement-only "
             "row-count invariant"
         )
-    if df2.filter(F.col("text").startswith("TT: ")).count() != n_replaced:
+    if row2["r"] != n_replaced:
         raise RuntimeError(
             "time travel: the T2 version does not carry exactly the "
             "replaced docs' new text"
