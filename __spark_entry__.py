@@ -71,29 +71,33 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 #     distance moved to the expanded form (bit-identical argmin,
 #     D(=8)x smaller intermediates — the measured root cause of the
 #     entry's sweep oscillation; VERDICT r13 #4, README r14).
-# Slots 14-17 are NEW this round: corpus_pinned_snapshot —
+# Slots 14-18 are NEW this round: corpus_pinned_snapshot —
 # snapshot-isolated read racing a live takedown + layout rewrite
 # (VERDICT r13 #1) — cdc_index_refresh — corpus_changes_since
 # composed into an incremental index maintainer proven equal to the
 # full rebuild (VERDICT r13 #3) — corpus_time_travel — version
 # retention + pin_corpus_version reading the corpus as of a prior
 # commit, with purge-finality asserted (the vacuum compliance
-# contract) — and corpus_cdc_stream — the CDC feed as a Structured
+# contract) — corpus_cdc_stream — the CDC feed as a Structured
 # Streaming SOURCE (Spark 4 Python DataSource API; offsets = commit
 # tokens, per-batch planning = a history-manifest diff, reads =
-# changed files only).
-# The remaining 33 slots continue the staleness sweep (VERDICT r13
-# #6): the oldest r10-green rows — after r14 only the two rows the
-# new entries displaced (doc_chunks, split_leakage) still carry r10
-# driver evidence; they rotate first next round. Everything rotated
-# out is r10+-green over an r14-unchanged plan (LEDGER.md); per-round
-# rotation rationale lives in the git history of this file.
+# changed files only) — and cdc_index_refresh_streaming — the
+# STANDING consumer: the index table maintained by a foreachBatch
+# loop over the corpus_cdc stream (dynamic overwrite per delivered
+# partition, dir drop per tombstone), proven equal to the rebuild.
+# The remaining 32 slots continue the staleness sweep (VERDICT r13
+# #6): the oldest r10-green rows — after r14 only the three rows the
+# new entries displaced (ngram_jaccard, doc_chunks, split_leakage)
+# still carry r10 driver evidence; they rotate first next round.
+# Everything rotated out is r10+-green over an r14-unchanged plan
+# (LEDGER.md); per-round rotation rationale lives in the git history
+# of this file.
 PRIORITY = [
     # ---- slots 1-50: the r14 driver window (== LEDGER next-window:
-    # 13 r14-changed corpus/wire/PQ-encoder entries + the 4 NEW
-    # entries first, then the oldest r10-green rows — post-r14
-    # minimum driver evidence becomes r11 for all but the two
-    # displaced r10 rows, per VERDICT r13 #6) ----
+    # 13 r14-changed corpus/wire/PQ-encoder entries + the 5 NEW
+    # entries first, then the oldest r10-green rows — post-r14 only
+    # the three displaced r10 rows still carry r10 driver evidence;
+    # they rotate first next round (VERDICT r13 #6) ----
     "q1_kinesis_wire",
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
@@ -111,6 +115,7 @@ PRIORITY = [
     "cdc_index_refresh",
     "corpus_time_travel",
     "corpus_cdc_stream",
+    "cdc_index_refresh_streaming",
     "sequence_packing",
     "bottomk_sample",
     "mixture_weights",
@@ -143,8 +148,8 @@ PRIORITY = [
     "token_count_bpe",
     "dedup_exact",
     "dedup_survivors",
-    "ngram_jaccard",
     # ---- past the window: r10+-green over unchanged plans ----
+    "ngram_jaccard",
     "doc_chunks",
     "split_leakage",
     "stratified_cap",

@@ -43,6 +43,8 @@ every 20th — operators/dedup.py::corpus_sql).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -414,9 +416,112 @@ FROM final
 """
 
 
+def q_cdc_index_refresh_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING form of :func:`q_cdc_index_refresh` (r14): the same
+    three change shapes (count-equal replacement upsert, brand-new
+    partition, whole-partition delete), but the index is maintained as
+    a partitioned TABLE by a continuously-running consumer of the
+    ``corpus_cdc`` STREAMING source: each micro-batch
+    dynamic-overwrites exactly the partitions whose full current
+    content the feed delivered and drops the partitions the feed
+    tombstoned — scan and write both O(changed), end to end, with no
+    batch-side diff call anywhere (the source already paid the
+    metadata diff when it planned the batch). The oracle is the index
+    rebuilt from scratch over the final corpus state: maintained ==
+    rebuilt, bit-exact, however the commits grouped into
+    micro-batches."""
+    import shutil
+
+    from ..schemas import scratch_dir
+    from ..sources import corpus_cdc
+    from .corpus_io import (
+        _hive_escape,
+        _val_str,
+        delete_from_corpus,
+        read_corpus,
+        upsert_corpus,
+        write_partitioned_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = scratch_dir("cdc_idxs_")
+    idx = scratch_dir("cdc_idxs_table_")
+    m0 = write_partitioned_corpus(docs, out)
+    t0 = m0["writer_token"]
+
+    def hash_index(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "source", F.md5("text").alias("h"))
+
+    # the standing index TABLE as of T0 (ingest-time materialization,
+    # same partitioning as the corpus — the production shape priced
+    # in tools/scale_cdc_refresh.py)
+    hash_index(read_corpus(spark, out)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("source").parquet(idx)
+
+    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
+    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    delta = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("source") == msrc)
+    ).withColumn(
+        "text", F.concat(F.lit("CHG: "), F.col("text"))
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            "text",
+            F.lit("zz_cdc").alias("source"),
+        )
+    )
+    upsert_corpus(delta, out)
+    delete_from_corpus(spark, out, F.col("source") == xsrc)
+
+    corpus_cdc.register(spark)
+    feed = (
+        spark.readStream.format("corpus_cdc")
+        .option("path", out)
+        .option("since_token", t0)
+        .load()
+    )
+
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        upd = hash_index(
+            bdf.filter(F.col(corpus_cdc.CHANGE_COL) == "update")
+        )
+        if upd.take(1):
+            upd.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("source").parquet(idx)
+        removed = (
+            bdf.filter(F.col(corpus_cdc.CHANGE_COL) == "remove")
+            .select("source").distinct().collect()
+        )  # bounded: one row per removed partition
+        for r in removed:
+            shutil.rmtree(
+                os.path.join(
+                    idx, f"source={_hive_escape(_val_str(r['source']))}"
+                ),
+                ignore_errors=True,
+            )
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", scratch_dir("cdc_idxs_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(idx).select("doc_id", "source", "h")
+
+
+q_cdc_index_refresh_streaming.stateful_build = True
+
+
 QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "cdc_index_refresh": q_cdc_index_refresh,
+    "cdc_index_refresh_streaming": q_cdc_index_refresh_streaming,
 }
 ORACLES = {
     "dedup_incremental": _incremental_sql(),
@@ -424,4 +529,8 @@ ORACLES = {
     # scratch over the final corpus state (replacement + new partition
     # + whole-partition delete; O(changed) assertions are in-entry)
     "cdc_index_refresh": _CDC_INDEX_SQL,
+    # the streaming twin maintains the same index TABLE through the
+    # corpus_cdc source + per-batch dynamic overwrite — same oracle:
+    # maintained == rebuilt over the final corpus state
+    "cdc_index_refresh_streaming": _CDC_INDEX_SQL,
 }
