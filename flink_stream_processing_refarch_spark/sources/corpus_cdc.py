@@ -145,11 +145,22 @@ class CorpusCDCStreamReader(DataSourceStreamReader):
 
         changed, removed, _schema_changed = _diff_partitions(old, new)
         files = new.get("files") or {}
-        tasks = [
-            _CdcTask(
-                self._out, pkey, files.get(pkey, ()), "update", end["token"]
+        missing = [p for p in changed if not files.get(p)]
+        if missing:
+            raise ValueError(
+                f"corpus_cdc: manifest {end['token']!r} records no file "
+                f"list for changed partition(s) {missing} (pre-r14 "
+                "manifest?) — the feed cannot name that version's bytes; "
+                "rewrite the corpus once with any r14 writer"
             )
+        # one task per changed FILE, not per changed partition: the
+        # batch's read parallelism must track the changed data volume
+        # (a single hot partition still fans out across executors),
+        # matching how the JVM parquet scan would split the same files
+        tasks = [
+            _CdcTask(self._out, pkey, (name,), "update", end["token"])
             for pkey in changed
+            for name in (files.get(pkey) or ())
         ] + [
             _CdcTask(self._out, pkey, (), "remove", end["token"])
             for pkey in removed
@@ -163,14 +174,32 @@ class CorpusCDCStreamReader(DataSourceStreamReader):
 
     # -- execution (executor-side, changed files only) ----------------
     def read(self, partition: _CdcTask):
+        """Yields pyarrow RecordBatches (the API's Arrow fast path —
+        rows never pass through Python objects; a tuple-yield version
+        measured ~6x slower than the plain JVM corpus read at the
+        x1000 decade, the Arrow form is what makes the O(changed)
+        claim hold in wall time, see SCALING_DECADE2.md)."""
         if partition.kind == "noop":
             return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self._schema)
         fields = self._schema.fields[:-2]  # data + partition columns
         pvals = _pkey_values(partition.pkey, fields)
+
+        def const(val, idx, n):
+            return pa.array([val] * n, type=arrow_schema.field(idx).type)
+
         if partition.kind == "remove":
-            yield tuple(
-                pvals.get(f.name) for f in fields
-            ) + ("remove", partition.end_token)
+            yield pa.RecordBatch.from_arrays(
+                [const(pvals.get(f.name), i, 1) for i, f in enumerate(fields)]
+                + [
+                    const("remove", len(fields), 1),
+                    const(partition.end_token, len(fields) + 1, 1),
+                ],
+                schema=arrow_schema,
+            )
             return
         import pyarrow.parquet as pq
 
@@ -178,17 +207,21 @@ class CorpusCDCStreamReader(DataSourceStreamReader):
             table = pq.read_table(
                 os.path.join(partition.out_dir, partition.pkey, name)
             )
-            cols = []
-            for f in fields:
+            n = table.num_rows
+            arrays = []
+            for i, f in enumerate(fields):
                 if f.name in table.column_names:
-                    cols.append(table.column(f.name).to_pylist())
+                    col = table.column(f.name)
+                    col = col.cast(arrow_schema.field(i).type)
+                    arrays.append(col.combine_chunks())
                 else:
                     # partition column (not stored in the file) or a
                     # column newer than this file (schema widening):
                     # constant partition value / null-fill
-                    cols.append([pvals.get(f.name)] * table.num_rows)
-            for row in zip(*cols):
-                yield row + ("update", partition.end_token)
+                    arrays.append(const(pvals.get(f.name), i, n))
+            arrays.append(const("update", len(fields), n))
+            arrays.append(const(partition.end_token, len(fields) + 1, n))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 def _pkey_values(pkey: str, fields) -> dict:
