@@ -2521,6 +2521,37 @@ class VersionUnavailableError(RuntimeError):
     horizon, or vacuum_corpus(purge_versions=True))."""
 
 
+def _pin_race_state(out_dir: str) -> tuple:
+    """Cheap observable state a concurrent mover would change: the
+    committed manifest token, whether a LIVE (unexpired) maintenance
+    lease exists, and the corpus root's entry set minus other readers'
+    ``_pin_*`` dirs (every writer-side move creates/destroys a
+    ``_stage_*`` / ``_trash_*`` / ``_retired_*`` entry or the lease
+    file). Used by :func:`pin_corpus_version` to tell a TERMINAL miss
+    (bytes destroyed — state identical across a failed link attempt,
+    nobody holding the lease) from a transient mid-swap race worth
+    retrying."""
+    lease_live = False
+    try:
+        with open(os.path.join(out_dir, LEASE)) as f:
+            held = json.load(f)
+        lease_live = time.time() - float(held.get("acquired_at", 0)) <= float(
+            held.get("ttl_sec", LEASE_TTL_SEC)
+        )
+    except (FileNotFoundError, json.JSONDecodeError, ValueError, OSError):
+        pass
+    try:
+        entries = tuple(sorted(
+            n for n in os.listdir(out_dir) if not n.startswith("_pin_")
+        ))
+    except FileNotFoundError:
+        entries = ()
+    token = None
+    with contextlib.suppress(Exception):
+        token = _current_manifest(out_dir).get("writer_token")
+    return (token, lease_live, entries)
+
+
 @contextlib.contextmanager
 def pin_corpus_version(
     out_dir: str,
@@ -2580,12 +2611,32 @@ def pin_corpus_version(
     pin_dir = os.path.join(out_dir, f"_pin_{pin_token}")
     deadline = time.monotonic() + max_wait_sec
     while True:
+        state_before = _pin_race_state(out_dir)
         try:
             _link_snapshot(out_dir, pin_dir, manifest)
             break
         except _PinRace as e:
             _shutil.rmtree(pin_dir, ignore_errors=True)
-            if time.monotonic() > deadline:
+            # Terminal-miss fast path (r14 optimization round): a retry
+            # can only ever succeed if some writer is concurrently
+            # moving this version's files (live->trash->retired). Every
+            # such mover holds the maintenance lease and its renames
+            # create/destroy root-level entries, so if NO live lease
+            # exists and the observable state is IDENTICAL before and
+            # after the failed link attempt, the miss is stable: the
+            # bytes were destroyed (expiry/purge/retention-off) and
+            # burning the remaining deadline cannot change the outcome.
+            # Measured: the purge-finality negative pin in
+            # corpus_time_travel dropped from max_wait_sec (10 s) to
+            # milliseconds; a pin racing a LIVE writer still retries
+            # (lease held => not stable).
+            state_after = _pin_race_state(out_dir)
+            stable = (
+                not state_before[1]
+                and not state_after[1]
+                and state_before == state_after
+            )
+            if stable or time.monotonic() > deadline:
                 raise VersionUnavailableError(
                     f"pin_corpus_version: commit {token!r}'s bytes are "
                     f"not fully findable in {out_dir} ({e}) — the "

@@ -3527,6 +3527,59 @@ def test_time_travel_unavailable_when_destroyed(spark):
                 pass
 
 
+def test_destroyed_version_pin_fails_fast_when_quiescent(spark):
+    """r14 optimization: a pin of a DESTROYED version on a quiescent
+    corpus (no live maintenance lease, no state movement across the
+    failed link attempt) must terminalize immediately — not burn the
+    full max_wait_sec retry deadline, which exists only to absorb a
+    concurrent live->trash->retired rename. While a live lease IS
+    held, the same miss keeps retrying (the mover may still surface
+    the bytes)."""
+    import json
+    import time as _time
+
+    import pytest
+
+    docs = _evo_docs(spark)
+    with tempfile.TemporaryDirectory() as base:
+        out = os.path.join(base, "corpus")
+        m1 = corpus_io.write_partitioned_corpus(docs, out)
+        # retention OFF during the displacing upsert: v1 bytes die
+        corpus_io.upsert_corpus(docs.withColumn("text", F.lit("x")), out)
+        t0 = _time.monotonic()
+        with pytest.raises(
+            corpus_io.VersionUnavailableError, match="not fully findable"
+        ):
+            # the DEFAULT 10 s deadline: promptness must come from the
+            # stable-miss detection, not from a test-shortened deadline
+            with corpus_io.pin_corpus_version(out, m1["writer_token"]):
+                pass
+        assert _time.monotonic() - t0 < 2.0
+        # with a live lease held, the pin keeps retrying to its
+        # (short) deadline instead of terminalizing on first miss
+        with corpus_io.corpus_lease(out, "test-hold"):
+            t0 = _time.monotonic()
+            with pytest.raises(corpus_io.VersionUnavailableError):
+                with corpus_io.pin_corpus_version(
+                    out, m1["writer_token"], max_wait_sec=0.5
+                ):
+                    pass
+            assert _time.monotonic() - t0 >= 0.5
+        # an EXPIRED leftover lease (crashed writer) does not count as
+        # live: quiescent fast path applies
+        lease_path = os.path.join(out, corpus_io.LEASE)
+        with open(lease_path, "w") as f:
+            json.dump(
+                {"token": "1-1", "acquired_at": 0.0, "ttl_sec": 1.0}, f
+            )
+        t0 = _time.monotonic()
+        with pytest.raises(corpus_io.VersionUnavailableError):
+            with corpus_io.pin_corpus_version(out, m1["writer_token"]):
+                pass
+        assert _time.monotonic() - t0 < 2.0
+        os.unlink(lease_path)
+
+
 def test_expiry_horizon_keeps_last_k_versions(spark):
     """keep_versions=2 with a chain of commits: expiry destroys retired
     dirs older than the K-th-newest commit and keeps the rest; the
