@@ -1085,9 +1085,35 @@ def _upsert_corpus_locked(
         if prior is None
         else None
     )
+    # ONE pass over the delta computes BOTH pre-merge facts (r14
+    # optimization round, guide §2.4 — it was two full delta scans:
+    # a distinct-partitions collect plus a separate duplicate-key
+    # probe; at 100 TB each is a complete pass over the delta):
+    # per-key counts carry the dup check, and the touched partition
+    # combos ride along as collected structs (bounded by the number
+    # of physical partitions, never by delta rows).
+    _psets = delta.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("_c"),
+        F.collect_set(
+            F.struct(*[F.col(c) for c in partition_cols])
+        ).alias("_ps"),
+    )
+    # every aggregate below PARTIALLY aggregates (max / collect_set
+    # merge map-side), so the final reducer sees one bounded row per
+    # task — never one row per delta key
+    _summary = _psets.select(
+        F.col("_c"),
+        F.when(
+            F.col("_c") > 1, F.struct(*[F.col(c) for c in key_cols])
+        ).alias("_k"),
+        F.explode("_ps").alias("_p"),
+    ).agg(
+        F.max("_c").alias("_maxc"),
+        F.max("_k").alias("_dupkey"),
+        F.collect_set("_p").alias("_touched"),
+    ).collect()[0]
     touched = [
-        tuple(r[c] for c in partition_cols)
-        for r in delta.select(*partition_cols).distinct().collect()
+        tuple(t[c] for c in partition_cols) for t in _summary["_touched"]
     ]
     if not touched:  # empty delta: nothing to merge
         if prior is not None:
@@ -1100,17 +1126,10 @@ def _upsert_corpus_locked(
     # delta-wins needs ONE winner per key; two delta rows with the same
     # key would tie on _pri and the survivor would be shuffle-order
     # nondeterministic — refuse loudly instead of committing a coin flip
-    dup = (
-        delta.groupBy(*[F.col(c) for c in key_cols])
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    if _summary["_maxc"] is not None and _summary["_maxc"] > 1:
         raise ValueError(
             "upsert_corpus: delta contains duplicate key "
-            f"{tuple(dup[0][c] for c in key_cols)} — collapse the delta "
+            f"{tuple(_summary['_dupkey'])} — collapse the delta "
             "to one row per key (e.g. latest revision) before upserting"
         )
     pred = _partition_pred(partition_cols, touched)
