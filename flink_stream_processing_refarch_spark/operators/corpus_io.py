@@ -3440,8 +3440,10 @@ def q_corpus_changes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("corpus_ch_")
     m0 = write_partitioned_corpus(docs, out)
     t0 = m0["writer_token"]
-    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
-    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    # ONE job for both extrema (r14 optimization round: these were
+    # two separate full scans of the documents table)
+    _mx = docs.agg(F.min("source"), F.max("source")).collect()[0]
+    msrc, xsrc = _mx[0], _mx[1]
     chg_key = f"source={_hive_escape(_val_str(msrc))}"
     del_key = f"source={_hive_escape(_val_str(xsrc))}"
     delta = docs.filter(
@@ -3559,8 +3561,10 @@ def q_corpus_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("corpus_cdcs_")
     m0 = write_partitioned_corpus(docs, out)
     t0 = m0["writer_token"]
-    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
-    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    # ONE job for both extrema (r14 optimization round: these were
+    # two separate full scans of the documents table)
+    _mx = docs.agg(F.min("source"), F.max("source")).collect()[0]
+    msrc, xsrc = _mx[0], _mx[1]
     delta = docs.filter(
         (F.col("doc_id") % 4 == 0) & (F.col("source") == msrc)
     ).withColumn("text", F.concat(F.lit("CDC: "), F.col("text")))

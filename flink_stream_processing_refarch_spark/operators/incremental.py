@@ -359,8 +359,10 @@ def q_cdc_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     index0 = hash_index(read_corpus(spark, out)).localCheckpoint(
         eager=True
     )
-    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
-    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    # ONE job for both extrema (r14 optimization round: these were
+    # two separate full scans of the documents table)
+    _mx = docs.agg(F.min("source"), F.max("source")).collect()[0]
+    msrc, xsrc = _mx[0], _mx[1]
     chg_key = f"source={_hive_escape(_val_str(msrc))}"
     del_key = f"source={_hive_escape(_val_str(xsrc))}"
     new_key = "source=zz_cdc"
@@ -461,8 +463,10 @@ def q_cdc_index_refresh_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("source").parquet(idx)
 
-    msrc = docs.agg(F.min("source")).collect()[0][0]  # 1 bounded row
-    xsrc = docs.agg(F.max("source")).collect()[0][0]
+    # ONE job for both extrema (r14 optimization round: these were
+    # two separate full scans of the documents table)
+    _mx = docs.agg(F.min("source"), F.max("source")).collect()[0]
+    msrc, xsrc = _mx[0], _mx[1]
     delta = docs.filter(
         (F.col("doc_id") % 5 == 0) & (F.col("source") == msrc)
     ).withColumn(
