@@ -3036,8 +3036,12 @@ def q_corpus_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("corpus_cp_")
     # fragment size scaled to the corpus (~10 files per partition at any
     # SF): a CONSTANT tiny size produced 1000 files at sf0.1, paying
-    # ~10 s of pure file-open overhead per bench run for no extra proof
-    frag = max(2, docs.count() // (10 * 20))
+    # ~10 s of pure file-open overhead per bench run for no extra proof.
+    # Row count from footer metadata, not a scan (falls back to count())
+    from ..schemas import table_row_count
+
+    n_docs = table_row_count(f"{sf_dir}/documents.parquet")
+    frag = max(2, (n_docs if n_docs is not None else docs.count()) // (10 * 20))
     write_partitioned_corpus(docs, out, max_records_per_file=frag)
     report = compact_corpus(spark, out)
     if not report["compacted"]:
@@ -3074,7 +3078,12 @@ def q_corpus_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     out = scratch_dir("corpus_ly_")
-    n_docs = docs.count()
+    # row count from footer metadata, not a scan (see compact roundtrip)
+    from ..schemas import table_row_count
+
+    n_docs = table_row_count(f"{sf_dir}/documents.parquet")
+    if n_docs is None:
+        n_docs = docs.count()
     frag = max(2, n_docs // (10 * 20))  # ~10 files/partition at any SF
     write_partitioned_corpus(
         docs.repartition(4, "doc_id"), out, max_records_per_file=frag
@@ -3516,7 +3525,11 @@ def q_corpus_pinned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pinned snapshot: pin no longer verifies against its "
                 "own manifest after concurrent maintenance"
             )
-        live_rows = read_corpus(spark, out).count()
+        # the takedown's effect is already committed metadata — no live
+        # re-scan needed to prove the corpus moved (same substitution
+        # as corpus_time_travel; r14 optimization round: this was a
+        # full live-corpus count per run)
+        live_rows = _current_manifest(out)["total_rows"]
         if live_rows >= m0["total_rows"]:
             raise RuntimeError(
                 "pinned snapshot: the takedown did not move the live "

@@ -145,6 +145,31 @@ def table_stamp(path: str) -> tuple[int, int]:
         return (-1, -1)  # non-local / unreadable: one stable token
 
 
+def table_row_count(path: str) -> int | None:
+    """Exact row count of a parquet table from FOOTER METADATA — no
+    Spark job (r14 optimization round: fixture-sizing ``docs.count()``
+    calls in the corpus roundtrip entries each scheduled a full scan
+    for a number the footers already record). Handles the local
+    single-file layout and a directory of part files; returns None when
+    the metadata cannot be read (caller falls back to ``df.count()``)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            parts = _glob.glob(os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(
+                pq.ParquetFile(p).metadata.num_rows for p in parts
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 #: memoized (path, stamp, confs) -> estimated scan split count
 _SPLIT_EST_CACHE: dict = {}
 
