@@ -1224,7 +1224,13 @@ def _upsert_corpus_locked(
         )
         .filter(F.col("_rn") == 1)
         .drop("_pri", "_rn")
-    ).localCheckpoint(eager=True)  # stable input, decoupled from out_dir
+    ).localCheckpoint(eager=False)  # stable input, decoupled from out_dir
+    # LAZY checkpoint (r14 optimization round): the per-partition count
+    # below is merged's FIRST action, so it materializes the checkpoint
+    # inside the same job — one pass computes state and counts where
+    # eager paid a standalone materialization job first. Ordering is
+    # unchanged: the checkpoint is fully materialized before
+    # _staged_swap_write renames anything.
     expected = {
         _pkey(partition_cols, r): r["count"]
         for r in merged.groupBy(*partition_cols).count().collect()
@@ -1786,9 +1792,17 @@ def _compact_corpus_locked(
     pred = _partition_pred(
         partition_cols, [_parse_pkey(partition_cols, k) for k in plan]
     )
-    merged = (
-        _read_corpus(spark, out_dir, partition_cols).filter(pred)
-    ).localCheckpoint(eager=True)  # decouple from the path being rewritten
+    # LAZY input (r14 optimization round, extending VERDICT r13 #2's
+    # layout/redact treatment to compaction): the staged write lands in
+    # a private staging dir and the source partition dirs are untouched
+    # until the post-job renames, so the write job (and any task retry)
+    # re-reads stable committed files; ``merged`` is consumed by exactly
+    # ONE job, so the eager checkpoint materialized the fragmented
+    # partitions to executor-local storage just to read them straight
+    # back — a pure extra pass.
+    merged = _read_corpus(spark, out_dir, partition_cols).filter(pred)
+    if EAGER_REWRITE_CHECKPOINT:  # r13-compat arm for the decade A/B
+        merged = merged.localCheckpoint(eager=True)
     check_lease(out_dir, token)  # fence: abort if TTL-broken mid-snapshot
     # cleanup deferred past the file-list rewrite (r14, snapshot reads):
     # the displaced originals stay findable in trash until the manifest
@@ -2022,8 +2036,10 @@ def _delete_from_corpus_locked(
     merged = (
         _typed(raw.filter(pred))
         .filter(~F.coalesce(cond, F.lit(False)))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # LAZY checkpoint: the survivor count below is merged's first
+    # action and materializes it in the same job (see upsert)
     expected = {
         _pkey(partition_cols, r): r["count"]
         for r in merged.groupBy(*partition_cols).count().collect()
