@@ -725,10 +725,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint the verified pairs FIRST, then mirror them: symmetrizing
     # an un-materialized DataFrame would run the whole LSH+verify pipeline
     # once per union branch (measured 2x at sf0.1), and again every round.
+    # LAZY checkpoint (r14 optimization round): pairs.count() below is
+    # the first action and materializes the checkpoint inside the same
+    # job — the union branches after it read the materialized relation,
+    # so the LSH+verify pipeline still runs exactly once.
     pairs = (
         q_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # The iterative phase operates on the ACTIVE relation (docs that have
     # at least one near-dup edge) — orders of magnitude smaller than the
@@ -748,15 +752,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .repartition(cc_parts, "src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .repartition(cc_parts, "doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # this one action materializes labels AND edges (both lazily
+    # checkpointed above): one job instead of three
     prev = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
         msgs = edges.join(labels, F.col("src") == F.col("doc_id")).select(
@@ -769,9 +775,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(cc_parts, "doc_id")
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # labels only ever decrease, so an unchanged sum == fixpoint
+        # labels only ever decrease, so an unchanged sum == fixpoint.
+        # The sum is the round's ONE action: it materializes the lazy
+        # checkpoint in the same job (was two jobs per round)
         cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur == prev:
             break
