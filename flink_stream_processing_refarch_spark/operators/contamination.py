@@ -40,10 +40,16 @@ EVAL_MOD = 97  # ~1% of docs act as the held-out eval set
 NGRAM = 3      # shingle width in words
 
 
-def _shingles(dialect: str, w: int = NGRAM) -> str:
+def _shingles(dialect: str, w: int = NGRAM, ws: str | None = None) -> str:
     """Distinct word ``w``-gram shingles of ``text``; docs shorter than
-    ``w`` words contribute the whole text as one shingle."""
-    ws = words_expr("text", dialect)
+    ``w`` words contribute the whole text as one shingle.
+
+    ``ws``: name of a pre-projected words column (Spark callers) — the
+    inline form spells the split three times in one expression and
+    Spark evaluates it three times per row (see dedup._shingles; r14
+    optimization round). Oracle callers pass nothing; the DuckDB SQL is
+    unchanged."""
+    ws = ws or words_expr("text", dialect)
     if dialect == "spark":
         grams = (
             f"transform(sequence(0, size({ws}) - {w}), i -> "
@@ -70,7 +76,8 @@ def eval_shingle_array(docs: DataFrame) -> DataFrame:
     eval-membership rule can never diverge between them."""
     return (
         docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(F.expr(_shingles("spark"))).alias("g"))
+        .withColumn("__ws", F.expr(words_expr("text", "spark")))
+        .select(F.explode(F.expr(_shingles("spark", ws="__ws"))).alias("g"))
         .distinct()
         .agg(F.collect_list("g").alias("ev_g"))
     )
@@ -87,8 +94,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, text) first so even the local exchange carries no extras.
     base = spread(
         docs.select("doc_id", "text"), src_path=f"{sf_dir}/documents.parquet"
+    ).withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
     ).select(
-        "doc_id", F.expr(_shingles("spark")).alias("sh")
+        "doc_id", F.expr(_shingles("spark", ws="__ws")).alias("sh")
     )
     ev = (
         base.filter(F.col("doc_id") % EVAL_MOD == 0)

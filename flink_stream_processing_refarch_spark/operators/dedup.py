@@ -130,10 +130,20 @@ SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingles(dialect: str) -> str:
+def _shingles(dialect: str, ws: str | None = None) -> str:
     """Word 3-gram shingles of ``text`` (docs shorter than 3 words fall
-    back to the whole text as one shingle)."""
-    w = words_expr("text", dialect)
+    back to the whole text as one shingle).
+
+    ``ws`` (Spark-side callers): the name of a PRE-PROJECTED words
+    column. Inlining ``words_expr`` spells the split three times in one
+    expression, and Spark evaluates it three times per row (no
+    subexpression elimination through higher-order functions — r14
+    optimization round, measured 3.5x on the winnow shape). Referencing
+    a non-cheap alias more than once keeps CollapseProject from
+    re-inlining it, so the split runs once. The oracle (DuckDB) callers
+    pass nothing — DuckDB CSEs the repeated expression itself and the
+    emitted SQL stays byte-identical to prior rounds."""
+    w = ws or words_expr("text", dialect)
     if dialect == "spark":
         grams = (
             f"transform(sequence(0, size({w}) - 3), i -> "
@@ -200,11 +210,13 @@ def _band_expr(dialect: str, b: int) -> str:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus_df(spark, sf_dir)
-    c = c.withColumn("__shingles", F.expr(_shingles("spark")))
+    # words projected ONCE as a column (see _shingles docstring)
+    c = c.withColumn("__ws", F.expr(words_expr("text", "spark")))
+    c = c.withColumn("__shingles", F.expr(_shingles("spark", ws="__ws")))
     c = c.withColumn("__sh_md5", F.expr(_sh_md5("spark")))
     for j, e in enumerate(_minhash_cols("spark")):
         c = c.withColumn(f"mh{j}", F.expr(e))
-    return c.drop("__shingles", "__sh_md5", "text")
+    return c.drop("__ws", "__shingles", "__sh_md5", "text")
 
 
 def _signatures_sql(dialect: str) -> str:
@@ -1329,7 +1341,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected exact copies must flag at ppm=1000000 and the drop-first-
     word near dups at just under — both covered by tests."""
     docs = corpus_df(spark, sf_dir)
-    w = words_expr("text", "spark")
+    w = "__ws"  # words projected once as a column (see _shingles)
     # CASE guard: sequence(0, negative) counts DOWN in Spark — never
     # build it for docs shorter than the window
     from ..functions.portable import md5_int60
@@ -1340,7 +1352,9 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size({w}) - {SPAN_W}), i -> {span_h}) "
         f"ELSE array() END"
     )
-    spans = docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
+    spans = docs.withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    ).select("doc_id", F.explode(F.expr(grams)).alias("h"))
     per = spans.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
     nd = per.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
     return (
@@ -1394,7 +1408,7 @@ def winnow_fps_from_docs(docs: DataFrame) -> DataFrame:
     """The winnowing transformation over any (doc_id, text) relation —
     batch table here, arriving document stream in the streaming twin
     (stateless narrow map: fingerprinting-at-ingest)."""
-    w = words_expr("text", "spark")
+    w = "__ws"  # words projected once as a column (see _shingles)
     from ..functions.portable import md5_int60
 
     kh = md5_int60(f"concat_ws(' ', slice({w}, i + 1, {WIN_K}))", "spark")
@@ -1411,7 +1425,8 @@ def winnow_fps_from_docs(docs: DataFrame) -> DataFrame:
         f"ELSE array() END"
     )
     return (
-        docs.withColumn("__h", F.expr(hashes))
+        docs.withColumn("__ws", F.expr(words_expr("text", "spark")))
+        .withColumn("__h", F.expr(hashes))
         .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
     )
 
@@ -1576,7 +1591,7 @@ def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (it's a per-doc score like token_stats, not a flagged-only
     audit)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = words_expr("text", "spark")
+    w = "__ws"  # words projected once as a column (see _shingles)
     from ..functions.portable import md5_int60
 
     span_h = md5_int60(f"concat_ws(' ', slice({w}, i + 1, {SPAN_W}))", "spark")
@@ -1585,7 +1600,9 @@ def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size({w}) - {SPAN_W}), i -> {span_h}) "
         f"ELSE array() END"
     )
-    spans = docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
+    spans = docs.withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    ).select("doc_id", F.explode(F.expr(grams)).alias("h"))
     per = spans.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
     risky = (
         spans.groupBy("h")

@@ -85,11 +85,15 @@ def _parts_sql(dialect: str) -> tuple[str, str]:
 
 def _with_sigs(df: DataFrame) -> DataFrame:
     """Append mh0..mh{k-1} minhash columns (shared helpers from dedup.py)."""
-    df = df.withColumn("__shingles", F.expr(_shingles("spark")))
+    from ..functions.portable import words_expr
+
+    # words projected once as a column (see dedup._shingles, r14)
+    df = df.withColumn("__ws", F.expr(words_expr("text", "spark")))
+    df = df.withColumn("__shingles", F.expr(_shingles("spark", ws="__ws")))
     df = df.withColumn("__sh_md5", F.expr(_sh_md5("spark")))
     for j, e in enumerate(_minhash_cols("spark")):
         df = df.withColumn(f"mh{j}", F.expr(e))
-    return df.drop("__shingles", "__sh_md5")
+    return df.drop("__ws", "__shingles", "__sh_md5")
 
 
 def _band_rows(df: DataFrame, id_alias: str) -> DataFrame:

@@ -419,7 +419,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = spread(
         docs.select("doc_id", "text"), src_path=f"{sf_dir}/documents.parquet"
-    ).select("doc_id", F.expr(_shingles("spark")).alias("sh"))
+    ).withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    ).select("doc_id", F.expr(_shingles("spark", ws="__ws")).alias("sh"))
     gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     te = base.filter(gate >= TRAIN_GATE_HEX).select(
         "doc_id",
