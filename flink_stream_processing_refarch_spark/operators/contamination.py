@@ -165,12 +165,15 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .text import _exprs, gopher_gate_sql
 
-    e = _exprs("spark")
+    e = _exprs("spark", ws="__ws")
     docs = load_table(spark, sf_dir, "documents")
     # the shared Gopher admission rule — identical across the funnel and
-    # every corpus write path (VERDICT r07 #5)
-    keep = gopher_gate_sql("spark")
-    scored = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+    # every corpus write path (VERDICT r07 #5); words projected once
+    # (see text._exprs, r14 optimization round)
+    keep = gopher_gate_sql("spark", ws="__ws")
+    scored = docs.filter(F.col("doc_id") % EVAL_MOD != 0).withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    ).select(
         F.md5("text").alias("h"),
         "doc_id",
         "source",

@@ -33,8 +33,12 @@ def _stop_list_sql() -> str:
     return ", ".join(f"'{w}'" for w in EN_STOP)
 
 
-def _exprs(dialect: str) -> dict[str, str]:
-    w = words_expr("text", dialect)
+def _exprs(dialect: str, ws: str | None = None) -> dict[str, str]:
+    """``ws``: name of a pre-projected words column (Spark callers) —
+    inlining the split repeats its evaluation per reference (r14
+    optimization round, see dedup._shingles). Oracle callers pass
+    nothing; the DuckDB SQL is unchanged."""
+    w = ws or words_expr("text", dialect)
     n_words = f"CAST({arr_len(w, dialect)} AS BIGINT)"
     word_lens = arr_transform(w, "x -> CAST(length(x) AS BIGINT)", dialect)
     n_word_chars = arr_sum_bigint(word_lens, dialect)
@@ -60,8 +64,10 @@ def _lst(dialect: str) -> str:
 # ---------------------------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _exprs("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    e = _exprs("spark", ws="__ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    )  # words projected once (see _exprs)
     return docs.select(
         "doc_id",
         F.expr(e["n_words"]).alias("n_tokens"),
@@ -98,19 +104,27 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     'whitespace + BPE-ish regex' pair). Pure regex column expressions:
     scan-speed, no UDF, no shuffle; at 100 TB this runs inside the
     ingest projection like the quality features."""
-    e = _exprs("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    e = _exprs("spark", ws="__ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    )
     n_bpe = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
     ).cast("bigint")
+    # the regex extraction is projected once and referenced twice —
+    # the inline form ran the regex scan twice per row
     return docs.select(
         "doc_id",
+        "text",
         F.expr(e["n_words"]).alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
         F.expr(
-            f"round(CAST(length(text) AS DOUBLE) / greatest("
-            f"CAST(size(regexp_extract_all(text, '{BPE_SPLIT_RE}', 0))"
-            f" AS DOUBLE), CAST(1.0 AS DOUBLE)), 6)"
+            "round(CAST(length(text) AS DOUBLE) / greatest("
+            "CAST(n_bpe_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)), 6)"
         ).alias("chars_per_token"),
     )
 
@@ -136,8 +150,10 @@ FROM documents
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / stopword-ratio / mean-word-length quality features and a
     composite keep/drop flag (the usual pre-training corpus filter)."""
-    e = _exprs("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    e = _exprs("spark", ws="__ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    )
     return docs.select(
         "doc_id",
         F.expr(e["n_words"]).alias("n_words"),
@@ -177,8 +193,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language heuristic. (The testdata ``lang`` column
     is a synthetic label over a shared vocabulary, so the heuristic is its
     own spec — the oracle runs the identical classifier.)"""
-    e = _exprs("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    e = _exprs("spark", ws="__ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    )
     ratio = f"CAST({e['n_stop']} AS DOUBLE) / {e['n_words']}"
     return docs.select(
         "doc_id",
@@ -299,9 +317,11 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`gopher_gate_sql`), identical across the funnel and every
     corpus write path.
     """
-    e = _exprs("spark")
-    docs = load_table(spark, sf_dir, "documents")
-    keep = gopher_gate_sql("spark")
+    e = _exprs("spark", ws="__ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    )  # words projected once (see _exprs)
+    keep = gopher_gate_sql("spark", ws="__ws")
     scored = docs.select(
         F.md5("text").alias("h"),
         "doc_id",
@@ -346,10 +366,10 @@ WHERE keep GROUP BY source
 # "repetitious document" filter, complementary to q_quality_score)
 # ---------------------------------------------------------------------------
 
-def _rep_exprs(dialect: str, w: int = 2) -> dict[str, str]:
+def _rep_exprs(dialect: str, w: int = 2, ws: str | None = None) -> dict[str, str]:
     """Duplicate word-``w``-gram fraction: 1 - distinct/total grams.
     Boilerplate/spam/template pages repeat phrases; prose doesn't."""
-    ws = words_expr("text", dialect)
+    ws = ws or words_expr("text", dialect)
     if dialect == "spark":
         grams = (
             f"transform(sequence(0, size({ws}) - {w}), i -> "
@@ -381,8 +401,10 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gram array and the ratio are materialized once per row (array
     HOFs are interpreted, so leaning on common-subexpression
     elimination recomputes them per use — measured ~4x slower)."""
-    e = _rep_exprs("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    e = _rep_exprs("spark", ws="__ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    )
     staged = docs.select(
         "doc_id",
         F.expr(e["guard"]).alias("__ok"),
@@ -636,7 +658,7 @@ QF_MIN_STOP = 2  # distinct stopword hits
 QF_MIN_DISTINCT_PCT = 20  # distinct words >= 20% of words
 
 
-def gopher_stage_exprs(dialect: str) -> list[str]:
+def gopher_stage_exprs(dialect: str, ws: str | None = None) -> list[str]:
     """The four Gopher quality gates in funnel order — THE corpus
     admission rule, defined once (VERDICT r07 #5: previously the funnel
     and the corpus write paths maintained separate 'admitted'
@@ -646,20 +668,20 @@ def gopher_stage_exprs(dialect: str) -> list[str]:
     conjunction (:func:`gopher_gate_sql`). All comparisons are
     integer-exact (cross-multiplied, no division), so Spark/DuckDB
     hash-parity holds at any scale."""
-    e = _exprs(dialect)
+    e = _exprs(dialect, ws=ws)
     return [
         f"({e['n_words']} BETWEEN {QF_MIN_WORDS} AND {QF_MAX_WORDS})",
         f"({e['n_word_chars']} >= {QF_MIN_MWL} * {e['n_words']}"
         f" AND {e['n_word_chars']} <= {QF_MAX_MWL} * {e['n_words']})",
-        f"({_distinct_stop_expr(dialect)} >= {QF_MIN_STOP})",
+        f"({_distinct_stop_expr(dialect, ws=ws)} >= {QF_MIN_STOP})",
         f"({e['n_distinct']} * 100 >= {QF_MIN_DISTINCT_PCT} * {e['n_words']})",
     ]
 
 
-def gopher_gate_sql(dialect: str) -> str:
+def gopher_gate_sql(dialect: str, ws: str | None = None) -> str:
     """Conjunction of all four gates == the funnel's ``admitted`` — the
     single quality-admission predicate the corpus pipelines filter on."""
-    return "(" + " AND ".join(gopher_stage_exprs(dialect)) + ")"
+    return "(" + " AND ".join(gopher_stage_exprs(dialect, ws=ws)) + ")"
 
 
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,13 +708,25 @@ def quality_funnel_from_docs(docs: DataFrame) -> DataFrame:
     by the batch entry and the streaming twin (the per-doc gate flags
     are stateless and the counts are associative sums, so a complete-
     mode running aggregation's end state equals the batch result)."""
-    g1, g2, g3, g4 = gopher_stage_exprs("spark")
-    flags = docs.select(
+    g1, g2, g3, g4 = gopher_stage_exprs("spark", ws="__ws")
+    # each gate evaluated ONCE as its own column; the cumulative flags
+    # are cheap boolean ANDs over those columns (the inline form
+    # re-evaluated gate 1 four times, gate 2 three times, ... — and
+    # every gate re-split the text; r14 optimization round)
+    flags = docs.withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    ).select(
         "source",
-        F.expr(g1).alias("p1"),
-        F.expr(f"{g1} AND {g2}").alias("p2"),
-        F.expr(f"{g1} AND {g2} AND {g3}").alias("p3"),
-        F.expr(f"{g1} AND {g2} AND {g3} AND {g4}").alias("p4"),
+        F.expr(g1).alias("__f1"),
+        F.expr(g2).alias("__f2"),
+        F.expr(g3).alias("__f3"),
+        F.expr(g4).alias("__f4"),
+    ).select(
+        "source",
+        F.col("__f1").alias("p1"),
+        (F.col("__f1") & F.col("__f2")).alias("p2"),
+        (F.col("__f1") & F.col("__f2") & F.col("__f3")).alias("p3"),
+        (F.col("__f1") & F.col("__f2") & F.col("__f3") & F.col("__f4")).alias("p4"),
     )
     return flags.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -703,8 +737,8 @@ def quality_funnel_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _distinct_stop_expr(dialect: str) -> str:
-    w = words_expr("text", dialect)
+def _distinct_stop_expr(dialect: str, ws: str | None = None) -> str:
+    w = ws or words_expr("text", dialect)
     stops = arr_filter(w, f"x -> x IN ({_stop_list_sql()})", dialect)
     return f"CAST({arr_len(f'{_lst(dialect)}({stops})', dialect)} AS BIGINT)"
 

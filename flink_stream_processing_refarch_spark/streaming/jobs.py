@@ -909,12 +909,15 @@ def corpus_ingest_from_stream(docs: DataFrame) -> DataFrame:
     than a batch, derive ``ingest_ts`` from actual arrival time (Kafka
     record timestamp) or set a horizon covering the reorder bound.
     """
+    from ..functions.portable import words_expr
     from ..operators.text import _exprs, gopher_gate_sql
 
-    e = _exprs("spark")
+    e = _exprs("spark", ws="__ws")
     # the shared Gopher admission rule — identical across the funnel and
-    # every corpus write path (VERDICT r07 #5)
-    keep = gopher_gate_sql("spark")
+    # every corpus write path (VERDICT r07 #5); words projected once
+    # (see text._exprs, r14 optimization round)
+    keep = gopher_gate_sql("spark", ws="__ws")
+    docs = docs.withColumn("__ws", F.expr(words_expr("text", "spark")))
     scored = (
         docs.withColumn(
             # +1s: the initial watermark is epoch 0 and the dedup
@@ -976,15 +979,18 @@ def decontaminate_gate(docs: DataFrame, ev: DataFrame) -> DataFrame:
     """The gate transformation over any documents stream plus a one-row
     static eval-shingle-array relation (source-agnostic, same split as
     :func:`corpus_ingest_from_stream`)."""
+    from ..functions.portable import words_expr
     from ..operators.contamination import EVAL_MOD, _shingles
     from ..operators.text import _exprs
 
-    e = _exprs("spark")
-    shingled = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+    e = _exprs("spark", ws="__ws")
+    shingled = docs.filter(F.col("doc_id") % EVAL_MOD != 0).withColumn(
+        "__ws", F.expr(words_expr("text", "spark"))
+    ).select(
         "doc_id",
         "source",
         F.expr(e["n_words"]).alias("n_tokens"),
-        F.expr(_shingles("spark")).alias("sh"),
+        F.expr(_shingles("spark", ws="__ws")).alias("sh"),
     )
     # NULL-safe negation: arrays_overlap returns NULL (not false) when a
     # no-match array contains a null element (a NULL-text doc shingles to
