@@ -56,71 +56,78 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7): changed-this-
 # round entries first in registry order, then every other entry ranked
 # by oldest last-green round (registry order as tiebreak), first 50 win.
-# The r14 changed set (13 entries):
-#   - the eleven corpus/wire entries: manifests now record exact
-#     per-partition FILE LISTS; maintenance swaps defer trash cleanup
-#     past the manifest dump so pin_corpus_snapshot can assemble one
-#     committed version live-or-displaced (VERDICT r13 #1); vacuum
-#     holds ONE lease across recovery + sweep (ADVICE r13 #4);
-#     recover_corpus raises for saturated-log residue it cannot prove
-#     young (ADVICE r13 #1); history-write failures surface (ADVICE
-#     r13 #3); the full-rewrite writers drop the corpus-sized eager
-#     localCheckpoint (VERDICT r13 #2); version retention retires
-#     displaced originals when enabled;
-#   - ann_pq + pq_ingest_streaming: the PQ encoder's exact-int64
-#     distance moved to the expanded form (bit-identical argmin,
-#     D(=8)x smaller intermediates — the measured root cause of the
-#     entry's sweep oscillation; VERDICT r13 #4, README r14).
-# Slots 14-18 are NEW this round: corpus_pinned_snapshot —
-# snapshot-isolated read racing a live takedown + layout rewrite
-# (VERDICT r13 #1) — cdc_index_refresh — corpus_changes_since
-# composed into an incremental index maintainer proven equal to the
-# full rebuild (VERDICT r13 #3) — corpus_time_travel — version
-# retention + pin_corpus_version reading the corpus as of a prior
-# commit, with purge-finality asserted (the vacuum compliance
-# contract) — corpus_cdc_stream — the CDC feed as a Structured
-# Streaming SOURCE (Spark 4 Python DataSource API; offsets = commit
-# tokens, per-batch planning = a history-manifest diff, reads =
-# changed files only) — and cdc_index_refresh_streaming — the
-# STANDING consumer: the index table maintained by a foreachBatch
-# loop over the corpus_cdc stream (dynamic overwrite per delivered
-# partition, dir drop per tombstone), proven equal to the rebuild.
-# The remaining 32 slots continue the staleness sweep (VERDICT r13
-# #6): the oldest r10-green rows — after r14 only the three rows the
-# new entries displaced (ngram_jaccard, doc_chunks, split_leakage)
-# still carry r10 driver evidence; they rotate first next round.
-# Everything rotated out is r10+-green over an r14-unchanged plan
+# r14 was the FIRST OPTIMIZATION round: no entry is new and no entry's
+# RESULT changed; the changed set (38 entries, listed in
+# OPTIMIZATION_r14.md's checklist) is every entry whose Spark-side
+# plan or write-protocol this round's optimizations touched —
+#   - the corpus/CDC protocol entries (terminal-miss fast path in
+#     pin_corpus_version; one-pass pre-merge delta summary in upsert;
+#     lazy/removed localCheckpoints in upsert/delete/compact;
+#     metadata-derived fixture counts; single min+max extrema job);
+#   - the dedup/contamination/selection/text families (the words-array
+#     projected ONCE per row instead of re-splitting per reference;
+#     quality-gate flags as columns; lazy checkpoints in the
+#     connected-components loop).
+# Every changed entry re-passed tools/check_oracle.py at sf0.01 (and
+# the families at sf0.001) before each commit; the full-registry
+# sweeps at BOTH SFs are green post-change (OPTIMIZATION_r14.md).
+# The remaining 12 slots continue the staleness sweep: the oldest
+# driver-green rows (the three r10 rows ngram_jaccard / doc_chunks /
+# split_leakage are inside via the changed set or staleness rank).
+# Everything rotated out is r10+-green over a results-unchanged plan
 # (LEDGER.md); per-round rotation rationale lives in the git history
 # of this file.
 PRIORITY = [
-    # ---- slots 1-50: the r14 driver window (== LEDGER next-window:
-    # 13 r14-changed corpus/wire/PQ-encoder entries + the 5 NEW
-    # entries first, then the oldest r10-green rows — post-r14 only
-    # the three displaced r10 rows still carry r10 driver evidence;
-    # they rotate first next round (VERDICT r13 #6) ----
-    "q1_kinesis_wire",
+    # ---- slots 1-50: the r14-OPTIMIZATION driver window (== LEDGER
+    # next-window: the 38 entries whose Spark-side plans/protocols this
+    # optimization round changed — corpus writer protocol trims, the
+    # words-column projection refactor across dedup/contamination/text,
+    # lazy checkpoints — first in registry order, then the oldest-green
+    # rows; results of every entry are UNCHANGED and were re-proven
+    # against the oracle at sf0.01+sf0.001 before commit, see
+    # OPTIMIZATION_r14.md) ----
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
     "corpus_compact_roundtrip",
     "corpus_layout_roundtrip",
-    "corpus_recover_roundtrip",
     "corpus_evolve_roundtrip",
     "corpus_delete_roundtrip",
-    "corpus_redact_roundtrip",
     "corpus_vacuum_roundtrip",
     "corpus_changes_roundtrip",
-    "ann_pq",
-    "pq_ingest_streaming",
     "corpus_pinned_snapshot",
     "cdc_index_refresh",
     "corpus_time_travel",
     "corpus_cdc_stream",
     "cdc_index_refresh_streaming",
+    "lang_id",
+    "decontaminate",
+    "minhash_signatures",
+    "token_count_bpe",
+    "ngram_jaccard",
+    "split_leakage",
+    "repetition_score",
+    "training_mix",
+    "corpus_build",
+    "dedup_spans",
+    "containment_dedup",
+    "winnow_fingerprints_streaming",
+    "winnow_matches",
+    "quality_funnel",
+    "quality_funnel_streaming",
+    "corpus_ingest_streaming",
+    "token_stats",
+    "quality_score",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dup_source_matrix",
+    "decontaminate_streaming",
+    "memorization_risk",
+    "winnow_fingerprints",
+    "dedup_incremental",
     "sequence_packing",
     "bottomk_sample",
     "mixture_weights",
     "sketch_rollup",
-    "lang_id",
     "cosine_topk",
     "ann_lsh",
     "ann_ivf",
@@ -129,6 +136,13 @@ PRIORITY = [
     "media_metadata",
     "media_features",
     "media_resize",
+    # ---- past the window: driver-green over plans whose results are
+    # unchanged (see LEDGER.md) ----
+    "q1_kinesis_wire",
+    "corpus_recover_roundtrip",
+    "corpus_redact_roundtrip",
+    "ann_pq",
+    "pq_ingest_streaming",
     "frame_sample",
     "inverted_index",
     "running_totals",
@@ -142,16 +156,10 @@ PRIORITY = [
     "stream_static_join",
     "dedup_simhash",
     "vocab_stats",
-    "decontaminate",
-    "minhash_signatures",
     "simhash",
-    "token_count_bpe",
     "dedup_exact",
     "dedup_survivors",
-    # ---- past the window: r10+-green over unchanged plans ----
-    "ngram_jaccard",
     "doc_chunks",
-    "split_leakage",
     "stratified_cap",
     "range_join_bands",
     "priority_lists",
@@ -182,7 +190,6 @@ PRIORITY = [
     "trips_clean",
     "airport_trips",
     "tfidf_top_terms",
-    "repetition_score",
     "length_histogram",
     "approx_distinct",
     "approx_quantiles",
@@ -199,22 +206,13 @@ PRIORITY = [
     "late_shipments",
     "important_parts",
     "adhoc_sql",
-    "training_mix",
-    "corpus_build",
-    "dedup_spans",
-    "containment_dedup",
     "dedup_embedding",
-    "winnow_fingerprints_streaming",
-    "winnow_matches",
     "bpe_train",
     "bpe_token_count",
-    "quality_funnel",
     "source_signature_terms",
-    "quality_funnel_streaming",
     "quantile_histogram_streaming",
     "knn_label_accuracy",
     "ann_recall_eval",
-    "corpus_ingest_streaming",
     "source_drift",
     "source_drift_streaming",
     "importance_resampling",
@@ -225,13 +223,10 @@ PRIORITY = [
     "bm25_topk_batch_ext",
     "hybrid_retrieval_ext",
     "bm25_mrr",
-    "token_stats",
-    "quality_score",
     "doc_fingerprint",
     "udtf_word_positions",
     "split_train_test",
     "split_counts",
-    "dedup_minhash_lsh",
     "session_windows_streaming",
     "stateful_sessionize",
     "tws_user_totals",
@@ -239,14 +234,11 @@ PRIORITY = [
     "stream_stream_left_join",
     "streaming_dedup",
     "trending_cells",
-    "dedup_clusters",
     "heavy_hitters_cms",
-    "dup_source_matrix",
     "feature_hashing",
     "quantile_histogram",
     "curriculum_order",
     "vocab_coverage",
-    "decontaminate_streaming",
     "heavy_hitters_streaming",
     "large_orders",
     "top_supplier",
@@ -255,9 +247,6 @@ PRIORITY = [
     "ann_lsh_multiprobe",
     "semantic_dedup",
     "kmeans_clusters",
-    "memorization_risk",
-    "winnow_fingerprints",
-    "dedup_incremental",
     "q1_pickup_count",
     "q2_trip_duration",
     "q1_streaming",
