@@ -199,6 +199,67 @@ def test_incremental_session_merge_equals_batch(ts, n_splits):
     assert _merge_sessions([], shuffled) == expected
 
 
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=10**7),
+        min_size=1,
+        max_size=120,
+    ),
+    n_sess=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=100, deadline=None)
+def test_merge_sessions_vectorized_path_equals_loop(ts, n_sess, seed):
+    """6b. The numpy collapse the sessionizer takes for arrival batches
+    >= _MERGE_VECTORIZE_MIN (r14: guide §4.2, hot-key straggler fix) is
+    bit-identical to the pure-loop rule — same inputs through both
+    branches, with and without pre-existing open sessions."""
+    import random
+
+    import numpy as np
+
+    from flink_stream_processing_refarch_spark.streaming.jobs import (
+        _MERGE_VECTORIZE_MIN,
+        _SESSION_GAP_US,
+        _merge_sessions,
+    )
+
+    rng = random.Random(seed)
+    # pad past the vectorization threshold so the numpy branch runs
+    big = list(ts) + [
+        rng.randint(0, 10**7) for _ in range(_MERGE_VECTORIZE_MIN)
+    ]
+
+    def loop_merge(sessions, new_ts):
+        items = [list(s) for s in sessions] + [
+            [t, t, 1] for t in sorted(new_ts)
+        ]
+        if not items:
+            return []
+        items.sort(key=lambda s: (s[0], s[1]))
+        out = [items[0]]
+        for s, e, n in items[1:]:
+            if s - out[-1][1] < _SESSION_GAP_US:
+                out[-1][1] = max(out[-1][1], e)
+                out[-1][2] += n
+            else:
+                out.append([s, e, n])
+        return out
+
+    sessions = []
+    cur = 0
+    for _ in range(n_sess):
+        cur += rng.randint(_SESSION_GAP_US, 3 * _SESSION_GAP_US)
+        ln = rng.randint(0, 2 * _SESSION_GAP_US)
+        sessions.append([cur, cur + ln, rng.randint(1, 5)])
+        cur += ln
+
+    got = _merge_sessions(
+        [list(s) for s in sessions], np.asarray(big, dtype=np.int64)
+    )
+    assert got == loop_merge(sessions, big)
+
+
 # ---------------------------------------------------------------------------
 # 5. Cross-engine integer sign codes: for ANY float32 vector, the Spark
 #    (Arrow/numpy int64 matmul) band codes equal the DuckDB (list-fold
