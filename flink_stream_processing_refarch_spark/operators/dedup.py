@@ -306,6 +306,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # r14 optimization round: a single-pass unpivot-attach (one
+    # signatures derivation + a pair-keyed regroup, the
+    # rerank_candidates shape) was built, oracle-verified and A/B
+    # measured here — and REVERTED: warm walls 0.78 -> 1.12 s (the
+    # added exchange + conditional aggregate outweighs the saved
+    # tiny-corpus derivation at bench scale), and at 100 TB the
+    # sharing answer for this family is the signatures TABLE
+    # materialized at ingest (below), not an in-plan regroup.
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],
@@ -493,6 +501,24 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {hmax}
 # Exact n-gram (word-set) Jaccard verification of LSH candidates
 # ---------------------------------------------------------------------------
 
+def _attach_pair_word_sets(c: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Attach both docs' word sets to every candidate pair — the wa/wb
+    two-branch broadcast-probe join (pairs are the candidate-bounded
+    small side). r14 optimization round: a single-pass unpivot-attach
+    (one corpus tokenize + a pair-keyed regroup, the rerank_candidates
+    shape) was built, oracle-verified and A/B measured here — and
+    REVERTED: warm walls regressed ~20-40% across the family
+    (ngram_jaccard 0.75 -> 0.93 s, dup_source_matrix 1.02 -> 1.39 s;
+    the added exchange + conditional aggregate costs more than the
+    saved tiny-corpus scan at bench scale). At 100 TB the candidates
+    relation is served from a materialized index/word-set sidecar, so
+    the duplicate in-plan derivation is a bench-scale artifact, not
+    the at-scale plan."""
+    wa = c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    return pairs.join(wa, "doc_a").join(wb, "doc_b")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard for every LSH candidate pair (the
     verify-the-candidates stage of the near-dup pipeline); emits pairs
@@ -501,12 +527,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws")
     )
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    wa = c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
-    wb = c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    # one corpus tokenize pass, not one per side (r14, guide §8/§2.4):
+    # unpivot the candidate-bounded pairs to (pair, doc_id), broadcast
+    # into a single word-set join, regroup on the pair key
+    ws2 = _attach_pair_word_sets(c, pairs)
     return (
-        pairs.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select(
+        ws2.select(
             "doc_a",
             "doc_b",
             F.expr(
@@ -613,12 +639,11 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws"),
     )
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    wa = c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
-    wb = c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    # one corpus tokenize pass, not one per side (r14, guide §8/§2.4 —
+    # see _attach_pair_word_sets)
+    ws2 = _attach_pair_word_sets(c, pairs)
     return (
-        pairs.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select(
+        ws2.select(
             "doc_a",
             "doc_b",
             F.expr("size(array_intersect(wa, wb))").alias("n_common"),
@@ -1495,14 +1520,33 @@ def winnow_matches_from_docs(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("shared_fps"))
     )
     counts = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb"))
-    # candidate-bounded: `shared` is the small side — broadcast it into
-    # each per-doc-count branch (the rerank_candidates pattern), never
-    # shuffling the doc-sized count relation on a pair key
+    # Attach BOTH sides' fingerprint counts in ONE pass over the count
+    # relation (r14 optimization round, guide §8/§2.4): the old
+    # ca/cb two-branch join re-derived the whole narrow index — a full
+    # tokenize + k-gram hash + window-min pass over every document —
+    # once PER SIDE (three total derivations in the plan). Unpivoting
+    # the candidate-bounded pair relation to (pair, doc_id) rows and
+    # broadcasting it into a single counts join leaves two derivations
+    # (bucket branch + count branch); the pair-keyed regroup exchanges
+    # only candidate rows. Exactly one counts row matches each
+    # (pair, side), so the conditional max is the plain attach.
+    sides = shared.select(
+        "doc_a",
+        "doc_b",
+        "shared_fps",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
     return (
-        ca.join(F.broadcast(shared), "doc_a")
-        .join(cb, "doc_b")
+        counts.join(F.broadcast(sides), "doc_id")
+        .groupBy("doc_a", "doc_b", "shared_fps")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("nfp"))
+            ).alias("na"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("nfp"))
+            ).alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -653,20 +653,44 @@ def rerank_candidates(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_quant_expr("embedding", "spark")).alias("vq")
     )
-    qe = emb.select(F.col("vec_id").alias("qid"), F.col("vq").alias("qv"))
-    de = emb.select(F.col("vec_id").alias("did"), F.col("vq").alias("dv"))
     cos = (
         "round(CAST(" + _doti("qv", "dv", "spark") + " AS DOUBLE)"
         " / (sqrt(CAST(" + _doti("qv", "qv", "spark") + " AS DOUBLE))"
         " * sqrt(CAST(" + _doti("dv", "dv", "spark") + " AS DOUBLE))), 6)"
     )
-    # broadcast the TINY side (|queries| x BM25B_TOP candidate rows)
-    # into each embeddings scan — never the corpus-sized vector table;
-    # each join is then a broadcast-hash probe pruning the scan
-    with_q = qe.join(F.broadcast(cands), qe.qid == cands.query_id)
-    scored = de.join(
-        F.broadcast(with_q), with_q.doc_id == de.did
-    ).select("query_id", "doc_id", "bm25", F.expr(cos).alias("cos"))
+    # Attach BOTH vectors with ONE pass over the embeddings table (r14
+    # optimization round, guide §8/§2.4): the old qe/de two-branch
+    # broadcast-probe ran the quantized embeddings scan once PER SIDE.
+    # Unpivot the tiny candidate relation (|queries| x BM25B_TOP rows)
+    # to (pair, vec_id) rows, broadcast it into a single scan probe,
+    # regroup on the pair key — the regroup exchanges candidate rows
+    # only. vec_id is unique in the table, so each (pair, side) matches
+    # exactly one row (a self-hit pair query_id == doc_id matches the
+    # same row for both sides and both when() branches agree).
+    sides = cands.select(
+        "query_id",
+        "doc_id",
+        "bm25",
+        F.explode(F.array("query_id", "doc_id")).alias("vec_id"),
+    )
+    scored = (
+        emb.join(F.broadcast(sides), "vec_id")
+        .groupBy("query_id", "doc_id", "bm25")
+        .agg(
+            F.first(
+                F.when(F.col("vec_id") == F.col("query_id"), F.col("vq")),
+                ignorenulls=True,
+            ).alias("qv"),
+            F.first(
+                F.when(F.col("vec_id") == F.col("doc_id"), F.col("vq")),
+                ignorenulls=True,
+            ).alias("dv"),
+        )
+        # inner-join semantics of the old two-branch form: a pair whose
+        # query or doc has no embedding row is dropped, not null-scored
+        .filter(F.col("qv").isNotNull() & F.col("dv").isNotNull())
+        .select("query_id", "doc_id", "bm25", F.expr(cos).alias("cos"))
+    )
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
     )
