@@ -57,7 +57,7 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # round entries first in registry order, then every other entry ranked
 # by oldest last-green round (registry order as tiebreak), first 50 win.
 # r14 was the FIRST OPTIMIZATION round: no entry is new and no entry's
-# RESULT changed; the changed set (38 entries, listed in
+# RESULT changed; the changed set (42 entries, listed in
 # OPTIMIZATION_r14.md's checklist) is every entry whose Spark-side
 # plan or write-protocol this round's optimizations touched —
 #   - the corpus/CDC protocol entries (terminal-miss fast path in
@@ -67,11 +67,16 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 #   - the dedup/contamination/selection/text families (the words-array
 #     projected ONCE per row instead of re-splitting per reference;
 #     quality-gate flags as columns; lazy checkpoints in the
-#     connected-components loop).
+#     connected-components loop);
+#   - the Python-state streaming pair (tws_user_totals /
+#     stateful_sessionize: one state round-trip per key, vectorized
+#     hot-key session merges) and the pair-side attribute attach
+#     (hybrid re-rank single embeddings probe, winnow_matches index
+#     derivation 3 -> 2).
 # Every changed entry re-passed tools/check_oracle.py at sf0.01 (and
 # the families at sf0.001) before each commit; the full-registry
 # sweeps at BOTH SFs are green post-change (OPTIMIZATION_r14.md).
-# The remaining 12 slots continue the staleness sweep: the oldest
+# The remaining 8 slots continue the staleness sweep: the oldest
 # driver-green rows (the three r10 rows ngram_jaccard / doc_chunks /
 # split_leakage are inside via the changed set or staleness rank).
 # Everything rotated out is r10+-green over a results-unchanged plan
@@ -79,13 +84,14 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # of this file.
 PRIORITY = [
     # ---- slots 1-50: the r14-OPTIMIZATION driver window (== LEDGER
-    # next-window: the 38 entries whose Spark-side plans/protocols this
+    # next-window: the 42 entries whose Spark-side plans/protocols this
     # optimization round changed — corpus writer protocol trims, the
     # words-column projection refactor across dedup/contamination/text,
-    # lazy checkpoints — first in registry order, then the oldest-green
-    # rows; results of every entry are UNCHANGED and were re-proven
-    # against the oracle at sf0.01+sf0.001 before commit, see
-    # OPTIMIZATION_r14.md) ----
+    # lazy checkpoints, the state-server round-trip halving + vectorized
+    # session merges, the pair-side attribute attach — first in registry
+    # order, then the oldest-green rows; results of every entry are
+    # UNCHANGED and were re-proven against the oracle at sf0.01+sf0.001
+    # before commit, see OPTIMIZATION_r14.md) ----
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
     "corpus_compact_roundtrip",
@@ -124,6 +130,10 @@ PRIORITY = [
     "memorization_risk",
     "winnow_fingerprints",
     "dedup_incremental",
+    "hybrid_retrieval",
+    "hybrid_retrieval_ext",
+    "stateful_sessionize",
+    "tws_user_totals",
     "sequence_packing",
     "bottomk_sample",
     "mixture_weights",
@@ -132,12 +142,12 @@ PRIORITY = [
     "ann_lsh",
     "ann_ivf",
     "embedding_norms",
+    # ---- past the window: driver-green over plans whose results are
+    # unchanged (see LEDGER.md) ----
     "embedding_quantize",
     "media_metadata",
     "media_features",
     "media_resize",
-    # ---- past the window: driver-green over plans whose results are
-    # unchanged (see LEDGER.md) ----
     "q1_kinesis_wire",
     "corpus_recover_roundtrip",
     "corpus_redact_roundtrip",
@@ -219,17 +229,13 @@ PRIORITY = [
     "lm_perplexity",
     "bm25_score",
     "bm25_topk_batch",
-    "hybrid_retrieval",
     "bm25_topk_batch_ext",
-    "hybrid_retrieval_ext",
     "bm25_mrr",
     "doc_fingerprint",
     "udtf_word_positions",
     "split_train_test",
     "split_counts",
     "session_windows_streaming",
-    "stateful_sessionize",
-    "tws_user_totals",
     "stream_stream_join",
     "stream_stream_left_join",
     "streaming_dedup",
