@@ -527,9 +527,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws")
     )
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    # one corpus tokenize pass, not one per side (r14, guide §8/§2.4):
-    # unpivot the candidate-bounded pairs to (pair, doc_id), broadcast
-    # into a single word-set join, regroup on the pair key
+    # two-branch wa/wb attach — the measured choice; the single-pass
+    # unpivot variant was built and REVERTED (see _attach_pair_word_sets)
     ws2 = _attach_pair_word_sets(c, pairs)
     return (
         ws2.select(
@@ -639,8 +638,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_distinct({words_expr('text', 'spark')})").alias("ws"),
     )
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    # one corpus tokenize pass, not one per side (r14, guide §8/§2.4 —
-    # see _attach_pair_word_sets)
+    # two-branch wa/wb attach — the measured choice; the single-pass
+    # unpivot variant was built and REVERTED (see _attach_pair_word_sets)
     ws2 = _attach_pair_word_sets(c, pairs)
     return (
         ws2.select(

@@ -162,6 +162,15 @@ def table_row_count(path: str) -> int | None:
             parts = _glob.glob(os.path.join(path, "*.parquet"))
             if not parts:
                 return None
+            # a layout mixing top-level part files with nested
+            # (partition) subdirectories is outside this helper's
+            # contract — summing only the flat files would be a SILENT
+            # undercount; fall back to the caller's df.count()
+            if any(
+                e.is_dir() and not e.name.startswith((".", "_"))
+                for e in os.scandir(path)
+            ):
+                return None
             return sum(
                 pq.ParquetFile(p).metadata.num_rows for p in parts
             )

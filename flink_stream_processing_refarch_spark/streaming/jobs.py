@@ -1137,7 +1137,16 @@ def _merge_sessions(sessions, new_ts) -> list[list[int]]:
     if len(new_ts) >= _MERGE_VECTORIZE_MIN:
         import numpy as np
 
-        ts = np.sort(np.asarray(new_ts, dtype=np.int64))
+        ts = np.asarray(new_ts)
+        if ts.dtype.kind == "f" and np.isnan(ts).any():
+            # pandas renders a bigint column containing nulls as
+            # float64 + NaN, and ndarray->int64 casting silently turns
+            # NaN into INT64_MIN — fail loudly like the small-batch
+            # path's int(NaN) does instead of emitting a garbage session
+            raise ValueError(
+                "sessionize: null event timestamp in arrival batch"
+            )
+        ts = np.sort(ts.astype(np.int64))
         brk = np.flatnonzero(np.diff(ts) >= _SESSION_GAP_US) + 1
         run_start = np.concatenate(([0], brk))
         run_end = np.concatenate((brk, [len(ts)]))

@@ -19,11 +19,12 @@ Usage: python tools/profile_entry.py [sf_dir] entry [entry ...]
 from __future__ import annotations
 
 import argparse
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
 from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
