@@ -47,3 +47,15 @@ def test_stateful_builders_are_not_plan_cached():
             # wrapped one could not exist; reaching here with the marker
             # means the registry correctly served the raw builder
             assert fn.__module__ != "flink_stream_processing_refarch_spark.plancache", name
+
+
+def test_excluded_rules_is_exactly_the_audited_list(spark):
+    """r15 (VERDICT r14 #2): ``excludedRules`` is a session-global knob.
+    Today every explode input in the registry is a COMPUTED array, so
+    the InferFiltersFromGenerate exclusion is pure overhead removal —
+    but a future entry exploding a SCANNED array column could silently
+    lose pushdown-based pruning. Pin the list: anything added here must
+    re-justify itself against that risk."""
+    assert spark.conf.get("spark.sql.optimizer.excludedRules") == (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    )

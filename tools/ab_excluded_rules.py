@@ -34,21 +34,35 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("ab_excluded_rules")
+    # restore whatever the session actually had, not a hard-coded RULE
+    # (ADVICE r14: if session.py's default list changes, a hard-coded
+    # restore would silently leave the session stale)
+    prev = spark.conf.get("spark.sql.optimizer.excludedRules", "")
     qs = entry.queries()
     for name in args.names:
         fn = qs[name]
         fn(spark, args.sf_dir).count()  # warm codegen/footers once
         walls: dict[str, list[float]] = {"excluded": [], "stock": []}
+        rows: dict[str, int] = {}
         for i in range(args.runs):
-            for arm, conf in (("excluded", RULE), ("stock", "")):
+            arms = (("excluded", RULE), ("stock", ""))
+            if i % 2:  # alternate arm order to cancel first-position bias
+                arms = arms[::-1]
+            for arm, conf in arms:
                 spark.conf.set("spark.sql.optimizer.excludedRules", conf)
                 t0 = time.time()
                 n = fn(spark, args.sf_dir).count()
                 walls[arm].append(round(time.time() - t0, 3))
-        spark.conf.set("spark.sql.optimizer.excludedRules", RULE)
+                rows[arm] = n
+        spark.conf.set("spark.sql.optimizer.excludedRules", prev or "")
+        parity = "" if rows["excluded"] == rows["stock"] else (
+            f" *** ROW MISMATCH excluded={rows['excluded']}"
+            f" stock={rows['stock']} ***"
+        )
         print(
-            f"{name}: rows={n} excluded={walls['excluded']} "
-            f"stock={walls['stock']}"
+            f"{name}: rows_excluded={rows['excluded']} "
+            f"rows_stock={rows['stock']} excluded={walls['excluded']} "
+            f"stock={walls['stock']}{parity}"
         )
 
 

@@ -43,14 +43,25 @@ def main() -> None:
         fn = qs[name]
         fn(spark, args.sf_dir).count()  # warm codegen/state-store classes
         walls: dict[str, list[float]] = {"on": [], "off": []}
-        for _ in range(args.runs):
-            for arm, val in (("on", args.on), ("off", args.off)):
+        rows: dict[str, int] = {}
+        for i in range(args.runs):
+            arms = (("on", args.on), ("off", args.off))
+            if i % 2:  # alternate arm order to cancel first-position bias
+                arms = arms[::-1]
+            for arm, val in arms:
                 spark.conf.set(args.conf, val)
                 t0 = time.time()
                 n = fn(spark, args.sf_dir).count()
                 walls[arm].append(round(time.time() - t0, 3))
+                rows[arm] = n
         spark.conf.unset(args.conf)
-        print(f"{name}: rows={n} on={walls['on']} off={walls['off']}")
+        parity = "" if rows["on"] == rows["off"] else (
+            f" *** ROW MISMATCH on={rows['on']} off={rows['off']} ***"
+        )
+        print(
+            f"{name}: rows_on={rows['on']} rows_off={rows['off']} "
+            f"on={walls['on']} off={walls['off']}{parity}"
+        )
 
 
 if __name__ == "__main__":
