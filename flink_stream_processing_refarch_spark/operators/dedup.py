@@ -72,15 +72,43 @@ def corpus_sql(dialect: str) -> str:
 
 
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    # The documents table is one small parquet file, so each union branch
-    # scans as a single partition — 3 tasks total, starving the md5/
-    # shingle map work (measured: 10x under-parallelized at local[32]).
-    # spread() round-robins across cores ONLY in that starved case; at
-    # 100 TB the scan has thousands of splits and no exchange is added —
-    # document text never crosses a shuffle in the at-scale plan.
-    return spread(
-        spark.sql(corpus_sql("spark")), src_path=f"{sf_dir}/documents.parquet"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    # r15 optimization round: the Spark-side derivation is ONE scan that
+    # explodes each document into its 1-3 corpus variants, not the
+    # 3-branch UNION ALL the oracle spells (guide §2.4 — the union read
+    # the documents table three times per corpus reference; at 100 TB
+    # that is three full passes where one suffices, and dedup_minhash_lsh
+    # re-derives the corpus three times = NINE scans). The tail variant's
+    # split() runs only for the doc_id % 20 rows inside the IF (the
+    # union branch paid the same 2 evaluations on the same rows).
+    # Multiset-identical to corpus_sql("spark") by construction
+    # (exceptAll both ways == 0 at sf0.1); row order differs, which no
+    # consumer observes (aggregations/joins only).
+    variants = (
+        "concat("
+        "array(named_struct('doc_id', doc_id, 'text', text,"
+        " 'source', source)),"
+        "IF(doc_id % 10 = 0, array(named_struct('doc_id',"
+        " doc_id + 1000000L, 'text', text, 'source', source)), array()),"
+        "IF(doc_id % 20 = 0, array(named_struct('doc_id',"
+        " doc_id + 2000000L, 'text', concat_ws(' ', slice("
+        "split(text, ' ', -1), 2, size(split(text, ' ', -1)) - 1)),"
+        " 'source', source)), array()))"
+    )
+    # The documents table is one small parquet file locally, so the scan
+    # starves the md5/shingle map work (measured: 10x under-parallelized
+    # at local[32]). spread() round-robins across cores ONLY in that
+    # starved case — BEFORE the variant explode, so the fan-out itself
+    # parallelizes; at 100 TB the scan has thousands of splits and no
+    # exchange is added — document text never crosses a shuffle.
+    return (
+        spread(
+            docs.select("doc_id", "text", "source"),
+            src_path=f"{sf_dir}/documents.parquet",
+        )
+        .select(F.explode(F.expr(variants)).alias("v"))
+        .select("v.doc_id", "v.text", "v.source")
     )
 
 

@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for registry entries into plans/r14/.
+"""Capture .explain("formatted") for registry entries into plans/<round>.
 
 Usage: python tools/capture_plans.py <suffix> entry [entry ...]
-       (suffix = "before" or "after")
+       (suffix = "before" or "after"; round dir defaults to r15,
+       override with $SPARK_GRAFT_PLANS_ROUND)
 
 Streaming / protocol entries whose callable RUNS work are captured as
 the final returned frame's plan (their cost story is job counts, told
@@ -20,7 +21,11 @@ import __spark_entry__ as entry  # noqa: E402
 from flink_stream_processing_refarch_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+)
 
 
 def main() -> None:
