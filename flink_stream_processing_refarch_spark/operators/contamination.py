@@ -156,12 +156,13 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pass the quality filter, survive exact dedup, and share no
     n-gram with the eval set.
 
-    Shuffle shape at 100 TB: quality features and the content hash are
-    narrow at the scan; the dedup exchange carries (hash, id, source,
-    n_tokens); the decontamination stage is the broadcast-probe from
-    ``q_decontaminate``; the final anti-join shuffles two-bigint
-    (doc_id) rows; the rollup reduces map-side to |sources| rows. The
-    text column never crosses any exchange.
+    Shuffle shape at 100 TB: quality features, the content hash and the
+    shingles are all computed in ONE narrow projection at the training
+    scan; the eval shingle set (benchmarks are MBs) broadcasts; the
+    single wide exchange is the dedup groupBy(h), whose map-side
+    partial aggregation collapses each doc's exploded shingle rows
+    first (~|train docs| rows cross); the rollup reduces map-side to
+    |sources| rows. The text column never crosses any exchange.
     """
     from .text import _exprs, gopher_gate_sql
 
@@ -171,7 +172,40 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every corpus write path (VERDICT r07 #5); words projected once
     # (see text._exprs, r14 optimization round)
     keep = gopher_gate_sql("spark", ws="__ws")
-    scored = docs.filter(F.col("doc_id") % EVAL_MOD != 0).withColumn(
+    # r15 optimization round (guide §1.2/§2.4): the training split is
+    # scanned and tokenized ONCE. Previously the quality/hash projection
+    # and the decontamination probe (q_decontaminate's tr side) were two
+    # independent subtrees — two full scans, each paying the split() —
+    # and the contamination verdict came back through its own
+    # groupBy(doc_id) + anti-join pair of exchanges. Now one projection
+    # computes (h, quality features, shingles); the exploded shingles
+    # left-join the broadcast eval-shingle set for a per-row hit marker,
+    # and ONE groupBy(h) performs exact-dedup survivorship AND the
+    # contamination verdict together:
+    #   - min_by(struct, doc_id) = the survivor, exactly as before;
+    #   - max(hit) = "survivor shares an n-gram with the eval split",
+    #     because h = md5(text): equal h <=> equal text <=> equal
+    #     shingle set <=> equal hit status for every member of the
+    #     group (the same text-identity the exact-dedup stage itself is
+    #     built on), so any member's hit IS the survivor's hit.
+    # Scans 3 -> 2 (eval side + training side), exchanges 4 -> 2, and
+    # the map-side partial aggregation collapses each doc's exploded
+    # shingle rows before the h-exchange, so the shuffle still carries
+    # ~|train docs| narrow rows. Results identical (oracle SQL
+    # byte-unchanged; re-proven at sf0.01 + sf0.001).
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .withColumn("__ws", F.expr(words_expr("text", "spark")))
+        .select(F.explode(F.expr(_shingles("spark", ws="__ws"))).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = spread(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+            "doc_id", "source", "text"
+        ),
+        src_path=f"{sf_dir}/documents.parquet",
+    ).withColumn(
         "__ws", F.expr(words_expr("text", "spark"))
     ).select(
         F.md5("text").alias("h"),
@@ -179,16 +213,26 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(e["n_words"]).alias("n_tokens"),
         F.expr(keep).alias("keep"),
+        F.expr(_shingles("spark", ws="__ws")).alias("sh"),
     )
-    surv = scored.groupBy("h").agg(
-        F.min_by(
-            F.struct("doc_id", "source", "n_tokens", "keep"), F.col("doc_id")
-        ).alias("s")
-    ).select("s.*")
-    contaminated = q_decontaminate(spark, sf_dir).select("doc_id")
+    exploded = tr.select(
+        "h", "doc_id", "source", "n_tokens", "keep",
+        F.explode("sh").alias("g"),
+    )
+    per_h = (
+        exploded.join(F.broadcast(ev), "g", "left")
+        .groupBy("h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens", "keep"),
+                F.col("doc_id"),
+            ).alias("s"),
+            F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit"),
+        )
+        .select("s.*", "hit")
+    )
     return (
-        surv.filter(F.col("keep"))
-        .join(contaminated, "doc_id", "left_anti")
+        per_h.filter(F.col("keep") & (F.col("hit") == 0))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
