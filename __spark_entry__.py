@@ -56,42 +56,92 @@ from flink_stream_processing_refarch_spark.streaming import jobs as streaming_jo
 # ``tools/make_ledger.py --changed ...`` (VERDICT r09 #7): changed-this-
 # round entries first in registry order, then every other entry ranked
 # by oldest last-green round (registry order as tiebreak), first 50 win.
-# r14 was the FIRST OPTIMIZATION round: no entry is new and no entry's
-# RESULT changed; the changed set (42 entries, listed in
-# OPTIMIZATION_r14.md's checklist) is every entry whose Spark-side
-# plan or write-protocol this round's optimizations touched —
-#   - the corpus/CDC protocol entries (terminal-miss fast path in
-#     pin_corpus_version; one-pass pre-merge delta summary in upsert;
-#     lazy/removed localCheckpoints in upsert/delete/compact;
-#     metadata-derived fixture counts; single min+max extrema job);
-#   - the dedup/contamination/selection/text families (the words-array
-#     projected ONCE per row instead of re-splitting per reference;
-#     quality-gate flags as columns; lazy checkpoints in the
-#     connected-components loop);
-#   - the Python-state streaming pair (tws_user_totals /
-#     stateful_sessionize: one state round-trip per key, vectorized
-#     hot-key session merges) and the pair-side attribute attach
-#     (hybrid re-rank single embeddings probe, winnow_matches index
-#     derivation 3 -> 2).
+# r15 is the SECOND OPTIMIZATION round: no entry is new and no entry's
+# RESULT changed; the changed set (15 entries, listed in
+# OPTIMIZATION_r15.md's checklist) is every entry whose Spark-side
+# plan this round's optimizations touched —
+#   - the 14 transitive consumers of dedup.corpus_df (the injected-
+#     duplicate corpus now derived in ONE documents scan via a per-doc
+#     variant explode instead of a 3-branch UNION ALL);
+#   - corpus_build (dedup survivorship + contamination verdict folded
+#     into one groupBy(h) over a single tokenize of the training split).
 # Every changed entry re-passed tools/check_oracle.py at sf0.01 (and
-# the families at sf0.001) before each commit; the full-registry
-# sweeps at BOTH SFs are green post-change (OPTIMIZATION_r14.md).
-# The remaining 8 slots continue the staleness sweep: the oldest
-# driver-green rows (the three r10 rows ngram_jaccard / doc_chunks /
-# split_leakage are inside via the changed set or staleness rank).
-# Everything rotated out is r10+-green over a results-unchanged plan
-# (LEDGER.md); per-round rotation rationale lives in the git history
-# of this file.
+# sf0.001) before each commit; the full-registry sweeps at BOTH SFs
+# are green post-change (OPTIMIZATION_r15.md). The remaining 35 slots
+# finish the staleness sweep VERDICT r14 #3 ordered: the whole r10
+# tail plus the oldest r11 rows — post-r15 min last-green outside the
+# window is r11. Everything rotated out is r11+-green over a
+# results-unchanged plan (LEDGER.md); per-round rotation rationale
+# lives in the git history of this file.
 PRIORITY = [
-    # ---- slots 1-50: the r14-OPTIMIZATION driver window (== LEDGER
-    # next-window: the 42 entries whose Spark-side plans/protocols this
-    # optimization round changed — corpus writer protocol trims, the
-    # words-column projection refactor across dedup/contamination/text,
-    # lazy checkpoints, the state-server round-trip halving + vectorized
-    # session merges, the pair-side attribute attach — first in registry
-    # order, then the oldest-green rows; results of every entry are
-    # UNCHANGED and were re-proven against the oracle at sf0.01+sf0.001
-    # before commit, see OPTIMIZATION_r14.md) ----
+    # ---- slots 1-50: the r15-OPTIMIZATION driver window (== LEDGER
+    # next-window, rotation rule VERDICT r09 #7): the 15 entries whose
+    # Spark-side plans this round changed — the injected-duplicate
+    # corpus derived in ONE scan instead of a 3-branch UNION (every
+    # corpus_df consumer: dedup/winnow/simhash/containment/passage/
+    # provenance families) and corpus_build's one-pass dedup+
+    # decontamination fold — first in registry order, then the 35
+    # OLDEST driver-green rows (the full r10 staleness tail VERDICT
+    # r14 #3 ordered in, then oldest r11): post-r15 min last-green
+    # outside the window is r11. Results of every entry are UNCHANGED
+    # and re-proven against the oracle at sf0.01+sf0.001 before commit
+    # (OPTIMIZATION_r15.md). The streaming entries touched only by the
+    # post-termination progress-capture hook (jobs.LAST_RUN_PROGRESS)
+    # are NOT in the changed set: the hook runs after the replay
+    # finishes and cannot alter plan or result; the full-registry
+    # selfcheck re-proves them at both SFs regardless. ----
+    "minhash_signatures",
+    "ngram_jaccard",
+    "corpus_build",
+    "dedup_spans",
+    "containment_dedup",
+    "winnow_matches",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dup_source_matrix",
+    "dedup_simhash",
+    "simhash",
+    "dedup_exact",
+    "dedup_survivors",
+    "passage_dedup",
+    "dup_provenance",
+    "embedding_quantize",
+    "media_metadata",
+    "media_features",
+    "media_resize",
+    "frame_sample",
+    "inverted_index",
+    "running_totals",
+    "time_rollup",
+    "asof_join",
+    "sliding_window_counts",
+    "session_windows",
+    "skew_salted_join",
+    "retention_cohorts",
+    "funnel_completion",
+    "stream_static_join",
+    "vocab_stats",
+    "doc_chunks",
+    "session_windows_streaming",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "streaming_dedup",
+    "trending_cells",
+    "heavy_hitters_cms",
+    "feature_hashing",
+    "quantile_histogram",
+    "curriculum_order",
+    "vocab_coverage",
+    "heavy_hitters_streaming",
+    "large_orders",
+    "top_supplier",
+    "part_promotion",
+    "supplier_part_variety",
+    "ann_lsh_multiprobe",
+    "semantic_dedup",
+    "kmeans_clusters",
+    # ---- past the window: driver-green over plans whose results are
+    # unchanged (see LEDGER.md) ----
     "corpus_upsert_roundtrip",
     "corpus_upsert_streaming",
     "corpus_compact_roundtrip",
@@ -107,25 +157,16 @@ PRIORITY = [
     "cdc_index_refresh_streaming",
     "lang_id",
     "decontaminate",
-    "minhash_signatures",
     "token_count_bpe",
-    "ngram_jaccard",
     "split_leakage",
     "repetition_score",
     "training_mix",
-    "corpus_build",
-    "dedup_spans",
-    "containment_dedup",
     "winnow_fingerprints_streaming",
-    "winnow_matches",
     "quality_funnel",
     "quality_funnel_streaming",
     "corpus_ingest_streaming",
     "token_stats",
     "quality_score",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dup_source_matrix",
     "decontaminate_streaming",
     "memorization_risk",
     "winnow_fingerprints",
@@ -142,34 +183,11 @@ PRIORITY = [
     "ann_lsh",
     "ann_ivf",
     "embedding_norms",
-    # ---- past the window: driver-green over plans whose results are
-    # unchanged (see LEDGER.md) ----
-    "embedding_quantize",
-    "media_metadata",
-    "media_features",
-    "media_resize",
     "q1_kinesis_wire",
     "corpus_recover_roundtrip",
     "corpus_redact_roundtrip",
     "ann_pq",
     "pq_ingest_streaming",
-    "frame_sample",
-    "inverted_index",
-    "running_totals",
-    "time_rollup",
-    "asof_join",
-    "sliding_window_counts",
-    "session_windows",
-    "skew_salted_join",
-    "retention_cohorts",
-    "funnel_completion",
-    "stream_static_join",
-    "dedup_simhash",
-    "vocab_stats",
-    "simhash",
-    "dedup_exact",
-    "dedup_survivors",
-    "doc_chunks",
     "stratified_cap",
     "range_join_bands",
     "priority_lists",
@@ -205,8 +223,6 @@ PRIORITY = [
     "approx_quantiles",
     "pii_scrub",
     "global_row_number",
-    "passage_dedup",
-    "dup_provenance",
     "bigram_lm",
     "media_decode_wav",
     "media_decode_ppm",
@@ -235,24 +251,6 @@ PRIORITY = [
     "udtf_word_positions",
     "split_train_test",
     "split_counts",
-    "session_windows_streaming",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "streaming_dedup",
-    "trending_cells",
-    "heavy_hitters_cms",
-    "feature_hashing",
-    "quantile_histogram",
-    "curriculum_order",
-    "vocab_coverage",
-    "heavy_hitters_streaming",
-    "large_orders",
-    "top_supplier",
-    "part_promotion",
-    "supplier_part_variety",
-    "ann_lsh_multiprobe",
-    "semantic_dedup",
-    "kmeans_clusters",
     "q1_pickup_count",
     "q2_trip_duration",
     "q1_streaming",
